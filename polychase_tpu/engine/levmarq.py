@@ -1,0 +1,314 @@
+"""Batched Levenberg–Marquardt on TPU.
+
+TPU-native rebuild of the reference's generic LM machinery
+(cpp/pnp/lev_marq.h:99-389, itself modeled on PoseLib's lm_impl.h).  The
+design inverts the reference's per-residual TBB loop: residuals and
+Jacobians are evaluated for *all* observations at once with ``vmap``-style
+batched math, normal equations are reduced with einsums (MXU-friendly), and
+the outer LM iteration is a ``lax.while_loop`` so the whole solve is one XLA
+program — no host round-trips per iteration.
+
+Semantics preserved from the reference:
+
+- damping: diagonal replaced by ``clamp(diag, 1e-6, 1e32) · (1 + λ)``
+  (cpp/pnp/lev_marq.h:296-314);
+- Nielsen λ schedule: on acceptance with gain ratio ρ > 0,
+  ``λ ← λ · max(1/3, 1 − (2ρ−1)³)``; on rejection ``λ ← min(λ·v, λmax)``,
+  ``v ← 2v`` (cpp/pnp/lev_marq.h:179-214);
+- termination on gradient norm, step norm, max iterations, or λ saturation
+  after a failed step (cpp/pnp/lev_marq.h:146-228).
+
+Improvement over the reference: the damped system is Jacobi-equilibrated
+(symmetric scaling to unit diagonal) before the Cholesky solve, which fixes
+the float32 ill-conditioning failure the reference documents in
+cpp/examples/levmarq_ill_conditioned_float32_issue.cpp without needing
+float64.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Loss types (mirrors BundleOptions::LossType, cpp/pnp/types.h:203-207)
+TRIVIAL = 0
+HUBER = 1
+CAUCHY = 2
+
+
+class BundleOptions(NamedTuple):
+    """Solver options (cpp/pnp/types.h:200-215).
+
+    ``loss_type`` must be a static Python int (dispatch happens at trace
+    time).  ``max_allowed_parallelism`` has no TPU meaning (XLA owns the
+    parallelism) and is accepted for API compatibility only.
+    """
+
+    max_iterations: int = 100
+    loss_type: int = HUBER
+    loss_scale: float = 1.0
+    gradient_tol: float = 1e-10
+    step_tol: float = 1e-8
+    initial_lambda: float = 1e-5
+    min_lambda: float = 1e-10
+    max_lambda: float = 1e10
+    max_allowed_parallelism: int = 8
+    verbose: bool = False
+
+
+class BundleStats(NamedTuple):
+    """Solver telemetry (cpp/pnp/types.h:217-225)."""
+
+    iterations: jax.Array
+    initial_cost: jax.Array
+    cost: jax.Array
+    lambda_: jax.Array
+    invalid_steps: jax.Array
+    step_norm: jax.Array
+    grad_norm: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Robust losses (cpp/pnp/robust_loss.h:47-104; PoseLib BSD)
+# ---------------------------------------------------------------------------
+
+
+def loss_value(loss_type: int, scale, r2):
+    """ρ(r²) for the given loss; elementwise over r2."""
+    if loss_type == TRIVIAL:
+        return r2
+    if loss_type == HUBER:
+        thr2 = scale * scale
+        r = jnp.sqrt(jnp.maximum(r2, 0))
+        return jnp.where(r2 <= thr2, r2, scale * (2.0 * r - scale))
+    if loss_type == CAUCHY:
+        thr2 = scale * scale
+        return thr2 * jnp.log1p(r2 / thr2)
+    raise ValueError(f"unknown loss type {loss_type}")
+
+
+def loss_weight(loss_type: int, scale, r2):
+    """IRLS weight w(r²) = ρ'(r²); elementwise over r2."""
+    if loss_type == TRIVIAL:
+        return jnp.ones_like(r2)
+    if loss_type == HUBER:
+        thr2 = scale * scale
+        r = jnp.sqrt(jnp.maximum(r2, 1e-30))
+        return jnp.where(r2 <= thr2, 1.0, scale / r)
+    if loss_type == CAUCHY:
+        inv_thr2 = 1.0 / (scale * scale)
+        return jnp.maximum(1.18e-38, 1.0 / (1.0 + r2 * inv_thr2))
+    raise ValueError(f"unknown loss type {loss_type}")
+
+
+# ---------------------------------------------------------------------------
+# Damped, equilibrated Cholesky solve
+# ---------------------------------------------------------------------------
+
+
+def damped_cholesky_solve(JtJ, Jtr, lam):
+    """Solve ``(JtJ with damped diagonal) step = -Jtr``.
+
+    Matches the reference damping (clamped diag × (1+λ),
+    cpp/pnp/lev_marq.h:296-314) but adds symmetric Jacobi equilibration so a
+    float32 factorization stays stable on ill-conditioned problems.
+
+    Returns ``(step, ok)`` where ok is a scalar bool (factorization and
+    solve produced finite values).
+    """
+    diag = jnp.clip(jnp.diagonal(JtJ), 1e-6, 1e32)
+    damped_diag = diag * (1.0 + lam)
+    n = JtJ.shape[0]
+    A = JtJ.at[jnp.arange(n), jnp.arange(n)].set(damped_diag)
+
+    # Symmetric equilibration: D A D with D = diag(1/sqrt(damped_diag)).
+    d = 1.0 / jnp.sqrt(damped_diag)
+    As = A * d[:, None] * d[None, :]
+    bs = Jtr * d
+
+    L = jnp.linalg.cholesky(As)
+    y = jax.scipy.linalg.solve_triangular(L, bs, lower=True)
+    x = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    step = -(x * d)
+    ok = jnp.all(jnp.isfinite(L)) & jnp.all(jnp.isfinite(step))
+    return jnp.where(ok, step, 0.0), ok
+
+
+# ---------------------------------------------------------------------------
+# Generic dense LM driver
+# ---------------------------------------------------------------------------
+
+
+class LMProblem(NamedTuple):
+    """Functional problem description, the batched analogue of the
+    ``LevMarqDenseProblem`` concept (cpp/pnp/lev_marq.h:23-51).
+
+    - ``residuals(params) -> (res, valid, weight)``: res (N, L); valid/weight
+      (N,).  Invalid residuals contribute ``inf`` cost if ``invalid_is_inf``
+      (the reference's behind-camera convention, cpp/pnp/pnp_problem.h:52-61)
+      or are dropped otherwise.
+    - ``residuals_jac(params) -> (res, J, valid, weight)``: J (N, L, P).
+    - ``step(params, dp) -> params`` with dp (P,).
+    - ``normalize``: divide cost / normal equations by the valid count
+      (``kShouldNormalize``).
+    """
+
+    residuals: Callable
+    residuals_jac: Callable
+    step: Callable
+    num_params: int
+    normalize: bool = False
+    invalid_is_inf: bool = True
+
+
+def _total_cost(problem: LMProblem, opts: BundleOptions, params):
+    res, valid, weight = problem.residuals(params)
+    r2 = jnp.sum(res * res, axis=-1)
+    cost_i = weight * loss_value(opts.loss_type, opts.loss_scale, r2)
+    if problem.invalid_is_inf:
+        cost_i = jnp.where(valid, cost_i, jnp.inf)
+        num_valid = res.shape[0]
+    else:
+        cost_i = jnp.where(valid, cost_i, 0.0)
+        num_valid = jnp.maximum(jnp.sum(valid), 1)
+    total = jnp.sum(cost_i)
+    if problem.normalize:
+        total = total / num_valid
+    return total
+
+
+def _normal_equations(problem: LMProblem, opts: BundleOptions, params):
+    res, J, valid, weight = problem.residuals_jac(params)
+    r2 = jnp.sum(res * res, axis=-1)
+    w = weight * loss_weight(opts.loss_type, opts.loss_scale, r2)
+    w = jnp.where(valid, w, 0.0)
+    hi = jax.lax.Precision.HIGHEST
+    JtJ = jnp.einsum("nlp,nlq,n->pq", J, J, w, precision=hi)
+    Jtr = jnp.einsum("nlp,nl,n->p", J, res, w, precision=hi)
+    if problem.normalize:
+        num_valid = jnp.maximum(jnp.sum(valid), 1)
+        JtJ = JtJ / num_valid
+        Jtr = Jtr / num_valid
+    return JtJ, Jtr
+
+
+class _LMState(NamedTuple):
+    params: object
+    cost: jax.Array
+    lam: jax.Array
+    v: jax.Array
+    JtJ: jax.Array
+    Jtr: jax.Array
+    grad_norm: jax.Array
+    step_norm: jax.Array
+    iterations: jax.Array
+    invalid_steps: jax.Array
+    done: jax.Array
+
+
+def lm_solve(problem: LMProblem, params0, opts: BundleOptions):
+    """Run LM to convergence.  Returns ``(params, BundleStats)``.
+
+    The whole loop is jit-compatible; call under ``jax.jit`` with
+    ``problem``/``opts`` static (close over them).
+    """
+    f32 = jnp.float32
+    init_cost = _total_cost(problem, opts, params0)
+    JtJ0, Jtr0 = _normal_equations(problem, opts, params0)
+
+    state = _LMState(
+        params=params0,
+        cost=init_cost,
+        lam=f32(opts.initial_lambda),
+        v=f32(2.0),
+        JtJ=JtJ0,
+        Jtr=Jtr0,
+        grad_norm=jnp.linalg.norm(Jtr0),
+        step_norm=f32(-1.0),
+        iterations=jnp.int32(0),
+        invalid_steps=jnp.int32(0),
+        done=jnp.linalg.norm(Jtr0) < opts.gradient_tol,
+    )
+
+    def cond(s: _LMState):
+        return (~s.done) & (s.iterations < opts.max_iterations)
+
+    def body(s: _LMState):
+        step, solve_ok = damped_cholesky_solve(s.JtJ, s.Jtr, s.lam)
+        step_norm = jnp.linalg.norm(step)
+
+        params_new = problem.step(s.params, step)
+        cost_new = _total_cost(problem, opts, params_new)
+
+        improved = solve_ok & (cost_new < s.cost)
+        tiny_step = solve_ok & (step_norm < opts.step_tol)
+
+        # Nielsen update on acceptance (cpp/pnp/lev_marq.h:179-197)
+        actual = cost_new - s.cost
+        expected = jnp.dot(
+            step,
+            2.0 * s.Jtr
+            + jnp.dot(s.JtJ, step, precision=jax.lax.Precision.HIGHEST),
+        )
+        rho = actual / expected
+        factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam_accept = jnp.where(
+            rho > 0,
+            jnp.clip(s.lam * factor, opts.min_lambda, opts.max_lambda),
+            s.lam,
+        )
+
+        # Rejection / solve-failure: λ ← min(λ·v, λmax), v ← 2v
+        lam_saturated = s.lam >= opts.max_lambda
+        lam_reject = jnp.minimum(opts.max_lambda, s.lam * s.v)
+
+        accept = improved & ~tiny_step
+
+        params_out = jax.tree.map(
+            lambda new, old: jnp.where(accept, new, old), params_new, s.params
+        )
+        cost_out = jnp.where(accept, cost_new, s.cost)
+        lam_out = jnp.where(accept, lam_accept, lam_reject)
+        v_out = jnp.where(accept, 2.0, 2.0 * s.v)
+        invalid = s.invalid_steps + jnp.where(improved | tiny_step, 0, 1)
+
+        # Rebuild normal equations only when the step was accepted.
+        JtJ_new, Jtr_new = _normal_equations(problem, opts, params_out)
+        JtJ_out = jnp.where(accept, JtJ_new, s.JtJ)
+        Jtr_out = jnp.where(accept, Jtr_new, s.Jtr)
+        grad_norm = jnp.linalg.norm(Jtr_out)
+
+        done = (
+            tiny_step
+            | (accept & (grad_norm < opts.gradient_tol))
+            | (~improved & ~tiny_step & lam_saturated)
+        )
+
+        return _LMState(
+            params=params_out,
+            cost=cost_out,
+            lam=lam_out,
+            v=v_out,
+            JtJ=JtJ_out,
+            Jtr=Jtr_out,
+            grad_norm=grad_norm,
+            step_norm=step_norm,
+            iterations=s.iterations + 1,
+            invalid_steps=invalid,
+            done=done,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+
+    stats = BundleStats(
+        iterations=final.iterations,
+        initial_cost=init_cost,
+        cost=final.cost,
+        lambda_=final.lam,
+        invalid_steps=final.invalid_steps,
+        step_norm=final.step_norm,
+        grad_norm=final.grad_norm,
+    )
+    return final.params, stats

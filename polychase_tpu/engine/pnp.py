@@ -1,0 +1,232 @@
+"""Iterative PnP: camera pose (+ optional intrinsics) from 2D↔3D matches.
+
+TPU-native rebuild of the reference PnP stack (cpp/pnp/pnp_problem.h:13-142,
+cpp/pnp/solvers.cc:11-78).  The 9-parameter problem — 3 so(3) rotation,
+3 translation, 3 intrinsics (fy, cx, cy) — is evaluated for **all**
+correspondences at once with batched closed-form Jacobians, reduced to 9×9
+normal equations on the MXU, and iterated inside one jitted LM loop
+(`engine.levmarq`).  Points are padded to fixed bucket sizes so interactive
+re-solves never re-trace (SURVEY.md §7 "interactive latency").
+
+Reference semantics preserved:
+
+- residual = project(pose · X) − x; points behind the camera get infinite
+  cost so such steps are rejected (cpp/pnp/pnp_problem.h:52-61);
+- intrinsics optimization silently disabled for ≤ 3 points
+  (cpp/pnp/pnp_problem.h:34-35);
+- step: right-multiplicative quaternion retraction; fy stepped then clamped
+  to FOV bounds with fx = aspect·fy; cx/cy clamped to the image
+  (cpp/pnp/pnp_problem.h:101-131);
+- inlier ratio computed against ``max_inlier_error`` px
+  (cpp/pnp/solvers.cc:30-47).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import camera as C
+from . import pose as P
+from .levmarq import BundleOptions, BundleStats, LMProblem, lm_solve
+
+
+class PnPResult(NamedTuple):
+    """Solve result (cpp/pnp/solvers.h:9-13)."""
+
+    camera: C.CameraState
+    stats: BundleStats
+    inlier_ratio: jax.Array
+
+
+class PnPOptions(NamedTuple):
+    """PnP options (cpp/pnp/solvers.h:15-20)."""
+
+    bundle_opts: BundleOptions = BundleOptions()
+    max_inlier_error: float = 12.0
+    optimize_focal_length: bool = False
+    optimize_principal_point: bool = False
+
+
+# Behind-camera points get this residual so any step that pushes a point
+# behind the camera is rejected by cost (the reference uses FLT_MAX,
+# cpp/pnp/pnp_problem.h:52-61).  Kept finite to avoid inf·0 NaNs on padding.
+_BEHIND_RESIDUAL = 1e18
+
+
+def _residuals(cam: C.CameraState, X, x, mask):
+    """Batched reprojection residuals.  X (N,3) world, x (N,2) pixels.
+
+    Returns ``(res, valid, behind)``; ``valid`` marks real (non-padding)
+    points — behind-camera points stay valid but carry a huge residual.
+    """
+    Z = P.pose_apply(
+        P.Pose(cam.pose.q[None, :], cam.pose.t[None, :]), X
+    )
+    behind = C.is_behind(cam.intrinsics, Z)
+    z = C.project(cam.intrinsics, Z)
+    res = jnp.where(behind[:, None], _BEHIND_RESIDUAL, z - x)
+    return jnp.where(mask[:, None], res, 0.0), mask, behind
+
+
+def _residuals_jac(cam: C.CameraState, X, x, mask, opt_f, opt_pp):
+    """Residuals + (N, 2, 9) Jacobians via batched chain rule
+    (cpp/pnp/pnp_problem.h:63-99)."""
+    R = P.quat_to_mat(cam.pose.q)
+    Rb = jnp.broadcast_to(R, (X.shape[0], 3, 3))
+    tb = jnp.broadcast_to(cam.pose.t, X.shape)
+    Z, _, dZ_dR, _ = P.apply_with_jac(Rb, tb, X)
+    z, dz_dZ, dz_dintr = C.project_with_jac(cam.intrinsics, Z)
+    res = z - x
+
+    hi = jax.lax.Precision.HIGHEST
+    J_rot = jnp.einsum("nij,njk->nik", dz_dZ, dZ_dR, precision=hi)
+    J_t = dz_dZ
+    if not opt_f:
+        dz_dintr = dz_dintr.at[:, :, 0].set(0.0)
+    if not opt_pp:
+        dz_dintr = dz_dintr.at[:, :, 1:].set(0.0)
+    J = jnp.concatenate([J_rot, J_t, dz_dintr], axis=-1)  # (N, 2, 9)
+    return jnp.where(mask[:, None], res, 0.0), jnp.where(
+        mask[:, None, None], J, 0.0
+    ), mask
+
+
+def _step(cam: C.CameraState, dp, bounds: C.Bounds, opt_f, opt_pp):
+    """Apply an LM step (cpp/pnp/pnp_problem.h:101-131)."""
+    q = P.quat_step_post(cam.pose.q, dp[0:3])
+    t = cam.pose.t + dp[3:6]
+    intr = cam.intrinsics
+    if opt_f:
+        fy = jnp.clip(intr.fy + dp[6], bounds.f_low, bounds.f_high)
+        fx = jnp.clip(fy * intr.aspect_ratio, bounds.f_low, bounds.f_high)
+        intr = intr._replace(fx=fx, fy=fy)
+    if opt_pp:
+        intr = intr._replace(
+            cx=jnp.clip(intr.cx + dp[7], bounds.cx_low, bounds.cx_high),
+            cy=jnp.clip(intr.cy + dp[8], bounds.cy_low, bounds.cy_high),
+        )
+    return C.CameraState(intr, P.Pose(q, t))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "opt_f", "opt_pp", "loss_type", "max_iterations", "max_parallelism"
+    ),
+)
+def _solve_padded(
+    X, x, weights, mask, cam0: C.CameraState, bounds: C.Bounds,
+    loss_scale, gradient_tol, step_tol, initial_lambda, min_lambda, max_lambda,
+    max_inlier_error,
+    *, opt_f: bool, opt_pp: bool, loss_type: int, max_iterations: int,
+    max_parallelism: int = 8,
+):
+    opts = BundleOptions(
+        max_iterations=max_iterations,
+        loss_type=loss_type,
+        loss_scale=loss_scale,
+        gradient_tol=gradient_tol,
+        step_tol=step_tol,
+        initial_lambda=initial_lambda,
+        min_lambda=min_lambda,
+        max_lambda=max_lambda,
+    )
+
+    def residuals(cam):
+        res, valid, behind = _residuals(cam, X, x, mask)
+        return res, valid, weights
+
+    def residuals_jac(cam):
+        res, J, valid = _residuals_jac(cam, X, x, mask, opt_f, opt_pp)
+        return res, J, valid, weights
+
+    problem = LMProblem(
+        residuals=residuals,
+        residuals_jac=residuals_jac,
+        step=lambda cam, dp: _step(cam, dp, bounds, opt_f, opt_pp),
+        num_params=9,
+        normalize=False,
+        invalid_is_inf=False,
+    )
+
+    cam_out, stats = lm_solve(problem, cam0, opts)
+
+    # Inlier ratio (cpp/pnp/solvers.cc:30-47)
+    res, _, behind = _residuals(cam_out, X, x, mask)
+    err2 = jnp.sum(res * res, axis=-1)
+    err2 = jnp.where(mask & ~behind, err2, jnp.inf)
+    num_points = jnp.maximum(jnp.sum(mask), 1)
+    inliers = jnp.sum((err2 < max_inlier_error**2) & mask)
+    ratio = jnp.where(
+        max_inlier_error > 0.0,
+        inliers.astype(jnp.float32) / num_points.astype(jnp.float32),
+        0.0,
+    )
+    return cam_out, stats, ratio
+
+
+_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+def bucket_size(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return int(np.ceil(n / 8192) * 8192)
+
+
+def solve_pnp(
+    object_points,
+    image_points,
+    cam0: C.CameraState,
+    opts: PnPOptions = PnPOptions(),
+    weights=None,
+) -> PnPResult:
+    """Host-facing PnP entry (cpp/pnp/solvers.cc:50-78).
+
+    Pads to fixed bucket sizes so repeated interactive solves reuse the same
+    compiled executable.
+    """
+    X = np.ascontiguousarray(object_points, np.float32).reshape(-1, 3)
+    x = np.ascontiguousarray(image_points, np.float32).reshape(-1, 2)
+    n = X.shape[0]
+    if n != x.shape[0]:
+        raise ValueError("object/image point count mismatch")
+    if n < 3:
+        raise ValueError("PnP needs at least 3 points")
+
+    m = bucket_size(n)
+    Xp = np.zeros((m, 3), np.float32)
+    xp = np.zeros((m, 2), np.float32)
+    wp = np.zeros((m,), np.float32)
+    maskp = np.zeros((m,), bool)
+    Xp[:n], xp[:n], maskp[:n] = X, x, True
+    # Padded image targets at the projection of a dummy point would produce
+    # garbage residuals; they are masked out everywhere.
+    if weights is None:
+        wp[:n] = 1.0
+    else:
+        wp[:n] = np.ascontiguousarray(weights, np.float32).reshape(-1)
+
+    # Intrinsics optimization requires > 3 points (cpp/pnp/pnp_problem.h:34)
+    opt_f = bool(opts.optimize_focal_length) and n > 3
+    opt_pp = bool(opts.optimize_principal_point) and n > 3
+
+    bounds = C.intrinsics_bounds(cam0.intrinsics)
+    b = opts.bundle_opts
+    cam_out, stats, ratio = _solve_padded(
+        jnp.asarray(Xp), jnp.asarray(xp), jnp.asarray(wp), jnp.asarray(maskp),
+        cam0, bounds,
+        jnp.float32(b.loss_scale), jnp.float32(b.gradient_tol),
+        jnp.float32(b.step_tol), jnp.float32(b.initial_lambda),
+        jnp.float32(b.min_lambda), jnp.float32(b.max_lambda),
+        jnp.float32(opts.max_inlier_error),
+        opt_f=opt_f, opt_pp=opt_pp,
+        loss_type=int(b.loss_type), max_iterations=int(b.max_iterations),
+    )
+    return PnPResult(camera=cam_out, stats=stats, inlier_ratio=ratio)

@@ -1,0 +1,109 @@
+"""Flow database round-trip and schema-compatibility tests."""
+
+import sqlite3
+
+import numpy as np
+
+from polychase_tpu.io.database import Database, ImagePairFlow, INVALID_ID
+
+
+def test_keypoints_roundtrip(tmp_path, rng):
+    path = str(tmp_path / "flow.db")
+    with Database(path) as db:
+        kps = rng.uniform(0, 1000, size=(137, 2)).astype(np.float32)
+        db.write_keypoints(5, kps)
+        out = db.read_keypoints(5)
+        np.testing.assert_array_equal(out, kps)
+        assert db.keypoints_exist(5)
+        assert not db.keypoints_exist(6)
+        assert db.read_keypoints(99).shape == (0, 2)
+        assert db.get_min_image_id_with_keypoints() == 5
+        assert db.get_max_image_id_with_keypoints() == 5
+        db.write_keypoints(2, kps)
+        assert db.get_min_image_id_with_keypoints() == 2
+
+
+def test_empty_db_min_max(tmp_path):
+    with Database(str(tmp_path / "flow.db")) as db:
+        assert db.get_min_image_id_with_keypoints() == INVALID_ID
+        assert db.get_max_image_id_with_keypoints() == INVALID_ID
+
+
+def test_pair_flow_roundtrip(tmp_path, rng):
+    path = str(tmp_path / "flow.db")
+    with Database(path) as db:
+        kps = rng.uniform(0, 1000, size=(64, 2)).astype(np.float32)
+        db.write_keypoints(1, kps)
+        idx = rng.integers(0, 64, size=40).astype(np.uint32)
+        tgt = rng.uniform(0, 1000, size=(40, 2)).astype(np.float32)
+        err = rng.uniform(0, 5, size=40).astype(np.float32)
+        db.write_image_pair_flow(1, 2, idx, tgt, err)
+
+        flow = db.read_image_pair_flow(1, 2)
+        np.testing.assert_array_equal(flow.src_kps_indices, idx)
+        np.testing.assert_array_equal(flow.tgt_kps, tgt)
+        np.testing.assert_array_equal(flow.flow_errors, err)
+        assert db.image_pair_flow_exists(1, 2)
+        assert not db.image_pair_flow_exists(2, 1)
+        assert db.find_optical_flows_from_image(1) == [2]
+        assert db.find_optical_flows_to_image(2) == [1]
+        # object-style write
+        flow.image_id_to = 3
+        db.write_image_pair_flow(flow)
+        assert sorted(db.find_optical_flows_from_image(1)) == [2, 3]
+
+
+def test_on_disk_schema_matches_reference(tmp_path, rng):
+    """The raw blobs/tables must be readable by plain sqlite3 exactly as the
+    reference lays them out (cpp/database.cc:108-158)."""
+    path = str(tmp_path / "flow.db")
+    kps = rng.uniform(0, 100, size=(10, 2)).astype(np.float32)
+    idx = np.arange(7, dtype=np.uint32)
+    tgt = rng.uniform(0, 100, size=(7, 2)).astype(np.float32)
+    err = rng.uniform(0, 1, size=7).astype(np.float32)
+    with Database(path) as db:
+        db.write_keypoints(4, kps)
+        db.write_image_pair_flow(4, 5, idx, tgt, err)
+
+    conn = sqlite3.connect(path)
+    tables = {
+        r[0]
+        for r in conn.execute(
+            "SELECT name FROM sqlite_master WHERE type='table'"
+        )
+    }
+    assert {"keypoints", "optical_flow"} <= tables
+
+    n, blob = conn.execute(
+        "SELECT rows, keypoints FROM keypoints WHERE image_id=4"
+    ).fetchone()
+    assert n == 10
+    assert blob == kps.tobytes()  # raw float32 memcpy layout
+
+    n, ib, tb, eb = conn.execute(
+        "SELECT rows, src_keypoints_indices, tgt_keypoints, flow_errors"
+        " FROM optical_flow WHERE image_id_from=4 AND image_id_to=5"
+    ).fetchone()
+    assert n == 7
+    assert ib == idx.tobytes()
+    assert tb == tgt.tobytes()
+    assert eb == err.tobytes()
+    # composite primary key present
+    info = conn.execute("PRAGMA table_info(optical_flow)").fetchall()
+    pk_cols = [r[1] for r in info if r[5] > 0]
+    assert pk_cols == ["image_id_from", "image_id_to"]
+    conn.close()
+
+
+def test_foreign_key_cascade(tmp_path, rng):
+    """Deleting keypoints cascades to flows (cpp/database.cc:130)."""
+    path = str(tmp_path / "flow.db")
+    with Database(path) as db:
+        db.write_keypoints(1, rng.uniform(0, 10, (5, 2)).astype(np.float32))
+        db.write_image_pair_flow(
+            1, 2, np.arange(3, dtype=np.uint32),
+            np.zeros((3, 2), np.float32), np.zeros(3, np.float32),
+        )
+        db._conn.execute("DELETE FROM keypoints WHERE image_id=1")
+        db._conn.commit()
+        assert not db.image_pair_flow_exists(1, 2)
