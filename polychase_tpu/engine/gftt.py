@@ -1,0 +1,309 @@
+"""Good-features-to-track corner detection on TPU.
+
+TPU-native rebuild of the reference's GFTT re-implementation
+(cpp/feature_detection/gftt.{h,cc}).  The dense part — Shi-Tomasi /
+Harris response, per-grid-block thresholding, 3×3 dilation NMS — is one
+jitted XLA program of separable convolutions and reshape-maxes.  The
+inherently sequential tail (deterministic quality sort + greedy
+min-distance suppression, cpp/feature_detection/gftt.cc:98-164) runs on
+host over the (small) candidate set.
+
+Semantics matched to the reference:
+
+- response maps follow OpenCV ``cornerMinEigenVal`` / ``cornerHarris``
+  exactly (Sobel with reflect-101 borders, unnormalized box filter,
+  1/(2^(ksize-1)·block·255) scaling for 8-bit input);
+- grid thresholding: the image is split into ``grid_rows × grid_cols``
+  blocks and each block is thresholded-to-zero at ``block_max ·
+  quality_level`` (cpp/feature_detection/gftt.cc:38-67); the block max
+  respects the detection mask;
+- NMS keeps strict 3×3 local maxima away from the 1-px image border
+  (cpp/feature_detection/gftt.cc:69-86);
+- candidates are sorted by quality descending with the reference's
+  deterministic tie-break of *higher memory address first*, i.e. later
+  row-major position wins ties (cpp/feature_detection/gftt.cc:7-12);
+- greedy min-distance suppression over a cell grid, identical visiting
+  order (cpp/feature_detection/gftt.cc:100-164).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class GFTTOptions(NamedTuple):
+    """Detector options (cpp/feature_detection/gftt.h:5-21)."""
+
+    quality_level: float = 0.01
+    min_distance: float = 5.0
+    block_size: int = 3
+    gradient_size: int = 3
+    max_corners: int = 0
+    use_harris: bool = False
+    harris_k: float = 0.04
+    grid_rows: int = 4
+    grid_cols: int = 4
+
+
+# ---------------------------------------------------------------------------
+# Separable convolution helpers (reflect-101 borders, OpenCV's default)
+# ---------------------------------------------------------------------------
+
+
+def _sep_filter(img: jax.Array, kx: np.ndarray, ky: np.ndarray) -> jax.Array:
+    """Separable 2D correlation with BORDER_REFLECT_101 (= np 'reflect')."""
+    rx, ry = len(kx) // 2, len(ky) // 2
+    p = jnp.pad(img, ((ry, ry), (rx, rx)), mode="reflect")
+    H, W = img.shape
+    # Horizontal pass over rows of the padded image.
+    acc = jnp.zeros((H + 2 * ry, W), img.dtype)
+    for i, k in enumerate(kx):
+        acc = acc + float(k) * jax.lax.dynamic_slice(
+            p, (0, i), (H + 2 * ry, W)
+        )
+    out = jnp.zeros((H, W), img.dtype)
+    for j, k in enumerate(ky):
+        out = out + float(k) * jax.lax.dynamic_slice(acc, (j, 0), (H, W))
+    return out
+
+
+def _sobel_kernels(ksize: int) -> Tuple[np.ndarray, np.ndarray]:
+    """1st-derivative + smoothing kernels, OpenCV ``getDerivKernels``."""
+    if ksize != 3:
+        raise NotImplementedError("only gradient_size=3 is supported")
+    return np.array([-1.0, 0.0, 1.0]), np.array([1.0, 2.0, 1.0])
+
+
+def _corner_response(
+    image: jax.Array,
+    block_size: int,
+    ksize: int,
+    use_harris: bool,
+    harris_k: float,
+    is_8u: bool,
+) -> jax.Array:
+    """Shi-Tomasi min-eigenvalue or Harris response map.
+
+    Mirrors OpenCV ``cornerEigenValsVecs`` scaling so the map is
+    numerically comparable with ``cv2.cornerMinEigenVal``.
+    """
+    deriv, smooth = _sobel_kernels(ksize)
+    scale = (1 << (ksize - 1)) * block_size
+    if is_8u:
+        scale *= 255.0
+    inv = 1.0 / scale
+
+    dx = _sep_filter(image, deriv * inv, smooth)
+    dy = _sep_filter(image, smooth, deriv * inv)
+
+    ones = np.ones(block_size)
+    a = _sep_filter(dx * dx, ones, ones)
+    b = _sep_filter(dx * dy, ones, ones)
+    c = _sep_filter(dy * dy, ones, ones)
+
+    if use_harris:
+        return a * c - b * b - harris_k * (a + c) * (a + c)
+    ha, hc = 0.5 * a, 0.5 * c
+    return (ha + hc) - jnp.sqrt((ha - hc) * (ha - hc) + b * b)
+
+
+def _grid_threshold(
+    eig: jax.Array,
+    mask: Optional[jax.Array],
+    grid_rows: int,
+    grid_cols: int,
+    quality_level: float,
+) -> jax.Array:
+    """Per-block threshold-to-zero at block_max·quality
+    (cpp/feature_detection/gftt.cc:38-67)."""
+    H, W = eig.shape
+    bh = -(-H // grid_rows)
+    bw = -(-W // grid_cols)
+    ph, pw = grid_rows * bh - H, grid_cols * bw - W
+
+    considered = jnp.isfinite(eig)
+    if mask is not None:
+        considered = considered & (mask != 0)
+    eig_p = jnp.pad(eig, ((0, ph), (0, pw)))
+    con_p = jnp.pad(considered, ((0, ph), (0, pw)))
+
+    neg = jnp.float32(-jnp.inf)
+    blocks = jnp.where(con_p, eig_p, neg).reshape(grid_rows, bh, grid_cols, bw)
+    bmax = jnp.max(blocks, axis=(1, 3))
+    bmax = jnp.where(jnp.isfinite(bmax), bmax, 0.0)
+    thr = (bmax * quality_level).repeat(bh, axis=0).repeat(bw, axis=1)
+    return jnp.where(eig_p > thr, eig_p, 0.0)[:H, :W]
+
+
+def _dilate3x3(x: jax.Array) -> jax.Array:
+    """3×3 max filter with -inf border (cv::dilate default)."""
+    p = jnp.pad(x, 1, constant_values=-jnp.inf)
+    out = x
+    for dy in (0, 1, 2):
+        for dx_ in (0, 1, 2):
+            if dy == 1 and dx_ == 1:
+                continue
+            out = jnp.maximum(
+                out, jax.lax.dynamic_slice(p, (dy, dx_), x.shape)
+            )
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "block_size", "ksize", "use_harris", "grid_rows", "grid_cols", "is_8u",
+    ),
+)
+def gftt_response(
+    image: jax.Array,
+    mask: Optional[jax.Array],
+    quality_level,
+    harris_k,
+    *,
+    block_size: int = 3,
+    ksize: int = 3,
+    use_harris: bool = False,
+    grid_rows: int = 4,
+    grid_cols: int = 4,
+    is_8u: bool = True,
+):
+    """Dense device half of GFTT: response → grid threshold → NMS.
+
+    Returns ``(eig, candidates)`` where ``candidates`` is a bool (H, W)
+    map of strict-local-max pixels that survive thresholding, the border
+    exclusion and the detection mask.
+    """
+    eig = _corner_response(
+        image, block_size, ksize, use_harris, harris_k, is_8u
+    )
+    eig = _grid_threshold(eig, mask, grid_rows, grid_cols, quality_level)
+    dil = _dilate3x3(eig)
+
+    H, W = eig.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    interior = (yy >= 1) & (yy < H - 1) & (xx >= 1) & (xx < W - 1)
+    cand = (eig != 0.0) & (eig == dil) & interior
+    if mask is not None:
+        cand = cand & (mask != 0)
+    return eig, cand
+
+
+def _min_distance_suppress(
+    xs: np.ndarray,
+    ys: np.ndarray,
+    vals: np.ndarray,
+    w: int,
+    h: int,
+    min_distance: float,
+    max_corners: int,
+):
+    """Greedy grid-cell suppression in reference visiting order
+    (cpp/feature_detection/gftt.cc:100-164)."""
+    cell = int(round(min_distance))
+    gw = (w + cell - 1) // cell
+    gh = (h + cell - 1) // cell
+    grid: list[list[tuple[float, float]]] = [[] for _ in range(gw * gh)]
+    md2 = min_distance * min_distance
+
+    out_x, out_y, out_q = [], [], []
+    for x, y, q in zip(xs, ys, vals):
+        xc, yc = x // cell, y // cell
+        good = True
+        for yy in range(max(yc - 1, 0), min(yc + 1, gh - 1) + 1):
+            for xx in range(max(xc - 1, 0), min(xc + 1, gw - 1) + 1):
+                for (mx, my) in grid[yy * gw + xx]:
+                    ddx, ddy = x - mx, y - my
+                    if ddx * ddx + ddy * ddy < md2:
+                        good = False
+                        break
+                if not good:
+                    break
+            if not good:
+                break
+        if good:
+            grid[yc * gw + xc].append((float(x), float(y)))
+            out_x.append(x)
+            out_y.append(y)
+            out_q.append(q)
+            if max_corners > 0 and len(out_x) == max_corners:
+                break
+    return (
+        np.asarray(out_x, np.float32),
+        np.asarray(out_y, np.float32),
+        np.asarray(out_q, np.float32),
+    )
+
+
+def good_features_to_track(
+    image,
+    mask=None,
+    options: GFTTOptions = GFTTOptions(),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Detect corners.  Returns ``(corners (N, 2) float32, quality (N,))``.
+
+    ``image`` is a (H, W) grayscale array; uint8 inputs reproduce
+    OpenCV's 8-bit response scaling.  Equivalent of the reference's
+    ``GoodFeaturesToTrack`` (cpp/feature_detection/gftt.cc:14-192).
+    """
+    img = np.asarray(image)
+    if img.ndim != 2:
+        raise ValueError("image must be 2D grayscale")
+    if not (
+        options.quality_level > 0
+        and options.min_distance >= 0
+        and options.max_corners >= 0
+    ):
+        raise ValueError("invalid GFTT options")
+    if img.size == 0:
+        return np.empty((0, 2), np.float32), np.empty((0,), np.float32)
+
+    is_8u = img.dtype == np.uint8
+    imgf = jnp.asarray(img, jnp.float32)
+    maskj = None if mask is None else jnp.asarray(np.asarray(mask) != 0)
+
+    eig, cand = gftt_response(
+        imgf,
+        maskj,
+        jnp.float32(options.quality_level),
+        jnp.float32(options.harris_k),
+        block_size=int(options.block_size),
+        ksize=int(options.gradient_size),
+        use_harris=bool(options.use_harris),
+        grid_rows=max(1, int(options.grid_rows)),
+        grid_cols=max(1, int(options.grid_cols)),
+        is_8u=is_8u,
+    )
+    eig_np = np.asarray(eig)
+    ys, xs = np.nonzero(np.asarray(cand))
+    if xs.size == 0:
+        return np.empty((0, 2), np.float32), np.empty((0,), np.float32)
+    vals = eig_np[ys, xs]
+
+    # Deterministic sort: quality desc, then later row-major position first
+    # (the reference tie-breaks on pointer address, gftt.cc:7-12).
+    lin = ys.astype(np.int64) * img.shape[1] + xs
+    order = np.lexsort((-lin, -vals))
+    xs, ys, vals = xs[order], ys[order], vals[order]
+
+    if options.min_distance >= 1:
+        ox, oy, oq = _min_distance_suppress(
+            xs, ys, vals,
+            img.shape[1], img.shape[0],
+            float(options.min_distance), int(options.max_corners),
+        )
+    else:
+        n = xs.size
+        if options.max_corners > 0:
+            n = min(n, int(options.max_corners))
+        ox = xs[:n].astype(np.float32)
+        oy = ys[:n].astype(np.float32)
+        oq = vals[:n].astype(np.float32)
+
+    return np.stack([ox, oy], axis=-1), oq

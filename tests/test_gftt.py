@@ -1,0 +1,173 @@
+"""GFTT detector golden tests vs OpenCV primitives.
+
+The dense response maps are compared against cv2.cornerMinEigenVal /
+cv2.cornerHarris directly.  The full pipeline is compared against a
+replica of the reference algorithm (cpp/feature_detection/gftt.cc:14-192)
+assembled here from OpenCV building blocks: grid-block threshold-to-zero,
+3x3 dilation NMS, deterministic sort, greedy min-distance suppression.
+"""
+
+import cv2
+import numpy as np
+import pytest
+
+from polychase_tpu.engine.gftt import (
+    GFTTOptions,
+    gftt_response,
+    good_features_to_track,
+)
+
+
+def synth_image(rng, h=120, w=160):
+    """Textured synthetic image with corners, blobs and noise."""
+    img = rng.integers(0, 40, size=(h, w), dtype=np.uint8).astype(np.float32)
+    for _ in range(25):
+        y = int(rng.integers(5, h - 15))
+        x = int(rng.integers(5, w - 15))
+        val = float(rng.integers(90, 255))
+        img[y : y + int(rng.integers(3, 10)), x : x + int(rng.integers(3, 10))] += val
+    yy, xx = np.mgrid[0:h, 0:w]
+    img += 30.0 * np.sin(xx / 9.0) * np.cos(yy / 13.0)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def reference_gftt(image, mask, opts: GFTTOptions):
+    """cv2-based replica of the reference GoodFeaturesToTrack."""
+    if opts.use_harris:
+        eig = cv2.cornerHarris(
+            image, opts.block_size, opts.gradient_size, opts.harris_k
+        )
+    else:
+        eig = cv2.cornerMinEigenVal(image, opts.block_size, opts.gradient_size)
+
+    h, w = image.shape
+    gr, gc = max(1, opts.grid_rows), max(1, opts.grid_cols)
+    bh, bw = -(-h // gr), -(-w // gc)
+    for gy in range(gr):
+        for gx in range(gc):
+            y0, x0 = gy * bh, gx * bw
+            y1, x1 = min(y0 + bh, h), min(x0 + bw, w)
+            blk = eig[y0:y1, x0:x1]
+            mblk = None if mask is None else mask[y0:y1, x0:x1]
+            _, mx, _, _ = cv2.minMaxLoc(blk, mblk)
+            _, out = cv2.threshold(
+                blk, mx * opts.quality_level, 0, cv2.THRESH_TOZERO
+            )
+            eig[y0:y1, x0:x1] = out
+
+    tmp = cv2.dilate(eig, None)
+    cands = []
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            v = eig[y, x]
+            if v != 0 and v == tmp[y, x] and (mask is None or mask[y, x]):
+                cands.append((v, y * w + x, x, y))
+    cands.sort(key=lambda c: (-c[0], -c[1]))
+
+    corners = []
+    if opts.min_distance >= 1:
+        cell = round(opts.min_distance)
+        gw, gh = (w + cell - 1) // cell, (h + cell - 1) // cell
+        grid = [[] for _ in range(gw * gh)]
+        md2 = opts.min_distance**2
+        for v, _, x, y in cands:
+            xc, yc = x // cell, y // cell
+            good = True
+            for yy in range(max(yc - 1, 0), min(yc + 1, gh - 1) + 1):
+                for xx in range(max(xc - 1, 0), min(xc + 1, gw - 1) + 1):
+                    for mx_, my_ in grid[yy * gw + xx]:
+                        if (x - mx_) ** 2 + (y - my_) ** 2 < md2:
+                            good = False
+            if good:
+                grid[yc * gw + xc].append((x, y))
+                corners.append((x, y, v))
+                if opts.max_corners > 0 and len(corners) == opts.max_corners:
+                    break
+    else:
+        for v, _, x, y in cands:
+            corners.append((x, y, v))
+            if opts.max_corners > 0 and len(corners) == opts.max_corners:
+                break
+    pts = np.array([(x, y) for x, y, _ in corners], np.float32).reshape(-1, 2)
+    quality = np.array([v for _, _, v in corners], np.float32)
+    return pts, quality
+
+
+def test_min_eigen_map_matches_opencv(rng):
+    img = synth_image(rng)
+    golden = cv2.cornerMinEigenVal(img, 3, 3)
+    eig, _ = gftt_response(
+        np.asarray(img, np.float32), None, np.float32(1e9), np.float32(0.04)
+    )
+    # Before thresholding zeroes things, compare the raw response by using
+    # a huge quality level (everything thresholded to 0 except the max).
+    # Instead compare the internal response via a tiny quality level:
+    eig2, _ = gftt_response(
+        np.asarray(img, np.float32), None, np.float32(1e-12), np.float32(0.04)
+    )
+    eig2 = np.asarray(eig2)
+    # Where the golden map is well above zero, values must agree closely.
+    sel = golden > golden.max() * 1e-3
+    np.testing.assert_allclose(eig2[sel], golden[sel], rtol=2e-3, atol=1e-9)
+
+
+def test_harris_map_matches_opencv(rng):
+    img = synth_image(rng)
+    golden = cv2.cornerHarris(img, 3, 3, 0.04)
+    eig, _ = gftt_response(
+        np.asarray(img, np.float32),
+        None,
+        np.float32(1e-12),
+        np.float32(0.04),
+        use_harris=True,
+    )
+    eig = np.asarray(eig)
+    # The pipeline thresholds-to-zero, which drops negative Harris values;
+    # compare on clearly positive responses only.
+    sel = golden > np.abs(golden).max() * 1e-3
+    np.testing.assert_allclose(eig[sel], golden[sel], rtol=2e-3, atol=1e-10)
+
+
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_full_pipeline_matches_reference(rng, use_mask):
+    img = synth_image(rng)
+    mask = None
+    if use_mask:
+        mask = np.zeros_like(img)
+        mask[10:100, 20:140] = 255
+    opts = GFTTOptions()
+    got_pts, got_q = good_features_to_track(img, mask, opts)
+    exp_pts, exp_q = reference_gftt(img, mask, opts)
+
+    # Tiny float differences in the response map can flip strict local-max /
+    # threshold decisions for near-tie pixels; demand near-total agreement.
+    got = {tuple(p) for p in got_pts.tolist()}
+    exp = {tuple(p) for p in exp_pts.tolist()}
+    inter = got & exp
+    assert len(exp) > 30
+    assert len(inter) / max(len(exp), 1) > 0.95
+    assert len(got - exp) <= max(2, int(0.05 * len(exp)))
+
+
+def test_max_corners_and_ordering(rng):
+    img = synth_image(rng)
+    pts_all, q_all = good_features_to_track(img, None, GFTTOptions())
+    pts_5, q_5 = good_features_to_track(
+        img, None, GFTTOptions(max_corners=5)
+    )
+    assert pts_5.shape == (5, 2)
+    np.testing.assert_array_equal(pts_5, pts_all[:5])
+    # Quality non-increasing
+    assert np.all(np.diff(q_all) <= 1e-9)
+
+
+def test_empty_and_edge_cases():
+    pts, q = good_features_to_track(
+        np.zeros((0, 0), np.uint8), None, GFTTOptions()
+    )
+    assert pts.shape == (0, 2)
+    # Uniform image → no corners
+    pts, q = good_features_to_track(
+        np.full((64, 64), 128, np.uint8), None, GFTTOptions()
+    )
+    assert pts.shape[0] == 0
