@@ -1,0 +1,141 @@
+"""Pyramidal LK golden tests vs cv2.calcOpticalFlowPyrLK."""
+
+import cv2
+import numpy as np
+
+from polychase_tpu.engine.gftt import GFTTOptions, good_features_to_track
+from polychase_tpu.engine.lk import (
+    LKOptions,
+    build_pyramid,
+    calc_optical_flow,
+    num_pyramid_levels,
+    prepare_pyramid,
+)
+
+
+def textured(rng, h=160, w=200):
+    img = rng.integers(0, 60, size=(h, w)).astype(np.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img += 80 + 60 * np.sin(xx / 7.0) * np.cos(yy / 9.0)
+    img += 40 * np.sin((xx + 2 * yy) / 17.0)
+    img = cv2.GaussianBlur(img, (0, 0), 1.2)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def shift_image(img, dx, dy):
+    M = np.float32([[1, 0, dx], [0, 1, dy]])
+    return cv2.warpAffine(
+        img, M, (img.shape[1], img.shape[0]), flags=cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_REFLECT_101,
+    )
+
+
+def test_pyramid_matches_opencv(rng):
+    img = textured(rng)
+    levels = num_pyramid_levels(*img.shape, LKOptions())
+    pyr = build_pyramid(np.asarray(img, np.float32), levels)
+    golden = img.copy()
+    for lvl in range(1, levels):
+        golden = cv2.pyrDown(golden)
+        ours = np.asarray(pyr[lvl])
+        assert ours.shape == golden.shape
+        # uint8 rounding in cv2 → compare within 1 intensity level
+        assert np.abs(ours - golden.astype(np.float32)).max() <= 1.0 + 1e-3
+
+
+def test_pure_translation_subpixel(rng):
+    img1 = textured(rng)
+    dx, dy = 3.4, -2.6
+    img2 = shift_image(img1, dx, dy)
+
+    pts, _ = good_features_to_track(img1, None, GFTTOptions(min_distance=10))
+    pts = pts[:60]
+    sel = (
+        (pts[:, 0] > 15) & (pts[:, 0] < img1.shape[1] - 15)
+        & (pts[:, 1] > 15) & (pts[:, 1] < img1.shape[0] - 15)
+    )
+    pts = pts[sel]
+    assert len(pts) > 20
+
+    opts = LKOptions()
+    p1 = prepare_pyramid(img1, opts)
+    p2 = prepare_pyramid(img2, opts)
+    nxt, status, err = calc_optical_flow(p1, p2, pts, opts)
+
+    flow = nxt[status] - pts[status]
+    assert status.mean() > 0.9
+    med = np.median(flow, axis=0)
+    np.testing.assert_allclose(med, [dx, dy], atol=0.08)
+    # The bulk of tracked points should be accurate to ~0.25 px
+    e = np.linalg.norm(flow - np.array([dx, dy]), axis=-1)
+    assert np.quantile(e, 0.8) < 0.25
+
+
+def test_matches_opencv_on_rotation_zoom(rng):
+    img1 = textured(rng, 200, 260)
+    center = (130, 100)
+    M = cv2.getRotationMatrix2D(center, 2.5, 1.03)
+    img2 = cv2.warpAffine(
+        img1, M, (img1.shape[1], img1.shape[0]),
+        borderMode=cv2.BORDER_REFLECT_101,
+    )
+
+    pts, _ = good_features_to_track(img1, None, GFTTOptions(min_distance=8))
+    pts = pts[:120]
+
+    opts = LKOptions()
+    p1 = prepare_pyramid(img1, opts)
+    p2 = prepare_pyramid(img2, opts)
+    nxt, status, err = calc_optical_flow(p1, p2, pts, opts)
+
+    cv_nxt, cv_status, cv_err = cv2.calcOpticalFlowPyrLK(
+        img1, img2, pts.reshape(-1, 1, 2), None,
+        winSize=(opts.window_size, opts.window_size),
+        maxLevel=opts.max_level,
+        criteria=(
+            cv2.TERM_CRITERIA_COUNT + cv2.TERM_CRITERIA_EPS,
+            opts.term_max_iters, opts.term_epsilon,
+        ),
+        flags=0, minEigThreshold=opts.min_eigen_threshold,
+    )
+    cv_nxt = cv_nxt.reshape(-1, 2)
+    cv_status = cv_status.reshape(-1).astype(bool)
+
+    # Status agreement on the overwhelming majority
+    agree = status == cv_status
+    assert agree.mean() > 0.9
+
+    both = status & cv_status
+    d = np.linalg.norm(nxt[both] - cv_nxt[both], axis=-1)
+    # Sub-pixel agreement with OpenCV for the bulk of features
+    assert np.quantile(d, 0.8) < 0.3
+    assert np.median(d) < 0.15
+
+
+def test_status_false_for_flat_and_oob(rng):
+    img1 = np.full((120, 160), 100, np.uint8)
+    img1[40:60, 50:70] = 200
+    img2 = img1.copy()
+    pts = np.array(
+        [
+            [10.0, 10.0],    # flat region → min-eig failure
+            [50.0, 40.0],    # corner → ok
+            [300.0, 40.0],   # far out of bounds
+        ],
+        np.float32,
+    )
+    opts = LKOptions()
+    p1 = prepare_pyramid(img1, opts)
+    p2 = prepare_pyramid(img2, opts)
+    nxt, status, err = calc_optical_flow(p1, p2, pts, opts)
+    assert not status[0]
+    assert status[1]
+    assert not status[2]
+    np.testing.assert_allclose(nxt[1], pts[1], atol=0.05)
+
+
+def test_empty_points():
+    img = np.zeros((64, 64), np.uint8)
+    p = prepare_pyramid(img)
+    nxt, status, err = calc_optical_flow(p, p, np.empty((0, 2), np.float32))
+    assert nxt.shape == (0, 2)
