@@ -1,0 +1,248 @@
+"""Sequential frame-by-frame pose tracking.
+
+TPU-native rebuild of the reference tracker (cpp/tracker.{h,cc}).  The
+frame chain stays sequential (each frame's solve warm-starts from its
+neighbor, cpp/tracker.cc:133-192), but everything inside a frame is
+batched on device:
+
+- all matches from all solved source frames are ray-cast **at once**
+  (one batched Möller–Trumbore sweep instead of the reference's
+  per-keypoint Embree query loop, cpp/tracker.cc:64-92);
+- the PnP solve evaluates every correspondence in parallel and runs its
+  whole LM iteration as a single XLA program (engine/pnp.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.database import Database
+from . import camera as C
+from . import pose as P
+from .geometry import Mesh, SceneTransformations
+from .levmarq import BundleOptions, BundleStats
+from .pnp import PnPOptions, solve_pnp
+from .raycast import raycast
+from .trajectory import CameraTrajectory
+
+
+class FrameTrackingResult(NamedTuple):
+    """Per-frame tracking output (cpp/tracker.h:15-21)."""
+
+    frame: int
+    pose: P.Pose
+    intrinsics: C.Intrinsics
+    bundle_stats: BundleStats
+    inlier_ratio: float
+
+
+# TrackingCallback: FrameTrackingResult -> continue?
+TrackingCallback = Callable[[FrameTrackingResult], bool]
+
+# Max reprojection error for the inlier ratio (cpp/tracker.cc:123)
+MAX_INLIER_ERROR = 12.0
+
+
+class TrackingError(RuntimeError):
+    pass
+
+
+def rays_object_space(
+    model_matrix: np.ndarray,
+    view_matrix: np.ndarray,
+    intrinsics: C.Intrinsics,
+    pixels: np.ndarray,
+):
+    """Batched pixel → object-space ray (cpp/ray_casting.h:53-63)."""
+    mv = np.asarray(view_matrix, np.float64) @ np.asarray(
+        model_matrix, np.float64
+    )
+    inv = np.linalg.inv(mv).astype(np.float32)
+    dirs_cam = np.asarray(C.unproject(intrinsics, jnp.asarray(pixels)))
+    origins = np.broadcast_to(inv[:3, 3], dirs_cam.shape)
+    dirs = dirs_cam @ inv[:3, :3].T
+    return origins, dirs
+
+
+def gather_correspondences(
+    database: Database,
+    camera_traj: CameraTrajectory,
+    model_matrix: np.ndarray,
+    frame_id: int,
+    mesh: Mesh,
+):
+    """Collect 3D world ↔ 2D pixel matches for ``frame_id``.
+
+    For every already-solved source frame with flow into ``frame_id``,
+    ray-cast the source keypoints through the source camera onto the mesh
+    (mask-aware) and pair the world-space hits with the flowed target
+    pixels (cpp/tracker.cc:36-97).  Returns (X (N,3), x (N,2)).
+    """
+    model_matrix = np.asarray(model_matrix, np.float32)
+    obj_pts, img_pts = [], []
+
+    for flow_frame_id in database.find_optical_flows_to_image(frame_id):
+        if flow_frame_id == frame_id:
+            raise TrackingError("self-flow in database")
+        if not camera_traj.is_frame_filled(flow_frame_id):
+            continue
+
+        keypoints = database.read_keypoints(flow_frame_id)
+        flow = database.read_image_pair_flow(flow_frame_id, frame_id)
+        if flow.src_kps_indices.size == 0:
+            continue
+
+        cam = camera_traj.get(flow_frame_id)
+        src_px = keypoints[flow.src_kps_indices]
+
+        view = np.asarray(P.pose_rt4x4(cam.pose), np.float32)
+        origins, dirs = rays_object_space(
+            model_matrix, view, cam.intrinsics, src_px
+        )
+        hits = raycast(mesh, jnp.asarray(origins), jnp.asarray(dirs), True)
+        valid = np.asarray(hits.valid)
+        if not valid.any():
+            continue
+        pos_obj = np.asarray(hits.pos)[valid]
+        pos_world = pos_obj @ model_matrix[:3, :3].T + model_matrix[:3, 3]
+        obj_pts.append(pos_world)
+        img_pts.append(flow.tgt_kps[valid])
+
+    if not obj_pts:
+        return np.empty((0, 3), np.float32), np.empty((0, 2), np.float32)
+    return (
+        np.concatenate(obj_pts).astype(np.float32),
+        np.concatenate(img_pts).astype(np.float32),
+    )
+
+
+def solve_frame(
+    database: Database,
+    camera_traj: CameraTrajectory,
+    model_matrix: np.ndarray,
+    frame_id: int,
+    mesh: Mesh,
+    optimize_focal_length: bool,
+    optimize_principal_point: bool,
+    bundle_opts: BundleOptions,
+):
+    """Solve one frame's camera from flows into it (cpp/tracker.cc:36-131).
+
+    Returns a PnPResult or None when fewer than 3 correspondences exist.
+    """
+    X, x = gather_correspondences(
+        database, camera_traj, model_matrix, frame_id, mesh
+    )
+    if X.shape[0] < 3:
+        return None
+
+    # Warm start from current/prev/next pose (cpp/tracker.cc:112-119)
+    cam0: Optional[C.CameraState] = None
+    for fid in (frame_id, frame_id - 1, frame_id + 1):
+        if camera_traj.is_frame_filled(fid):
+            cam0 = camera_traj.get(fid)
+            break
+    if cam0 is None:
+        raise TrackingError(f"no warm-start pose near frame {frame_id}")
+
+    opts = PnPOptions(
+        bundle_opts=bundle_opts,
+        max_inlier_error=MAX_INLIER_ERROR,
+        optimize_focal_length=optimize_focal_length,
+        optimize_principal_point=optimize_principal_point,
+    )
+    return solve_pnp(X, x, cam0, opts)
+
+
+def track_camera_trajectory(
+    database: Database,
+    camera_traj: CameraTrajectory,
+    frame_from: int,
+    frame_to_inclusive: int,
+    model_matrix: np.ndarray,
+    mesh: Mesh,
+    callback: Optional[TrackingCallback] = None,
+    optimize_focal_length: bool = False,
+    optimize_principal_point: bool = False,
+    bundle_opts: BundleOptions = BundleOptions(),
+) -> None:
+    """Chain solves frame by frame (cpp/tracker.cc:133-192).
+
+    The callback may return False to stop; solved poses are written into
+    ``camera_traj`` as they are produced.
+    """
+    first = min(frame_from, frame_to_inclusive)
+    last = max(frame_from, frame_to_inclusive)
+    direction = 1 if frame_from < frame_to_inclusive else -1
+
+    if not camera_traj.is_valid_frame(first) or not camera_traj.is_valid_frame(
+        last
+    ):
+        raise TrackingError("tracking range outside trajectory")
+    if not camera_traj.is_frame_filled(frame_from):
+        raise TrackingError("start frame has no pose")
+
+    frame_id = frame_from + direction
+    while frame_id != frame_to_inclusive + direction:
+        result = solve_frame(
+            database, camera_traj, model_matrix, frame_id, mesh,
+            optimize_focal_length, optimize_principal_point, bundle_opts,
+        )
+        if result is None:
+            raise TrackingError(
+                f"Could not track to frame: {frame_id}. Not enough features."
+            )
+
+        if callback is not None:
+            ok = callback(
+                FrameTrackingResult(
+                    frame=frame_id,
+                    pose=result.camera.pose,
+                    intrinsics=result.camera.intrinsics,
+                    bundle_stats=result.stats,
+                    inlier_ratio=float(result.inlier_ratio),
+                )
+            )
+            if not ok:
+                return
+
+        camera_traj.set(frame_id, result.camera)
+        frame_id += direction
+
+
+def track_sequence(
+    database_path: str,
+    frame_from: int,
+    frame_to_inclusive: int,
+    scene_transform: SceneTransformations,
+    mesh: Mesh,
+    callback: Optional[TrackingCallback] = None,
+    optimize_focal_length: bool = False,
+    optimize_principal_point: bool = False,
+    bundle_opts: BundleOptions = BundleOptions(),
+) -> None:
+    """Seed a trajectory from the scene transform and track
+    (cpp/tracker.cc:194-213)."""
+    db = Database(database_path)
+    try:
+        num_frames = abs(frame_to_inclusive - frame_from) + 1
+        traj = CameraTrajectory(
+            min(frame_from, frame_to_inclusive), num_frames
+        )
+        traj.set(
+            frame_from,
+            C.CameraState(
+                scene_transform.intrinsics,
+                P.pose_from_rt(jnp.asarray(scene_transform.view_matrix)),
+            ),
+        )
+        track_camera_trajectory(
+            db, traj, frame_from, frame_to_inclusive,
+            np.asarray(scene_transform.model_matrix), mesh, callback,
+            optimize_focal_length, optimize_principal_point, bundle_opts,
+        )
+    finally:
+        db.close()

@@ -1,0 +1,114 @@
+"""Analyze-video pipeline tests: DB generation, resume, cancel."""
+
+import cv2
+import numpy as np
+import pytest
+
+from polychase_tpu.engine.gftt import GFTTOptions
+from polychase_tpu.engine.opticalflow import (
+    IMAGE_SKIPS,
+    FrameNotProvidedError,
+    VideoInfo,
+    generate_optical_flow_database,
+    rgb_to_gray,
+)
+from polychase_tpu.io.database import Database
+
+
+def make_clip(rng, n=12, h=120, w=160):
+    base = rng.integers(0, 255, (h + 40, w + 60)).astype(np.float32)
+    base = cv2.GaussianBlur(base, (0, 0), 1.5)
+    base = (255 * (base - base.min()) / np.ptp(base)).astype(np.uint8)
+    frames = []
+    for t in range(n):
+        crop = base[10 + t : 10 + t + h, 20 + 2 * t : 20 + 2 * t + w]
+        frames.append(np.stack([crop] * 3, axis=-1))
+    return frames
+
+
+def test_rgb_to_gray_matches_opencv(rng):
+    img = rng.integers(0, 255, (32, 40, 3)).astype(np.uint8)
+    golden = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+    ours = rgb_to_gray(img)
+    assert np.abs(ours.astype(int) - golden.astype(int)).max() <= 1
+
+
+def test_generate_database(tmp_path, rng):
+    frames = make_clip(rng)
+    info = VideoInfo(width=160, height=120, first_frame=0, num_frames=10)
+    db_path = str(tmp_path / "flow.db")
+    progress = []
+
+    generate_optical_flow_database(
+        info,
+        lambda fid: frames[fid] if 0 <= fid < len(frames) else None,
+        lambda p, msg: progress.append((p, msg)) or True,
+        db_path,
+        GFTTOptions(min_distance=7),
+    )
+
+    assert progress[-1] == (1.0, "Done")
+    db = Database(db_path)
+    # Every frame got keypoints
+    for f in range(10):
+        kps = db.read_keypoints(f)
+        assert kps.shape[0] > 10
+    # Pair flows exist along the skip pattern
+    for f in range(10):
+        expected = {
+            f + s for s in IMAGE_SKIPS if 0 <= f + s < 10
+        }
+        got = set(db.find_optical_flows_from_image(f))
+        assert got == expected
+    # Flow correctness: frame f→f+1 should be ≈ (-2, -1) (the crop pans)
+    flow = db.read_image_pair_flow(3, 4)
+    kps3 = db.read_keypoints(3)
+    delta = flow.tgt_kps - kps3[flow.src_kps_indices]
+    med = np.median(delta, axis=0)
+    np.testing.assert_allclose(med, [-2.0, -1.0], atol=0.1)
+    db.close()
+
+
+def test_resume_skips_existing(tmp_path, rng):
+    frames = make_clip(rng)
+    info = VideoInfo(160, 120, 0, 6)
+    db_path = str(tmp_path / "flow.db")
+
+    calls = []
+
+    def accessor(fid):
+        calls.append(fid)
+        return frames[fid]
+
+    generate_optical_flow_database(info, accessor, None, db_path)
+    n_first = len(calls)
+    calls.clear()
+    generate_optical_flow_database(info, accessor, None, db_path)
+    # Second run still visits each frame once (keypoint check) but skips
+    # all pair tracking, so far fewer accessor calls.
+    assert len(calls) <= 6 < n_first
+
+
+def test_cancel(tmp_path, rng):
+    frames = make_clip(rng)
+    info = VideoInfo(160, 120, 0, 10)
+    db_path = str(tmp_path / "flow.db")
+    seen = []
+
+    def cb(p, msg):
+        seen.append(msg)
+        return len(seen) < 3
+
+    generate_optical_flow_database(info, lambda f: frames[f], cb, db_path)
+    assert seen[-1] == "Cancelled"
+    db = Database(db_path)
+    assert db.read_keypoints(5).shape[0] == 0
+    db.close()
+
+
+def test_missing_frame_raises(tmp_path):
+    info = VideoInfo(160, 120, 0, 4)
+    with pytest.raises(FrameNotProvidedError):
+        generate_optical_flow_database(
+            info, lambda f: None, None, str(tmp_path / "flow.db")
+        )

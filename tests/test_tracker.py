@@ -1,0 +1,195 @@
+"""End-to-end tracking tests on synthetic geometric flow databases."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from polychase_tpu.engine import camera as C
+from polychase_tpu.engine import pose as P
+from polychase_tpu.engine.geometry import SceneTransformations
+from polychase_tpu.engine.opticalflow import IMAGE_SKIPS
+from polychase_tpu.engine.levmarq import BundleOptions, CAUCHY
+from polychase_tpu.engine.tracker import (
+    FrameTrackingResult,
+    TrackingError,
+    track_sequence,
+)
+from polychase_tpu.io.database import Database
+
+from synthetic import (
+    make_intrinsics,
+    make_sphere_mesh,
+    orbit_pose,
+    project_points,
+    sample_surface_points,
+    visible_from,
+)
+
+
+def build_flow_db(path, mesh, intr, poses, rng, n_points=400):
+    """Write a geometrically exact flow DB for the given camera path."""
+    pts, normals = sample_surface_points(mesh, rng, n_points)
+    db = Database(str(path))
+    cams = [C.CameraState(intr, p) for p in poses]
+
+    # Keypoints for frame f: projections of the points visible in f.
+    vis, px = [], []
+    for cam in cams:
+        p, ok = project_points(cam, pts)
+        ok &= visible_from(cam, pts, normals)
+        vis.append(ok)
+        px.append(p)
+    for f, cam in enumerate(cams):
+        db.write_keypoints(f, px[f][vis[f]])
+
+    # Pair flows along the skip pattern: a match exists where the point is
+    # visible in both frames.
+    for f in range(len(cams)):
+        idx_f = np.nonzero(vis[f])[0]
+        lookup = {int(g): i for i, g in enumerate(idx_f)}
+        for skip in IMAGE_SKIPS:
+            g = f + skip
+            if g < 0 or g >= len(cams):
+                continue
+            both = vis[f] & vis[g]
+            point_ids = np.nonzero(both)[0]
+            src_idx = np.array(
+                [lookup[int(i)] for i in point_ids], np.uint32
+            )
+            db.write_image_pair_flow(
+                f, g, src_idx, px[g][point_ids],
+                np.zeros(len(point_ids), np.float32),
+            )
+    db.close()
+    return pts
+
+
+def pose_errors(a: P.Pose, b: P.Pose):
+    qa, qb = np.asarray(a.q), np.asarray(b.q)
+    dq = abs(float(np.dot(qa, qb)))
+    rot_err = 2 * np.arccos(min(dq, 1.0))
+    t_err = float(np.linalg.norm(np.asarray(a.t) - np.asarray(b.t)))
+    return rot_err, t_err
+
+
+@pytest.mark.parametrize("backward", [False, True])
+def test_track_orbit(tmp_path, rng, backward):
+    mesh = make_sphere_mesh()
+    intr = make_intrinsics()
+    n_frames = 12
+    poses = [orbit_pose(0.04 * t) for t in range(n_frames)]
+    db_path = tmp_path / "flow.db"
+    build_flow_db(db_path, mesh, intr, poses, rng)
+
+    start = n_frames - 1 if backward else 0
+    end = 0 if backward else n_frames - 1
+    scene = SceneTransformations(
+        model_matrix=jnp.eye(4),
+        view_matrix=P.pose_rt4x4(poses[start]),
+        intrinsics=intr,
+    )
+
+    results = []
+    track_sequence(
+        str(db_path), start, end, scene, mesh,
+        callback=lambda r: results.append(r) or True,
+        bundle_opts=BundleOptions(loss_type=CAUCHY, loss_scale=1.0),
+    )
+
+    assert len(results) == n_frames - 1
+    for r in results:
+        assert isinstance(r, FrameTrackingResult)
+        rot_err, t_err = pose_errors(r.pose, poses[r.frame])
+        assert rot_err < 2e-3, (r.frame, rot_err)
+        assert t_err < 5e-3, (r.frame, t_err)
+        assert r.inlier_ratio > 0.99
+
+
+def test_track_model_matrix(tmp_path, rng):
+    """Tracking with a non-identity model matrix (object not at origin)."""
+    mesh = make_sphere_mesh()
+    intr = make_intrinsics()
+    n_frames = 6
+
+    # The "world" poses observe a translated+scaled object: fold the object
+    # transform into the keypoint generation by moving the camera instead.
+    model = np.eye(4, dtype=np.float32)
+    model[:3, 3] = [0.3, -0.2, 0.1]
+
+    # GT world camera poses; mesh points are in object space, world pts =
+    # model @ obj.
+    poses = [orbit_pose(0.05 * t) for t in range(n_frames)]
+
+    pts_obj, normals = sample_surface_points(mesh, rng, 300)
+    pts_world = pts_obj @ model[:3, :3].T + model[:3, 3]
+
+    db = Database(str(tmp_path / "flow.db"))
+    cams = [C.CameraState(intr, p) for p in poses]
+    vis, px = [], []
+    for cam in cams:
+        p, ok = project_points(cam, pts_world)
+        ok &= visible_from(cam, pts_world, normals)
+        vis.append(ok)
+        px.append(p)
+    for f in range(n_frames):
+        db.write_keypoints(f, px[f][vis[f]])
+        idx_f = np.nonzero(vis[f])[0]
+        lookup = {int(g): i for i, g in enumerate(idx_f)}
+        for skip in IMAGE_SKIPS:
+            g = f + skip
+            if 0 <= g < n_frames:
+                both = np.nonzero(vis[f] & vis[g])[0]
+                src = np.array([lookup[int(i)] for i in both], np.uint32)
+                db.write_image_pair_flow(
+                    f, g, src, px[g][both], np.zeros(len(both), np.float32)
+                )
+    db.close()
+
+    scene = SceneTransformations(
+        model_matrix=jnp.asarray(model),
+        view_matrix=P.pose_rt4x4(poses[0]),
+        intrinsics=intr,
+    )
+    results = []
+    track_sequence(
+        str(tmp_path / "flow.db"), 0, n_frames - 1, scene, mesh,
+        callback=lambda r: results.append(r) or True,
+    )
+    assert len(results) == n_frames - 1
+    for r in results:
+        rot_err, t_err = pose_errors(r.pose, poses[r.frame])
+        assert rot_err < 2e-3 and t_err < 5e-3
+
+
+def test_track_insufficient_features_raises(tmp_path):
+    mesh = make_sphere_mesh()
+    intr = make_intrinsics()
+    db = Database(str(tmp_path / "flow.db"))
+    db.write_keypoints(0, np.zeros((0, 2), np.float32))
+    db.close()
+    scene = SceneTransformations(
+        model_matrix=jnp.eye(4),
+        view_matrix=P.pose_rt4x4(orbit_pose(0.0)),
+        intrinsics=intr,
+    )
+    with pytest.raises(TrackingError):
+        track_sequence(str(tmp_path / "flow.db"), 0, 3, scene, mesh)
+
+
+def test_track_callback_cancel(tmp_path, rng):
+    mesh = make_sphere_mesh()
+    intr = make_intrinsics()
+    poses = [orbit_pose(0.04 * t) for t in range(8)]
+    db_path = tmp_path / "flow.db"
+    build_flow_db(db_path, mesh, intr, poses, rng)
+    scene = SceneTransformations(
+        model_matrix=jnp.eye(4),
+        view_matrix=P.pose_rt4x4(poses[0]),
+        intrinsics=intr,
+    )
+    seen = []
+    track_sequence(
+        str(db_path), 0, 7, scene, mesh,
+        callback=lambda r: seen.append(r.frame) or len(seen) < 3,
+    )
+    assert seen == [1, 2, 3]
