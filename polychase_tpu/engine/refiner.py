@@ -1,0 +1,703 @@
+"""Trajectory refinement: global bundle adjustment over a frame segment.
+
+TPU-native rebuild of the reference refiner (cpp/refiner.{h,cc} +
+cpp/pnp/lev_marq.h:391-871).  The reference walks flow edges with TBB
+threads, evaluates per-residual Jacobians one keypoint at a time, and
+scatters into an Eigen block-sparse matrix with atomics.  Here the whole
+problem is arrays:
+
+- all (edge, match) residuals and their analytic Jacobian chains
+  (unproject → center/derotate → ray-plane intersect → apply → project,
+  cpp/refiner.cc:363-506) are evaluated in one batched program;
+- JᵀJ is assembled **dense** — a segment has at most a few hundred
+  frames, so P = 6..9·F stays small enough that a dense damped Cholesky
+  on the MXU beats sparse scalar code by orders of magnitude;
+- the per-(frame, keypoint) intersection cache
+  (cpp/refiner.cc:320-349) becomes a prim-id array refreshed by a single
+  batched ray-cast sweep at the start and after every accepted step;
+  between refreshes the cached triangle is intersected analytically
+  (bounded for cost validity, plane-only for Jacobians — exactly the
+  reference's local-plane treatment);
+- first/last frames are ground-truth anchors: their Jacobians are zeroed
+  and their parameters never stepped (cpp/refiner.cc:269-272,611-646);
+- edge weight = 1/(1 + distance of the source frame from the nearer
+  segment end) and per-edge cost normalization (``kShouldNormalize``)
+  match cpp/refiner.cc:250-257 and cpp/pnp/lev_marq.h:705-710.
+
+The LM outer loop runs on host, dispatching the few jitted device
+programs per iteration; this keeps the reference's per-iteration
+progress callback and cancellation semantics (cpp/refiner.cc:670-678)
+without host↔device ping-pong inside a ``while_loop``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.database import Database
+from . import camera as C
+from . import pose as P
+from .geometry import Mesh, transform_bbox, Bbox3
+from .levmarq import (
+    BundleOptions,
+    BundleStats,
+    damped_cholesky_solve,
+    loss_value,
+    loss_weight,
+)
+from .raycast import (
+    intersect_ray_plane_jac,
+    intersect_ray_triangle,
+    raycast,
+)
+from .trajectory import CameraTrajectory
+
+_INVALID = np.int32(-1)
+_HI = jax.lax.Precision.HIGHEST
+
+
+class RefineTrajectoryUpdate(NamedTuple):
+    """Progress message (cpp/refiner.h:13-20)."""
+
+    progress: float
+    message: str
+    stats: Optional[BundleStats]
+
+
+RefineTrajectoryCallback = Callable[[RefineTrajectoryUpdate], bool]
+
+
+# ---------------------------------------------------------------------------
+# Problem data (host-side packing)
+# ---------------------------------------------------------------------------
+
+
+class TrajParams(NamedTuple):
+    """Per-frame camera parameters as stacked arrays (the BA unknowns)."""
+
+    q: jax.Array   # (F, 4)
+    t: jax.Array   # (F, 3)
+    fx: jax.Array  # (F,)
+    fy: jax.Array
+    cx: jax.Array
+    cy: jax.Array
+
+
+class RefinerData(NamedTuple):
+    """Padded, device-resident problem description."""
+
+    # keypoints
+    kps: jax.Array        # (F, K, 2) filtered source keypoints
+    kp_valid: jax.Array   # (F, K) bool
+    # flow edges
+    src_frame: jax.Array  # (E,) int32 frame *index* (0-based)
+    tgt_frame: jax.Array  # (E,) int32
+    src_kp: jax.Array     # (E, M) int32 index into kps[src_frame]
+    tgt_px: jax.Array     # (E, M, 2)
+    match_valid: jax.Array  # (E, M) bool
+    edge_weight: jax.Array  # (E,)
+    edge_valid: jax.Array   # (E,) bool
+    # constants
+    anchor: jax.Array     # (F,) bool — ground-truth frames
+    aspect: jax.Array     # () aspect ratio (shared)
+    conv_sign: jax.Array  # () +1 OpenCV / -1 OpenGL
+
+
+def _round_up(n, m):
+    return ((max(n, 1) + m - 1) // m) * m
+
+
+def _compute_bbox(state: C.CameraState, mesh: Mesh, model_matrix) -> tuple:
+    """Image-space mesh bbox + 20px pad (cpp/refiner.cc:53-69)."""
+    mvp = (
+        np.asarray(C.proj_matrix_4x4(state.intrinsics), np.float64)
+        @ np.asarray(P.pose_rt4x4(state.pose), np.float64)
+        @ np.asarray(model_matrix, np.float64)
+    )
+    bbox = transform_bbox(
+        Bbox3(mesh.bbox.pmin, mesh.bbox.pmax), jnp.asarray(mvp, jnp.float32)
+    )
+    pad = 20.0
+    pmin = np.asarray(bbox.pmin) - pad
+    pmax = np.asarray(bbox.pmax) + pad
+    return pmin, pmax
+
+
+def build_refiner_data(
+    database: Database,
+    traj: CameraTrajectory,
+    mesh: Mesh,
+    model_matrix: np.ndarray,
+) -> RefinerData:
+    """Load + filter the database into padded arrays
+    (the CachedDatabase equivalent, cpp/refiner.cc:71-197)."""
+    first, last = traj.first_frame, traj.last_frame
+    F = traj.count
+
+    kps_list, remaps = [], []
+    for frame_id in range(first, last + 1):
+        kps = database.read_keypoints(frame_id)
+        state = traj.get(frame_id)
+        pmin, pmax = _compute_bbox(state, mesh, model_matrix)
+        inside = (
+            (kps[:, 0] > pmin[0]) & (kps[:, 0] < pmax[0])
+            & (kps[:, 1] > pmin[1]) & (kps[:, 1] < pmax[1])
+        )
+        remap = np.full(len(kps), -1, np.int64)
+        remap[inside] = np.arange(int(inside.sum()))
+        kps_list.append(kps[inside])
+        remaps.append(remap)
+
+    K = _round_up(max((len(k) for k in kps_list), default=1), 64)
+    kps_arr = np.zeros((F, K, 2), np.float32)
+    kp_valid = np.zeros((F, K), bool)
+    for i, k in enumerate(kps_list):
+        kps_arr[i, : len(k)] = k
+        kp_valid[i, : len(k)] = True
+
+    edges = []
+    for frame_id in range(first, last + 1):
+        for tgt_id in database.find_optical_flows_from_image(frame_id):
+            if not (first <= tgt_id <= last):
+                continue
+            flow = database.read_image_pair_flow(frame_id, tgt_id)
+            if flow.src_kps_indices.size == 0:
+                continue
+            remap = remaps[frame_id - first]
+            new_idx = remap[flow.src_kps_indices]
+            keep = new_idx >= 0
+            if not keep.any():
+                continue
+            edges.append(
+                (
+                    frame_id - first,
+                    tgt_id - first,
+                    new_idx[keep].astype(np.int32),
+                    flow.tgt_kps[keep],
+                )
+            )
+
+    E = _round_up(len(edges), 8)
+    M = _round_up(max((len(e[2]) for e in edges), default=1), 64)
+    src_frame = np.zeros(E, np.int32)
+    tgt_frame = np.zeros(E, np.int32)
+    src_kp = np.zeros((E, M), np.int32)
+    tgt_px = np.zeros((E, M, 2), np.float32)
+    match_valid = np.zeros((E, M), bool)
+    edge_weight = np.zeros(E, np.float32)
+    edge_valid = np.zeros(E, bool)
+
+    for i, (sf, tf, idx, px) in enumerate(edges):
+        src_frame[i] = sf
+        tgt_frame[i] = tf
+        src_kp[i, : len(idx)] = idx
+        tgt_px[i, : len(idx)] = px
+        match_valid[i, : len(idx)] = True
+        # FrameWeight of the source frame (cpp/refiner.cc:250-257,596-599)
+        distance = min(sf, (F - 1) - sf)
+        edge_weight[i] = 1.0 / (distance + 1.0)
+        edge_valid[i] = True
+
+    anchor = np.zeros(F, bool)
+    anchor[0] = anchor[F - 1] = True
+
+    intr0 = traj.get(first).intrinsics
+    return RefinerData(
+        kps=jnp.asarray(kps_arr),
+        kp_valid=jnp.asarray(kp_valid),
+        src_frame=jnp.asarray(src_frame),
+        tgt_frame=jnp.asarray(tgt_frame),
+        src_kp=jnp.asarray(src_kp),
+        tgt_px=jnp.asarray(tgt_px),
+        match_valid=jnp.asarray(match_valid),
+        edge_weight=jnp.asarray(edge_weight),
+        edge_valid=jnp.asarray(edge_valid),
+        anchor=jnp.asarray(anchor),
+        aspect=jnp.asarray(intr0.aspect_ratio, jnp.float32),
+        conv_sign=jnp.asarray(intr0.sign, jnp.float32),
+    )
+
+
+def traj_to_params(traj: CameraTrajectory) -> TrajParams:
+    qs, ts, fx, fy, cx, cy = [], [], [], [], [], []
+    for fid in range(traj.first_frame, traj.last_frame + 1):
+        s = traj.get(fid)
+        qs.append(np.asarray(s.pose.q))
+        ts.append(np.asarray(s.pose.t))
+        fx.append(float(s.intrinsics.fx))
+        fy.append(float(s.intrinsics.fy))
+        cx.append(float(s.intrinsics.cx))
+        cy.append(float(s.intrinsics.cy))
+    return TrajParams(
+        q=jnp.asarray(np.stack(qs), jnp.float32),
+        t=jnp.asarray(np.stack(ts), jnp.float32),
+        fx=jnp.asarray(fx, jnp.float32),
+        fy=jnp.asarray(fy, jnp.float32),
+        cx=jnp.asarray(cx, jnp.float32),
+        cy=jnp.asarray(cy, jnp.float32),
+    )
+
+
+def params_to_traj(
+    params: TrajParams, traj: CameraTrajectory
+) -> CameraTrajectory:
+    """Write params back into a copy of ``traj`` (intrinsics metadata such
+    as width/height/aspect are preserved per frame)."""
+    out = CameraTrajectory(traj.first_frame, traj.count)
+    q = np.asarray(params.q)
+    t = np.asarray(params.t)
+    fx = np.asarray(params.fx)
+    fy = np.asarray(params.fy)
+    cx = np.asarray(params.cx)
+    cy = np.asarray(params.cy)
+    for i, fid in enumerate(range(traj.first_frame, traj.last_frame + 1)):
+        old = traj.get(fid)
+        intr = old.intrinsics._replace(
+            fx=jnp.float32(fx[i]), fy=jnp.float32(fy[i]),
+            cx=jnp.float32(cx[i]), cy=jnp.float32(cy[i]),
+        )
+        out.set(
+            fid,
+            C.CameraState(intr, P.Pose(jnp.asarray(q[i]), jnp.asarray(t[i]))),
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Device programs
+# ---------------------------------------------------------------------------
+
+
+def _frame_intrinsics(params: TrajParams, data: RefinerData, idx):
+    """Gather per-edge Intrinsics pytree for frame indices ``idx``."""
+    zeros = jnp.zeros_like(params.fx[idx])
+    return C.Intrinsics(
+        fx=params.fx[idx], fy=params.fy[idx],
+        cx=params.cx[idx], cy=params.cy[idx],
+        aspect_ratio=data.aspect + zeros,
+        width=zeros, height=zeros,  # unused in project/unproject
+        sign=data.conv_sign + zeros,
+    )
+
+
+def _all_rays(params: TrajParams, data: RefinerData, model_inv):
+    """Object-space rays for every (frame, keypoint): origins (F, 1, 3)
+    broadcast, dirs (F, K, 3) (cpp/refiner.cc:307-318)."""
+    F, K = data.kps.shape[:2]
+    fidx = jnp.arange(F)
+    intr = _frame_intrinsics(params, data, fidx)
+    intr_b = jax.tree.map(lambda a: a[:, None], intr)
+    dir_cam = C.unproject(intr_b, data.kps)  # (F, K, 3)
+    origin_w = P.pose_center(P.Pose(params.q, params.t))  # (F, 3)
+    dir_world = P.quat_rotate(
+        P.quat_conj(params.q)[:, None, :], dir_cam
+    )  # (F, K, 3)
+    origin_o = (
+        origin_w @ model_inv[:3, :3].T + model_inv[:3, 3]
+    )  # (F, 3)
+    dir_o = dir_world @ model_inv[:3, :3].T
+    return origin_o, dir_o
+
+
+@jax.jit
+def refresh_prims(
+    params: TrajParams, data: RefinerData, mesh: Mesh, model_inv
+) -> jax.Array:
+    """Batched ray-cast of every (frame, keypoint) ray → prim ids (F, K).
+
+    The TPU equivalent of the reference's lazily-filled intersection
+    cache (cpp/refiner.cc:320-349): one masked brute-force sweep instead
+    of per-miss Embree queries.
+    """
+    F, K = data.kps.shape[:2]
+    origin_o, dir_o = _all_rays(params, data, model_inv)
+    origins = jnp.broadcast_to(origin_o[:, None, :], (F, K, 3)).reshape(-1, 3)
+    dirs = dir_o.reshape(-1, 3)
+    hits = raycast(mesh, origins, dirs, check_mask=True)
+    prim = jnp.where(
+        hits.valid & data.kp_valid.reshape(-1),
+        hits.prim_id.astype(jnp.int32),
+        _INVALID,
+    )
+    return prim.reshape(F, K)
+
+
+def _edge_eval(
+    params: TrajParams,
+    data: RefinerData,
+    prims: jax.Array,
+    tri_corners,          # (p1, p2, p3) each (T, 3) object space
+    model,                # (4, 4)
+    model_inv,
+    with_jac: bool,
+    opt_f: bool,
+    opt_pp: bool,
+):
+    """Evaluate all (edge, match) residuals (+ Jacobians).
+
+    Returns res (E, M, 2), valid (E, M), and if ``with_jac`` also
+    J_src/J_tgt (E, M, 2, 9).  Follows cpp/refiner.cc:274-506.
+    """
+    E, M = data.src_kp.shape
+    sf, tf = data.src_frame, data.tgt_frame
+
+    src_q = params.q[sf]            # (E, 4)
+    src_t = params.t[sf]
+    tgt_q = params.q[tf]
+    tgt_t = params.t[tf]
+    src_intr = _frame_intrinsics(params, data, sf)
+    tgt_intr = _frame_intrinsics(params, data, tf)
+    src_intr_b = jax.tree.map(lambda a: a[:, None], src_intr)
+    tgt_intr_b = jax.tree.map(lambda a: a[:, None], tgt_intr)
+
+    src_px = jnp.take_along_axis(
+        data.kps[sf], data.src_kp[..., None], axis=1
+    )  # (E, M, 2)
+    prim = jnp.take_along_axis(prims[sf], data.src_kp, axis=1)  # (E, M)
+    prim_ok = prim != _INVALID
+    safe_prim = jnp.where(prim_ok, prim, 0)
+
+    # Ray in world space (cpp/refiner.cc:307-312, 398-417)
+    R_src = P.quat_to_mat(src_q)            # (E, 3, 3)
+    dir_cam, dDirCam_dp, dDirCam_dInt = C.unproject_with_jac(
+        src_intr_b, src_px
+    )  # (E, M, 3), ..., (E, M, 3, 3)
+    origin, dOrigin_dR, dOrigin_dt = P.center_with_jac(R_src, src_t)
+    # derotate (Rᵀ d) per match
+    Rt_src = jnp.swapaxes(R_src, -1, -2)
+    dir_world = jnp.einsum(
+        "eij,emj->emi", Rt_src, dir_cam, precision=_HI
+    )
+    dDirWorld_dDirCam = Rt_src                      # (E, 3, 3)
+    dDirWorld_dR = P.skew(dir_world)                # (E, M, 3, 3)
+
+    # Cached triangle in world space (cpp/refiner.cc:419-428)
+    p1o, p2o, p3o = tri_corners
+    t1 = p1o[safe_prim]  # (E, M, 3)
+    t2 = p2o[safe_prim]
+    t3 = p3o[safe_prim]
+    t1w = t1 @ model[:3, :3].T + model[:3, 3]
+    normal_o = jnp.cross(t2 - t1, t3 - t1)
+    # normal transforms with the inverse-transpose
+    normal_w = normal_o @ model_inv[:3, :3]
+
+    origin_b = jnp.broadcast_to(origin[:, None, :], dir_world.shape)
+    X, dX_dOrigin, dX_dDir, isect_ok = intersect_ray_plane_jac(
+        origin_b, dir_world, t1w, normal_w
+    )
+
+    # Target camera (cpp/refiner.cc:438-454)
+    R_tgt = P.quat_to_mat(tgt_q)
+    R_tgt_b = jnp.broadcast_to(R_tgt[:, None], (*X.shape[:2], 3, 3))
+    XCam, dXCam_dX, dXCam_dR, _ = P.apply_with_jac(
+        R_tgt_b, jnp.broadcast_to(tgt_t[:, None, :], X.shape), X
+    )
+    behind = C.is_behind(tgt_intr_b, XCam)
+    p, dp_dXCam, dp_dInt = C.project_with_jac(tgt_intr_b, XCam)
+    res = p - data.tgt_px
+
+    valid = data.match_valid & prim_ok & isect_ok & ~behind
+
+    if not with_jac:
+        # Cost validity additionally requires the ray to still hit the
+        # *bounded* cached triangle (cpp/refiner.cc:326-333).
+        _, tri_ok = intersect_ray_triangle(origin_b, dir_world, t1, t2, t3)
+        valid = valid & tri_ok
+        return res, valid, None, None
+
+    dp_dX = jnp.einsum("emij,emjk->emik", dp_dXCam, dXCam_dX, precision=_HI)
+
+    # Source block (cpp/refiner.cc:460-480)
+    dX_dR = jnp.einsum(
+        "emij,ejk->emik", dX_dOrigin, dOrigin_dR, precision=_HI
+    ) + jnp.einsum("emij,emjk->emik", dX_dDir, dDirWorld_dR, precision=_HI)
+    Js_rot = jnp.einsum("emij,emjk->emik", dp_dX, dX_dR, precision=_HI)
+    Js_t = jnp.einsum(
+        "emij,emjk,ekl->emil", dp_dX, dX_dOrigin,
+        dOrigin_dt, precision=_HI,
+    )
+    Js_int = jnp.einsum(
+        "emij,emjk,ekl,emln->emin",
+        dp_dX, dX_dDir, dDirWorld_dDirCam, dDirCam_dInt, precision=_HI,
+    )
+
+    # Target block (cpp/refiner.cc:484-502)
+    Jt_rot = jnp.einsum("emij,emjk->emik", dp_dXCam, dXCam_dR, precision=_HI)
+    Jt_t = dp_dXCam
+    Jt_int = dp_dInt
+
+    if not opt_f:
+        Js_int = Js_int.at[..., 0].set(0.0)
+        Jt_int = Jt_int.at[..., 0].set(0.0)
+    if not opt_pp:
+        Js_int = Js_int.at[..., 1:].set(0.0)
+        Jt_int = Jt_int.at[..., 1:].set(0.0)
+    if not (opt_f or opt_pp):
+        Js_int = jnp.zeros_like(Js_int)
+        Jt_int = jnp.zeros_like(Jt_int)
+
+    J_src = jnp.concatenate([Js_rot, Js_t, Js_int], axis=-1)  # (E, M, 2, 9)
+    J_tgt = jnp.concatenate([Jt_rot, Jt_t, Jt_int], axis=-1)
+
+    # Anchor frames contribute no Jacobian (cpp/refiner.cc:611-612)
+    J_src = jnp.where(data.anchor[sf][:, None, None, None], 0.0, J_src)
+    J_tgt = jnp.where(data.anchor[tf][:, None, None, None], 0.0, J_tgt)
+
+    return res, valid, J_src, J_tgt
+
+
+@partial(jax.jit, static_argnames=("loss_type",))
+def total_cost(
+    params, data: RefinerData, prims, tri_corners, model, model_inv,
+    loss_scale, *, loss_type: int,
+):
+    """Per-edge-normalized robust cost (cpp/pnp/lev_marq.h:773-824)."""
+    res, valid, _, _ = _edge_eval(
+        params, data, prims, tri_corners, model, model_inv,
+        with_jac=False, opt_f=False, opt_pp=False,
+    )
+    r2 = jnp.sum(res * res, axis=-1)
+    cost_m = jnp.where(valid, loss_value(loss_type, loss_scale, r2), 0.0)
+    n_valid = jnp.maximum(jnp.sum(valid, axis=-1), 1)
+    edge_cost = jnp.sum(cost_m, axis=-1) / n_valid
+    return jnp.sum(
+        jnp.where(data.edge_valid, data.edge_weight * edge_cost, 0.0)
+    )
+
+
+@partial(jax.jit, static_argnames=("loss_type", "opt_f", "opt_pp", "ppc"))
+def build_normal_equations(
+    params, data: RefinerData, prims, tri_corners, model, model_inv,
+    loss_scale, *, loss_type: int, opt_f: bool, opt_pp: bool, ppc: int,
+):
+    """Dense JᵀJ (P, P) + Jᵀr (P,) over all edges
+    (cpp/pnp/lev_marq.h:653-771)."""
+    res, valid, J_src, J_tgt = _edge_eval(
+        params, data, prims, tri_corners, model, model_inv,
+        with_jac=True, opt_f=opt_f, opt_pp=opt_pp,
+    )
+    F = params.q.shape[0]
+    E, M = valid.shape
+    r2 = jnp.sum(res * res, axis=-1)
+    w = jnp.where(valid, loss_weight(loss_type, loss_scale, r2), 0.0)
+
+    J_pair = jnp.concatenate([J_src[..., :ppc], J_tgt[..., :ppc]], axis=-1)
+    # Per-edge accumulation (E, 2ppc, 2ppc), (E, 2ppc)
+    JtJ_pair = jnp.einsum(
+        "emli,emlj,em->eij", J_pair, J_pair, w, precision=_HI
+    )
+    Jtr_pair = jnp.einsum(
+        "emli,eml,em->ei", J_pair, res, w, precision=_HI
+    )
+    n_valid = jnp.maximum(jnp.sum(valid, axis=-1), 1).astype(jnp.float32)
+    scale = jnp.where(
+        data.edge_valid, data.edge_weight / n_valid, 0.0
+    )
+    JtJ_pair = JtJ_pair * scale[:, None, None]
+    Jtr_pair = Jtr_pair * scale[:, None]
+
+    # Scatter into the dense (F·ppc, F·ppc) system
+    off = jnp.arange(ppc)
+    rows = jnp.concatenate(
+        [data.src_frame[:, None] * ppc + off, data.tgt_frame[:, None] * ppc + off],
+        axis=1,
+    )  # (E, 2ppc)
+    Pn = F * ppc
+    JtJ = jnp.zeros((Pn, Pn), jnp.float32)
+    JtJ = JtJ.at[rows[:, :, None], rows[:, None, :]].add(JtJ_pair)
+    Jtr = jnp.zeros((Pn,), jnp.float32).at[rows].add(Jtr_pair)
+    return JtJ, Jtr
+
+
+@partial(jax.jit, static_argnames=("opt_f", "opt_pp", "ppc"))
+def apply_step(
+    params: TrajParams, data: RefinerData, step, bounds: C.Bounds,
+    *, opt_f: bool, opt_pp: bool, ppc: int,
+):
+    """Step every non-anchor camera (cpp/refiner.cc:508-537,618-646)."""
+    F = params.q.shape[0]
+    dp = step.reshape(F, ppc)
+    dp = jnp.where(data.anchor[:, None], 0.0, dp)
+
+    q = P.quat_step_post(params.q, dp[:, 0:3])
+    t = params.t + dp[:, 3:6]
+    fx, fy, cx, cy = params.fx, params.fy, params.cx, params.cy
+    if opt_f:
+        fy = jnp.clip(fy + dp[:, 6], bounds.f_low, bounds.f_high)
+        fx = jnp.clip(fy * data.aspect, bounds.f_low, bounds.f_high)
+    if opt_pp:
+        cx = jnp.clip(cx + dp[:, 7], bounds.cx_low, bounds.cx_high)
+        cy = jnp.clip(cy + dp[:, 8], bounds.cy_low, bounds.cy_high)
+    return TrajParams(q, t, fx, fy, cx, cy)
+
+
+# ---------------------------------------------------------------------------
+# Host LM driver (mirrors LevMarqSparseSolver::Solve, lev_marq.h:492-588)
+# ---------------------------------------------------------------------------
+
+
+def refine_trajectory(
+    database,
+    traj: CameraTrajectory,
+    model_matrix: np.ndarray,
+    mesh: Mesh,
+    optimize_focal_length: bool = False,
+    optimize_principal_point: bool = False,
+    callback: Optional[RefineTrajectoryCallback] = None,
+    bundle_opts: BundleOptions = BundleOptions(),
+) -> CameraTrajectory:
+    """Refine a fully-filled trajectory segment in place; returns the
+    refined trajectory (cpp/refiner.cc:649-725)."""
+    if traj.count <= 2:
+        raise ValueError("refinement needs more than 2 frames")
+    for fid in range(traj.first_frame, traj.last_frame + 1):
+        if not traj.is_frame_filled(fid):
+            raise ValueError(f"frame {fid} has no pose")
+
+    own_db = False
+    if isinstance(database, str):
+        database = Database(database)
+        own_db = True
+    try:
+        data = build_refiner_data(database, traj, mesh, model_matrix)
+    finally:
+        if own_db:
+            database.close()
+
+    ppc = 9 if (optimize_focal_length or optimize_principal_point) else 6
+    opt_f, opt_pp = bool(optimize_focal_length), bool(optimize_principal_point)
+    loss_type = int(bundle_opts.loss_type)
+    loss_scale = jnp.float32(bundle_opts.loss_scale)
+
+    model = jnp.asarray(np.asarray(model_matrix, np.float32))
+    model_inv = jnp.asarray(
+        np.linalg.inv(np.asarray(model_matrix, np.float64)).astype(np.float32)
+    )
+    tri_corners = mesh.triangle_corners()
+    bounds = C.intrinsics_bounds(traj.get(traj.first_frame).intrinsics)
+
+    params = traj_to_params(traj)
+    prims = refresh_prims(params, data, mesh, model_inv)
+
+    def cost_of(p, pr):
+        return float(
+            total_cost(
+                p, data, pr, tri_corners, model, model_inv, loss_scale,
+                loss_type=loss_type,
+            )
+        )
+
+    cost = cost_of(params, prims)
+    stats = dict(
+        iterations=0, initial_cost=cost, cost=cost,
+        lambda_=float(bundle_opts.initial_lambda),
+        invalid_steps=0, step_norm=-1.0, grad_norm=-1.0,
+    )
+
+    def make_stats():
+        return BundleStats(
+            iterations=jnp.int32(stats["iterations"]),
+            initial_cost=jnp.float32(stats["initial_cost"]),
+            cost=jnp.float32(stats["cost"]),
+            lambda_=jnp.float32(stats["lambda_"]),
+            invalid_steps=jnp.int32(stats["invalid_steps"]),
+            step_norm=jnp.float32(stats["step_norm"]),
+            grad_norm=jnp.float32(stats["grad_norm"]),
+        )
+
+    def emit(final=False):
+        if callback is None:
+            return True
+        update = RefineTrajectoryUpdate(
+            progress=stats["iterations"] / max(bundle_opts.max_iterations, 1),
+            message=(
+                f"Cost: {stats['cost']:.02f} "
+                f"(Initial: {stats['initial_cost']:.02f})"
+            ),
+            stats=make_stats(),
+        )
+        return callback(update)
+
+    v = 2.0
+    rebuild = True
+    JtJ = Jtr = None
+    lam = float(bundle_opts.initial_lambda)
+
+    while stats["iterations"] < bundle_opts.max_iterations:
+        if rebuild:
+            JtJ, Jtr = build_normal_equations(
+                params, data, prims, tri_corners, model, model_inv,
+                loss_scale, loss_type=loss_type, opt_f=opt_f, opt_pp=opt_pp,
+                ppc=ppc,
+            )
+            stats["grad_norm"] = float(jnp.linalg.norm(Jtr))
+            if stats["grad_norm"] < bundle_opts.gradient_tol:
+                break
+
+        step, ok = damped_cholesky_solve(JtJ, Jtr, jnp.float32(lam))
+        if not bool(ok):
+            stats["invalid_steps"] += 1
+            if lam >= bundle_opts.max_lambda:
+                break
+            lam = min(bundle_opts.max_lambda, lam * v)
+            v *= 2.0
+            rebuild = False
+            stats["iterations"] += 1
+            continue
+
+        stats["step_norm"] = float(jnp.linalg.norm(step))
+        if stats["step_norm"] < bundle_opts.step_tol:
+            break
+
+        params_new = apply_step(
+            params, data, step, bounds, opt_f=opt_f, opt_pp=opt_pp, ppc=ppc
+        )
+        cost_new = cost_of(params_new, prims)
+
+        if cost_new < stats["cost"]:
+            actual = cost_new - stats["cost"]
+            expected = float(
+                jnp.dot(step, 2.0 * Jtr + JtJ @ step)
+            )
+            rho = actual / expected if expected != 0 else -1.0
+            if rho > 0:
+                factor = max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+                lam = float(
+                    np.clip(
+                        lam * factor,
+                        bundle_opts.min_lambda, bundle_opts.max_lambda,
+                    )
+                )
+            params = params_new
+            stats["cost"] = cost_new
+            v = 2.0
+            rebuild = True
+            # Param change → refresh the intersection cache (the batched
+            # analogue of the reference's per-miss re-casting).
+            prims = refresh_prims(params, data, mesh, model_inv)
+            stats["cost"] = cost_of(params, prims)
+        else:
+            stats["invalid_steps"] += 1
+            if lam >= bundle_opts.max_lambda:
+                break
+            lam = min(bundle_opts.max_lambda, lam * v)
+            v *= 2.0
+            rebuild = False
+
+        stats["iterations"] += 1
+        stats["lambda_"] = lam
+        if not emit():
+            break
+
+    stats["lambda_"] = lam
+    emit(final=True)
+
+    refined = params_to_traj(params, traj)
+    for fid in range(traj.first_frame, traj.last_frame + 1):
+        traj.set(fid, refined.get(fid))
+    return traj

@@ -1,0 +1,120 @@
+"""Bundle-adjustment refiner tests on synthetic trajectories."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from polychase_tpu.engine import camera as C
+from polychase_tpu.engine import pose as P
+from polychase_tpu.engine.levmarq import BundleOptions, CAUCHY, TRIVIAL
+from polychase_tpu.engine.refiner import (
+    RefineTrajectoryUpdate,
+    refine_trajectory,
+)
+from polychase_tpu.engine.trajectory import CameraTrajectory
+from polychase_tpu.io.database import Database
+
+from synthetic import make_intrinsics, make_sphere_mesh, orbit_pose
+from test_tracker import build_flow_db, pose_errors
+
+
+def perturbed_traj(poses, intr, rng, rot_sigma=0.01, t_sigma=0.02,
+                   keep_ends=True):
+    traj = CameraTrajectory(0, len(poses))
+    for i, p in enumerate(poses):
+        if keep_ends and i in (0, len(poses) - 1):
+            traj.set(i, C.CameraState(intr, p))
+            continue
+        dq = rng.normal(0, rot_sigma, 3).astype(np.float32)
+        dt = rng.normal(0, t_sigma, 3).astype(np.float32)
+        q = P.quat_step_post(p.q, jnp.asarray(dq))
+        traj.set(
+            i, C.CameraState(intr, P.Pose(q, p.t + jnp.asarray(dt)))
+        )
+    return traj
+
+
+def test_refine_recovers_noisy_trajectory(tmp_path, rng):
+    mesh = make_sphere_mesh()
+    intr = make_intrinsics()
+    n = 10
+    poses = [orbit_pose(0.05 * t) for t in range(n)]
+    db_path = str(tmp_path / "flow.db")
+    build_flow_db(db_path, mesh, intr, poses, rng)
+
+    traj = perturbed_traj(poses, intr, rng)
+    # Perturbed trajectory starts far from GT
+    pre = [pose_errors(traj.get(i).pose, poses[i])[0] for i in range(1, n - 1)]
+    assert max(pre) > 5e-3
+
+    refine_trajectory(
+        db_path, traj, np.eye(4, dtype=np.float32), mesh,
+        bundle_opts=BundleOptions(loss_type=CAUCHY, loss_scale=1.0),
+    )
+
+    for i in range(n):
+        rot_err, t_err = pose_errors(traj.get(i).pose, poses[i])
+        if i in (0, n - 1):
+            assert rot_err == 0.0 and t_err == 0.0  # anchors untouched
+        else:
+            assert rot_err < 1e-3, (i, rot_err)
+            assert t_err < 2.5e-3, (i, t_err)
+
+
+def test_refine_callback_and_cancel(tmp_path, rng):
+    mesh = make_sphere_mesh()
+    intr = make_intrinsics()
+    poses = [orbit_pose(0.05 * t) for t in range(8)]
+    db_path = str(tmp_path / "flow.db")
+    build_flow_db(db_path, mesh, intr, poses, rng)
+    traj = perturbed_traj(poses, intr, rng)
+
+    updates = []
+
+    def cb(u: RefineTrajectoryUpdate):
+        updates.append(u)
+        return len(updates) < 3
+
+    refine_trajectory(
+        db_path, traj, np.eye(4, dtype=np.float32), mesh, callback=cb
+    )
+    assert 3 <= len(updates) <= 4
+    assert all(u.stats is not None for u in updates)
+    assert "Cost" in updates[0].message
+
+
+def test_refine_recovers_focal_length(tmp_path, rng):
+    mesh = make_sphere_mesh()
+    intr = make_intrinsics(f=600.0)
+    n = 8
+    poses = [orbit_pose(0.06 * t) for t in range(n)]
+    db_path = str(tmp_path / "flow.db")
+    build_flow_db(db_path, mesh, intr, poses, rng, n_points=500)
+
+    # All poses exact, but middle frames carry a wrong focal estimate
+    wrong = intr._replace(fx=jnp.float32(650.0), fy=jnp.float32(650.0))
+    traj = CameraTrajectory(0, n)
+    for i, p in enumerate(poses):
+        traj.set(i, C.CameraState(intr if i in (0, n - 1) else wrong, p))
+
+    refine_trajectory(
+        db_path, traj, np.eye(4, dtype=np.float32), mesh,
+        optimize_focal_length=True,
+        bundle_opts=BundleOptions(loss_type=TRIVIAL, max_iterations=100),
+    )
+    for i in range(1, n - 1):
+        fy = float(traj.get(i).intrinsics.fy)
+        assert abs(fy - 600.0) < 5.0, (i, fy)
+
+
+def test_refine_requires_filled_frames(tmp_path, rng):
+    mesh = make_sphere_mesh()
+    intr = make_intrinsics()
+    traj = CameraTrajectory(0, 5)
+    traj.set(0, C.CameraState(intr, orbit_pose(0.0)))
+    db = Database(str(tmp_path / "flow.db"))
+    db.close()
+    with pytest.raises(ValueError):
+        refine_trajectory(
+            str(tmp_path / "flow.db"), traj, np.eye(4, dtype=np.float32), mesh
+        )
