@@ -228,12 +228,17 @@ class Mesh:
 
 class AcceleratedMesh:
     """Mesh with acceleration for ray casts
-    (cpp/polychase_pybind.cc:39-47)."""
+    (cpp/polychase_pybind.cc:39-47).
+
+    Holds both a device-resident mesh (batched casts) and a host C++
+    BVH (single-ray viewport picking, the Embree replacement)."""
 
     def __init__(self, vertices, triangles, masked_triangles=None):
         self._mesh = Mesh(vertices, triangles, masked_triangles)
         self._engine_mesh: Optional[_geometry.Mesh] = None
         self._mask_version = None
+        self._bvh = None
+        self._bvh_tried = False
 
     def inner(self) -> Mesh:
         return self._mesh
@@ -248,6 +253,20 @@ class AcceleratedMesh:
             self._engine_mesh = self._mesh._to_engine()
             self._mask_version = mask_bytes
         return self._engine_mesh
+
+    def _native_bvh(self):
+        if not self._bvh_tried:
+            self._bvh_tried = True
+            from . import native as _native
+
+            if _native.available():
+                try:
+                    self._bvh = _native.BvhRaycaster(
+                        self._mesh.vertices, self._mesh.triangles
+                    )
+                except Exception:
+                    self._bvh = None
+        return self._bvh
 
 
 class RayHit:
@@ -461,11 +480,31 @@ def ray_cast(
     pos,
     check_mask: bool,
 ) -> Optional[RayHit]:
-    """Cast a screen-space ray (cpp/ray_casting.cc:128-133)."""
+    """Cast a screen-space ray (cpp/ray_casting.cc:128-133).
+
+    Uses the native host BVH when available (sub-ms picking latency);
+    falls back to the device-side batched cast otherwise.
+    """
     scene = scene_transform._to_engine()
     origin, direction = _raycast.get_ray_object_space(
         scene, jnp.asarray(np.asarray(pos, np.float32))
     )
+
+    bvh = accel_mesh._native_bvh()
+    if bvh is not None:
+        masked = (
+            accel_mesh.inner().masked_triangles if check_mask else None
+        )
+        p, n, bary, t, prim = bvh.raycast(
+            np.asarray(origin)[None], np.asarray(direction)[None], masked
+        )
+        if prim[0] == np.uint32(0xFFFFFFFF):
+            return None
+        return RayHit(
+            pos=p[0], normal=n[0], barycentric_coordinate=bary[0],
+            t=float(t[0]), primitive_id=int(prim[0]),
+        )
+
     hits = _raycast.raycast(
         accel_mesh._to_engine(),
         jnp.asarray(origin)[None],

@@ -205,7 +205,16 @@ def _min_distance_suppress(
     max_corners: int,
 ):
     """Greedy grid-cell suppression in reference visiting order
-    (cpp/feature_detection/gftt.cc:100-164)."""
+    (cpp/feature_detection/gftt.cc:100-164).
+
+    Uses the native C implementation when available; the Python path
+    below is the behavioural reference and fallback.
+    """
+    native_result = _native_suppress(
+        xs, ys, vals, w, h, min_distance, max_corners
+    )
+    if native_result is not None:
+        return native_result
     cell = int(round(min_distance))
     gw = (w + cell - 1) // cell
     gh = (h + cell - 1) // cell
@@ -239,6 +248,47 @@ def _min_distance_suppress(
         np.asarray(out_y, np.float32),
         np.asarray(out_q, np.float32),
     )
+
+
+def _native_suppress(xs, ys, vals, w, h, min_distance, max_corners):
+    """C-accelerated greedy suppression; None when the lib is absent."""
+    try:
+        import ctypes
+
+        from .. import native
+
+        if not native.available():
+            return None
+        lib = native._load_library()
+        if not hasattr(lib, "gftt_min_distance_suppress"):
+            return None
+        lib.gftt_min_distance_suppress.restype = ctypes.c_uint32
+        lib.gftt_min_distance_suppress.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
+            ctypes.c_int32, ctypes.c_void_p,
+        ]
+        xs_f = np.ascontiguousarray(xs, np.float32)
+        ys_f = np.ascontiguousarray(ys, np.float32)
+        out = np.empty(len(xs_f), np.uint32)
+        count = lib.gftt_min_distance_suppress(
+            xs_f.ctypes.data_as(ctypes.c_void_p),
+            ys_f.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_uint32(len(xs_f)),
+            ctypes.c_int32(int(w)),
+            ctypes.c_int32(int(h)),
+            ctypes.c_float(float(min_distance)),
+            ctypes.c_int32(int(max_corners)),
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        idx = out[:count]
+        return (
+            xs_f[idx],
+            ys_f[idx],
+            np.ascontiguousarray(vals, np.float32)[idx],
+        )
+    except Exception:
+        return None
 
 
 def good_features_to_track(

@@ -1,0 +1,404 @@
+// Native BVH triangle-mesh ray caster.
+//
+// Replaces the reference's Embree 4 dependency (cpp/ray_casting.cc:21-121)
+// for the latency-critical host paths: single-ray viewport picking and
+// small-batch casts where a TPU round-trip would dominate.  The bulk
+// batched casts (tracking, BA prim refresh) stay on the accelerator.
+//
+// Design: binned-SAH BVH (16 bins), max 4 triangles per leaf, iterative
+// stack traversal, Möller–Trumbore intersection, closest-hit semantics
+// with the reference's masked-triangle rule — the nearest hit is found
+// over all triangles and *then* discarded if masked, so masked geometry
+// still occludes (cpp/ray_casting.cc:100-120).
+//
+// Exposed as a plain C ABI consumed via ctypes (polychase_tpu/native/__init__.py).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <vector>
+
+namespace {
+
+struct Vec3 {
+    float x, y, z;
+    Vec3() : x(0), y(0), z(0) {}
+    Vec3(float a, float b, float c) : x(a), y(b), z(c) {}
+    Vec3 operator+(const Vec3& o) const { return {x + o.x, y + o.y, z + o.z}; }
+    Vec3 operator-(const Vec3& o) const { return {x - o.x, y - o.y, z - o.z}; }
+    Vec3 operator*(float s) const { return {x * s, y * s, z * s}; }
+};
+
+inline Vec3 cross(const Vec3& a, const Vec3& b) {
+    return {a.y * b.z - a.z * b.y, a.z * b.x - a.x * b.z,
+            a.x * b.y - a.y * b.x};
+}
+inline float dot(const Vec3& a, const Vec3& b) {
+    return a.x * b.x + a.y * b.y + a.z * b.z;
+}
+inline Vec3 vmin(const Vec3& a, const Vec3& b) {
+    return {std::min(a.x, b.x), std::min(a.y, b.y), std::min(a.z, b.z)};
+}
+inline Vec3 vmax(const Vec3& a, const Vec3& b) {
+    return {std::max(a.x, b.x), std::max(a.y, b.y), std::max(a.z, b.z)};
+}
+
+struct Aabb {
+    Vec3 lo{+std::numeric_limits<float>::infinity(),
+            +std::numeric_limits<float>::infinity(),
+            +std::numeric_limits<float>::infinity()};
+    Vec3 hi{-std::numeric_limits<float>::infinity(),
+            -std::numeric_limits<float>::infinity(),
+            -std::numeric_limits<float>::infinity()};
+    void grow(const Vec3& p) { lo = vmin(lo, p); hi = vmax(hi, p); }
+    void grow(const Aabb& b) { lo = vmin(lo, b.lo); hi = vmax(hi, b.hi); }
+    float area() const {
+        Vec3 d = hi - lo;
+        if (d.x < 0 || d.y < 0 || d.z < 0) return 0.0f;
+        return 2.0f * (d.x * d.y + d.y * d.z + d.z * d.x);
+    }
+};
+
+struct Node {
+    Aabb bounds;
+    int32_t left = -1;      // internal: left child (right = left + 1)
+    int32_t first = 0;      // leaf: first triangle index
+    int32_t count = 0;      // leaf: triangle count (0 → internal)
+};
+
+struct Bvh {
+    std::vector<Vec3> p1, e1, e2;   // pretransformed triangle data
+    std::vector<uint32_t> prim_id;  // BVH order → original triangle id
+    std::vector<Node> nodes;
+    uint32_t num_tris = 0;
+};
+
+struct BuildPrim {
+    Aabb bounds;
+    Vec3 centroid;
+    uint32_t id;
+};
+
+constexpr int kBins = 16;
+constexpr int kLeafSize = 4;
+
+int build_recursive(Bvh& bvh, std::vector<BuildPrim>& prims, int first,
+                    int count) {
+    const int node_idx = static_cast<int>(bvh.nodes.size());
+    bvh.nodes.emplace_back();
+
+    Aabb bounds, cbounds;
+    for (int i = first; i < first + count; i++) {
+        bounds.grow(prims[i].bounds);
+        cbounds.grow(prims[i].centroid);
+    }
+    bvh.nodes[node_idx].bounds = bounds;
+
+    if (count <= kLeafSize) {
+        bvh.nodes[node_idx].first = first;
+        bvh.nodes[node_idx].count = count;
+        return node_idx;
+    }
+
+    // Binned SAH over the widest centroid axis
+    Vec3 ext = cbounds.hi - cbounds.lo;
+    int axis = 0;
+    if (ext.y > ext.x) axis = 1;
+    if (ext.z == std::max({ext.x, ext.y, ext.z})) axis = 2;
+    const float lo = (&cbounds.lo.x)[axis];
+    const float extent = (&ext.x)[axis];
+
+    int split = -1;
+    if (extent > 1e-12f) {
+        Aabb bin_bounds[kBins];
+        int bin_count[kBins] = {0};
+        const float scale = kBins / extent;
+        for (int i = first; i < first + count; i++) {
+            int b = std::min(
+                kBins - 1,
+                static_cast<int>(((&prims[i].centroid.x)[axis] - lo) * scale));
+            bin_count[b]++;
+            bin_bounds[b].grow(prims[i].bounds);
+        }
+        // Sweep for the best split plane
+        float right_area[kBins];
+        Aabb acc;
+        int total_right = 0;
+        for (int b = kBins - 1; b > 0; b--) {
+            acc.grow(bin_bounds[b]);
+            total_right += bin_count[b];
+            right_area[b] = acc.area() * total_right;
+        }
+        acc = Aabb();
+        int left_n = 0;
+        float best_cost = std::numeric_limits<float>::infinity();
+        for (int b = 0; b < kBins - 1; b++) {
+            acc.grow(bin_bounds[b]);
+            left_n += bin_count[b];
+            if (left_n == 0 || left_n == count) continue;
+            const float cost = acc.area() * left_n + right_area[b + 1];
+            if (cost < best_cost) {
+                best_cost = cost;
+                split = b;
+            }
+        }
+        if (split >= 0) {
+            const float plane = lo + (split + 1) * (extent / kBins);
+            auto mid_it = std::partition(
+                prims.begin() + first, prims.begin() + first + count,
+                [&](const BuildPrim& p) {
+                    return (&p.centroid.x)[axis] < plane;
+                });
+            int mid = static_cast<int>(mid_it - prims.begin());
+            if (mid == first || mid == first + count) split = -1;
+            else {
+                const int left =
+                    build_recursive(bvh, prims, first, mid - first);
+                const int right =
+                    build_recursive(bvh, prims, mid, first + count - mid);
+                (void)right;  // right == left+? not guaranteed; store both
+                bvh.nodes[node_idx].left = left;
+                bvh.nodes[node_idx].first = right;  // reuse: right child idx
+                bvh.nodes[node_idx].count = 0;
+                return node_idx;
+            }
+        }
+    }
+    // Fallback: median split by index
+    if (split < 0) {
+        const int mid = first + count / 2;
+        std::nth_element(
+            prims.begin() + first, prims.begin() + mid,
+            prims.begin() + first + count,
+            [&](const BuildPrim& a, const BuildPrim& b) {
+                return (&a.centroid.x)[axis] < (&b.centroid.x)[axis];
+            });
+        const int left = build_recursive(bvh, prims, first, count / 2);
+        const int right =
+            build_recursive(bvh, prims, mid, count - count / 2);
+        bvh.nodes[node_idx].left = left;
+        bvh.nodes[node_idx].first = right;
+        bvh.nodes[node_idx].count = 0;
+    }
+    return node_idx;
+}
+
+inline bool intersect_aabb(const Aabb& b, const Vec3& o, const Vec3& inv_d,
+                           float t_max) {
+    float tx1 = (b.lo.x - o.x) * inv_d.x, tx2 = (b.hi.x - o.x) * inv_d.x;
+    float tmin = std::min(tx1, tx2), tmax = std::max(tx1, tx2);
+    float ty1 = (b.lo.y - o.y) * inv_d.y, ty2 = (b.hi.y - o.y) * inv_d.y;
+    tmin = std::max(tmin, std::min(ty1, ty2));
+    tmax = std::min(tmax, std::max(ty1, ty2));
+    float tz1 = (b.lo.z - o.z) * inv_d.z, tz2 = (b.hi.z - o.z) * inv_d.z;
+    tmin = std::max(tmin, std::min(tz1, tz2));
+    tmax = std::min(tmax, std::max(tz1, tz2));
+    return tmax >= std::max(tmin, 0.0f) && tmin < t_max;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* bvh_build(const float* vertices, uint32_t num_vertices,
+                const uint32_t* triangles, uint32_t num_triangles) {
+    (void)num_vertices;
+    Bvh* bvh = new Bvh();
+    bvh->num_tris = num_triangles;
+    if (num_triangles == 0) {
+        bvh->nodes.emplace_back();
+        return bvh;
+    }
+
+    std::vector<BuildPrim> prims(num_triangles);
+    bvh->p1.resize(num_triangles);
+    bvh->e1.resize(num_triangles);
+    bvh->e2.resize(num_triangles);
+    std::vector<Vec3> p1_orig(num_triangles), e1_orig(num_triangles),
+        e2_orig(num_triangles);
+    for (uint32_t i = 0; i < num_triangles; i++) {
+        const uint32_t* t = triangles + 3 * i;
+        const Vec3 a{vertices[3 * t[0]], vertices[3 * t[0] + 1],
+                     vertices[3 * t[0] + 2]};
+        const Vec3 b{vertices[3 * t[1]], vertices[3 * t[1] + 1],
+                     vertices[3 * t[1] + 2]};
+        const Vec3 c{vertices[3 * t[2]], vertices[3 * t[2] + 1],
+                     vertices[3 * t[2] + 2]};
+        p1_orig[i] = a;
+        e1_orig[i] = b - a;
+        e2_orig[i] = c - a;
+        prims[i].bounds.grow(a);
+        prims[i].bounds.grow(b);
+        prims[i].bounds.grow(c);
+        prims[i].centroid = (a + b + c) * (1.0f / 3.0f);
+        prims[i].id = i;
+    }
+    bvh->nodes.reserve(2 * num_triangles);
+    build_recursive(*bvh, prims, 0, static_cast<int>(num_triangles));
+
+    // Store triangles in BVH order for cache-friendly leaves
+    bvh->prim_id.resize(num_triangles);
+    for (uint32_t i = 0; i < num_triangles; i++) {
+        bvh->prim_id[i] = prims[i].id;
+        bvh->p1[i] = p1_orig[prims[i].id];
+        bvh->e1[i] = e1_orig[prims[i].id];
+        bvh->e2[i] = e2_orig[prims[i].id];
+    }
+    return bvh;
+}
+
+void bvh_free(void* handle) { delete static_cast<Bvh*>(handle); }
+
+// Cast `n` rays; for each, write hit position/normal/barycentric/t/prim.
+// masked: packed u32 bitmask (may be null).  prim_out = 0xFFFFFFFF on miss.
+void bvh_raycast(const void* handle, const float* origins, const float* dirs,
+                 uint32_t n, const uint32_t* masked, float* pos_out,
+                 float* normal_out, float* bary_out, float* t_out,
+                 uint32_t* prim_out) {
+    const Bvh& bvh = *static_cast<const Bvh*>(handle);
+    constexpr uint32_t kInvalid = 0xFFFFFFFFu;
+    constexpr float kEps = 1e-10f;
+
+    for (uint32_t r = 0; r < n; r++) {
+        const Vec3 o{origins[3 * r], origins[3 * r + 1], origins[3 * r + 2]};
+        const Vec3 d{dirs[3 * r], dirs[3 * r + 1], dirs[3 * r + 2]};
+        const Vec3 inv_d{1.0f / d.x, 1.0f / d.y, 1.0f / d.z};
+
+        float best_t = std::numeric_limits<float>::infinity();
+        float best_u = 0, best_v = 0;
+        uint32_t best_local = kInvalid;
+
+        if (!bvh.nodes.empty() && bvh.num_tris) {
+            int stack[64];
+            int sp = 0;
+            stack[sp++] = 0;
+            while (sp) {
+                const Node& node = bvh.nodes[stack[--sp]];
+                if (!intersect_aabb(node.bounds, o, inv_d, best_t)) continue;
+                if (node.count) {  // leaf
+                    for (int i = node.first; i < node.first + node.count;
+                         i++) {
+                        const Vec3& p1 = bvh.p1[i];
+                        const Vec3& e1 = bvh.e1[i];
+                        const Vec3& e2 = bvh.e2[i];
+                        const Vec3 pv = cross(d, e2);
+                        const float det = dot(e1, pv);
+                        if (std::fabs(det) < kEps) continue;
+                        const float inv_det = 1.0f / det;
+                        const Vec3 s = o - p1;
+                        const float u = dot(s, pv) * inv_det;
+                        if (u < 0.0f || u > 1.0f) continue;
+                        const Vec3 qv = cross(s, e1);
+                        const float v = dot(d, qv) * inv_det;
+                        if (v < 0.0f || u + v > 1.0f) continue;
+                        const float t = dot(e2, qv) * inv_det;
+                        if (t > 0.0f && t < best_t) {
+                            best_t = t;
+                            best_u = u;
+                            best_v = v;
+                            best_local = static_cast<uint32_t>(i);
+                        }
+                    }
+                } else {
+                    stack[sp++] = node.left;
+                    stack[sp++] = node.first;  // right child
+                }
+            }
+        }
+
+        uint32_t prim = kInvalid;
+        if (best_local != kInvalid) {
+            prim = bvh.prim_id[best_local];
+            // Masked triangles occlude but do not produce hits
+            // (cpp/ray_casting.cc:100-120).
+            if (masked && ((masked[prim >> 5] >> (prim & 31)) & 1u)) {
+                prim = kInvalid;
+            }
+        }
+
+        if (prim != kInvalid) {
+            const Vec3 p = o + d * best_t;
+            Vec3 ng = cross(bvh.e1[best_local], bvh.e2[best_local]);
+            const float len =
+                std::sqrt(std::max(dot(ng, ng), 1e-30f));
+            ng = ng * (1.0f / len);
+            pos_out[3 * r] = p.x;
+            pos_out[3 * r + 1] = p.y;
+            pos_out[3 * r + 2] = p.z;
+            normal_out[3 * r] = ng.x;
+            normal_out[3 * r + 1] = ng.y;
+            normal_out[3 * r + 2] = ng.z;
+            bary_out[2 * r] = best_u;
+            bary_out[2 * r + 1] = best_v;
+            t_out[r] = best_t;
+            prim_out[r] = prim;
+        } else {
+            std::memset(pos_out + 3 * r, 0, 3 * sizeof(float));
+            std::memset(normal_out + 3 * r, 0, 3 * sizeof(float));
+            bary_out[2 * r] = bary_out[2 * r + 1] = 0.0f;
+            t_out[r] = std::numeric_limits<float>::infinity();
+            prim_out[r] = kInvalid;
+        }
+    }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Greedy min-distance corner suppression (cpp/feature_detection/gftt.cc:100-164)
+// Candidates must arrive sorted by quality (descending).  Returns the number
+// of accepted candidates; their indices (into the input order) are written to
+// accepted_out.
+// ---------------------------------------------------------------------------
+
+extern "C" uint32_t gftt_min_distance_suppress(
+    const float* xs, const float* ys, uint32_t n, int32_t width,
+    int32_t height, float min_distance, int32_t max_corners,
+    uint32_t* accepted_out) {
+    const int cell = static_cast<int>(min_distance + 0.5f);
+    if (cell <= 0 || n == 0) return 0;
+    const int gw = (width + cell - 1) / cell;
+    const int gh = (height + cell - 1) / cell;
+    const float md2 = min_distance * min_distance;
+
+    // Grid of small vectors of accepted points
+    std::vector<std::vector<std::pair<float, float>>> grid(
+        static_cast<size_t>(gw) * gh);
+
+    uint32_t count = 0;
+    for (uint32_t i = 0; i < n; i++) {
+        const float x = xs[i];
+        const float y = ys[i];
+        const int xc = static_cast<int>(x) / cell;
+        const int yc = static_cast<int>(y) / cell;
+        const int x1 = std::max(xc - 1, 0);
+        const int y1 = std::max(yc - 1, 0);
+        const int x2 = std::min(xc + 1, gw - 1);
+        const int y2 = std::min(yc + 1, gh - 1);
+
+        bool good = true;
+        for (int yy = y1; yy <= y2 && good; yy++) {
+            for (int xx = x1; xx <= x2 && good; xx++) {
+                for (const auto& p : grid[yy * gw + xx]) {
+                    const float dx = x - p.first;
+                    const float dy = y - p.second;
+                    if (dx * dx + dy * dy < md2) {
+                        good = false;
+                        break;
+                    }
+                }
+            }
+        }
+        if (good) {
+            grid[yc * gw + xc].emplace_back(x, y);
+            accepted_out[count++] = i;
+            if (max_corners > 0 &&
+                static_cast<int32_t>(count) == max_corners) {
+                break;
+            }
+        }
+    }
+    return count;
+}
