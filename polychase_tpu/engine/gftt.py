@@ -195,6 +195,30 @@ def gftt_response(
     return eig, cand
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "block_size", "ksize", "use_harris", "grid_rows", "grid_cols", "is_8u",
+    ),
+)
+def gftt_response_packed(
+    image, mask, quality_level, harris_k,
+    *, block_size=3, ksize=3, use_harris=False, grid_rows=4, grid_cols=4,
+    is_8u=True,
+):
+    """Like :func:`gftt_response` but packed into ONE array: the response
+    where a pixel is a surviving candidate, 0 elsewhere.  A single
+    device→host transfer recovers both positions and qualities — host
+    round-trips dominate on high-latency links.
+    """
+    eig, cand = gftt_response(
+        image, mask, quality_level, harris_k,
+        block_size=block_size, ksize=ksize, use_harris=use_harris,
+        grid_rows=grid_rows, grid_cols=grid_cols, is_8u=is_8u,
+    )
+    return jnp.where(cand, eig, 0.0)
+
+
 def _min_distance_suppress(
     xs: np.ndarray,
     ys: np.ndarray,
@@ -318,7 +342,7 @@ def good_features_to_track(
     imgf = jnp.asarray(img, jnp.float32)
     maskj = None if mask is None else jnp.asarray(np.asarray(mask) != 0)
 
-    eig, cand = gftt_response(
+    packed = gftt_response_packed(
         imgf,
         maskj,
         jnp.float32(options.quality_level),
@@ -330,11 +354,11 @@ def good_features_to_track(
         grid_cols=max(1, int(options.grid_cols)),
         is_8u=is_8u,
     )
-    eig_np = np.asarray(eig)
-    ys, xs = np.nonzero(np.asarray(cand))
+    packed_np = np.asarray(packed)  # single device→host transfer
+    ys, xs = np.nonzero(packed_np)
     if xs.size == 0:
         return np.empty((0, 2), np.float32), np.empty((0,), np.float32)
-    vals = eig_np[ys, xs]
+    vals = packed_np[ys, xs]
 
     # Deterministic sort: quality desc, then later row-major position first
     # (the reference tie-breaks on pointer address, gftt.cc:7-12).

@@ -149,15 +149,21 @@ def _pad_level(img: jax.Array, pad: int, zero: bool) -> jax.Array:
 def _gather_patches(padded: jax.Array, ix, iy, pad: int, win: int):
     """Gather (N, win+1, win+1) integer windows with top-left (ix, iy).
 
-    ``padded`` already carries ``pad`` extra pixels on each side; indices
-    are clipped defensively (OpenCV's bounds checks reject anything that
-    would exceed the padding anyway).
+    Implemented as a vmapped 2D ``dynamic_slice`` so XLA lowers it to a
+    single block-gather of contiguous (win+1, win+1) tiles — the optimal
+    DMA pattern on TPU (a 2D cross-product gather of the same windows is
+    ~100× slower).  ``padded`` carries ``pad ≥ win+2`` extra pixels per
+    side, so any window that passes OpenCV's bounds test
+    (ix ∈ [-win, W-1]) lies fully inside and the implicit start-clamping
+    of ``dynamic_slice`` never fires for windows whose values matter.
     """
-    Hp, Wp = padded.shape
-    off = jnp.arange(win + 1)
-    ys = jnp.clip(iy[:, None] + pad + off[None, :], 0, Hp - 1)  # (N, w+1)
-    xs = jnp.clip(ix[:, None] + pad + off[None, :], 0, Wp - 1)
-    return padded[ys[:, :, None], xs[:, None, :]]  # (N, w+1, w+1)
+
+    def one(iy0, ix0):
+        return jax.lax.dynamic_slice(
+            padded, (iy0 + pad, ix0 + pad), (win + 1, win + 1)
+        )
+
+    return jax.vmap(one)(iy, ix)
 
 
 def _bilerp(P: jax.Array, ax, ay):
@@ -291,14 +297,23 @@ def _lk_level(
     next_pts, _, _, status = jax.lax.fori_loop(0, max_iters, body, init)
 
     # --- error: mean |J - I| at the final position (level 0 only) ---------
-    inx = jnp.floor(next_pts - half)
-    bx = next_pts[:, 0] - half - inx[:, 0]
-    by = next_pts[:, 1] - half - inx[:, 1]
-    ixn = inx[:, 0].astype(jnp.int32)
-    iyn = inx[:, 1].astype(jnp.int32)
-    Jp = _bilerp(_gather_patches(img_next_pad, ixn, iyn, pad, win), bx, by)
-    err = jnp.sum(jnp.abs(Jp - Ipatch), axis=(1, 2)) / win_area
+    def compute_err(_):
+        inx = jnp.floor(next_pts - half)
+        bx = next_pts[:, 0] - half - inx[:, 0]
+        by = next_pts[:, 1] - half - inx[:, 1]
+        ixn = inx[:, 0].astype(jnp.int32)
+        iyn = inx[:, 1].astype(jnp.int32)
+        Jp = _bilerp(
+            _gather_patches(img_next_pad, ixn, iyn, pad, win), bx, by
+        )
+        return jnp.sum(jnp.abs(Jp - Ipatch), axis=(1, 2)) / win_area
 
+    err = jax.lax.cond(
+        level_is_zero,
+        compute_err,
+        lambda _: jnp.zeros((n,), jnp.float32),
+        None,
+    )
     return next_pts, status, err
 
 
@@ -343,6 +358,18 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _bucket(n: int) -> int:
+    """Pad feature counts to coarse power-of-two buckets.
+
+    Every distinct padded size is a separate compile (minutes over a
+    tunneled TPU), so per-frame feature-count jitter must not create new
+    shapes."""
+    b = 256
+    while b < n:
+        b *= 2
+    return b
+
+
 def calc_optical_flow(
     prev_pyr: PyramidCache,
     next_pyr: PyramidCache,
@@ -364,37 +391,144 @@ def calc_optical_flow(
         )
     levels = min(prev_pyr.num_levels, next_pyr.num_levels)
 
-    m = max(8, _round_up(n, 256))
+    m = _bucket(n)
     pts_p = np.zeros((m, 2), np.float32)
     pts_p[:n] = pts
 
     eps = min(max(opts.term_epsilon, 0.0), 10.0)
-    eps2 = jnp.float32(eps * eps)
-    thr = jnp.float32(opts.min_eigen_threshold)
+    nxt, status, err = _lk_all_levels(
+        tuple(prev_pyr.levels[:levels]),
+        tuple(next_pyr.levels[:levels]),
+        jnp.asarray(pts_p),
+        jnp.float32(eps * eps),
+        jnp.float32(opts.min_eigen_threshold),
+        win=opts.window_size,
+        max_iters=opts.term_max_iters,
+        levels=levels,
+    )
+    nxt, status, err = jax.device_get((nxt, status, err))
+    return nxt[:n], status[:n], err[:n]
 
+
+@partial(jax.jit, static_argnames=("win", "max_iters", "levels"))
+def _lk_all_levels(
+    prev_levels,
+    next_levels,
+    pts,          # (N, 2) full-resolution positions (padded)
+    eps2,
+    min_eig_thr,
+    *,
+    win: int,
+    max_iters: int,
+    levels: int,
+):
+    """Full coarse-to-fine solve as ONE device program.
+
+    A single dispatch + single result transfer: host↔device round-trip
+    latency (especially over a tunneled TPU) dwarfs the ~0.5 ms of
+    per-level compute, so level hand-off must stay on device.
+    """
+    next_images = tuple(next_levels[lvl][0] for lvl in range(levels))
+    return _lk_core(
+        prev_levels, next_images, pts, eps2, min_eig_thr, win, max_iters,
+        levels,
+    )
+
+
+def _lk_core(prev_levels, next_images, pts, eps2, min_eig_thr, win,
+             max_iters, levels):
+    """Coarse-to-fine chain over one (prev, next) pyramid pair."""
+    n = pts.shape[0]
     top = levels - 1
-    scale = 1.0 / (1 << top)
-    cur_prev = jnp.asarray(pts_p * scale)
-    cur_next = cur_prev
-    status = jnp.ones((m,), bool)
-    err = jnp.zeros((m,), jnp.float32)
+    cur_next = pts * (1.0 / (1 << top))
+    status = jnp.ones((n,), bool)
+    err = jnp.zeros((n,), jnp.float32)
 
     for lvl in range(top, -1, -1):
+        cur_prev = pts * (1.0 / (1 << lvl))
         if lvl != top:
-            cur_prev = jnp.asarray(pts_p) * (1.0 / (1 << lvl))
             cur_next = cur_next * 2.0
-        imgp, dxp, dyp, shape_p = prev_pyr.levels[lvl]
-        imgn, _, _, _ = next_pyr.levels[lvl]
+        imgp, dxp, dyp, shape_p = prev_levels[lvl]
         cur_next, status, err = _lk_level(
-            imgp, dxp, dyp, imgn,
+            imgp, dxp, dyp, next_images[lvl],
             cur_prev, cur_next, status,
             jnp.bool_(lvl == 0), shape_p,
-            eps2, thr,
-            win=opts.window_size,
-            max_iters=opts.term_max_iters,
+            eps2, min_eig_thr,
+            win=win, max_iters=max_iters,
+        )
+    return cur_next, status, err
+
+
+@partial(jax.jit, static_argnames=("win", "max_iters", "levels"))
+def _lk_all_levels_multi(
+    prev_levels,
+    next_images_stacked,   # tuple of (T, Hp, Wp) arrays, one per level
+    pts,
+    eps2,
+    min_eig_thr,
+    *,
+    win: int,
+    max_iters: int,
+    levels: int,
+):
+    """Track the SAME features into T target frames in one program.
+
+    The previous frame's patches, derivatives and 2×2 normal matrices
+    don't depend on the target, so a ``vmap`` over the target axis
+    batches only the iteration (XLA keeps the unbatched prep shared).
+    One dispatch covers a full ±{1,2,4,8} skip fan-out — the reference's
+    per-pair thread pool (cpp/opticalflow.cc:269-309) becomes a batch
+    dimension.
+    """
+
+    def solve_one(next_images):
+        return _lk_core(
+            prev_levels, next_images, pts, eps2, min_eig_thr, win,
+            max_iters, levels,
         )
 
-    next_np = np.asarray(cur_next)[:n]
-    status_np = np.asarray(status)[:n]
-    err_np = np.asarray(err)[:n]
-    return next_np, status_np, err_np
+    return jax.vmap(solve_one)(next_images_stacked)
+
+
+def calc_optical_flow_multi(
+    prev_pyr: PyramidCache,
+    next_pyrs: List[PyramidCache],
+    prev_pts: np.ndarray,
+    opts: LKOptions = LKOptions(),
+):
+    """Track ``prev_pts`` into several target frames with ONE dispatch.
+
+    Returns ``(next_pts (T,N,2), status (T,N), err (T,N))``.
+    """
+    pts = np.ascontiguousarray(prev_pts, np.float32).reshape(-1, 2)
+    n = pts.shape[0]
+    T = len(next_pyrs)
+    if n == 0 or T == 0:
+        return (
+            np.empty((T, 0, 2), np.float32),
+            np.empty((T, 0), bool),
+            np.empty((T, 0), np.float32),
+        )
+    levels = min([prev_pyr.num_levels] + [p.num_levels for p in next_pyrs])
+
+    m = _bucket(n)
+    pts_p = np.zeros((m, 2), np.float32)
+    pts_p[:n] = pts
+
+    stacked = tuple(
+        jnp.stack([p.levels[lvl][0] for p in next_pyrs])
+        for lvl in range(levels)
+    )
+    eps = min(max(opts.term_epsilon, 0.0), 10.0)
+    nxt, status, err = _lk_all_levels_multi(
+        tuple(prev_pyr.levels[:levels]),
+        stacked,
+        jnp.asarray(pts_p),
+        jnp.float32(eps * eps),
+        jnp.float32(opts.min_eigen_threshold),
+        win=opts.window_size,
+        max_iters=opts.term_max_iters,
+        levels=levels,
+    )
+    nxt, status, err = jax.device_get((nxt, status, err))
+    return nxt[:, :n], status[:, :n], err[:, :n]

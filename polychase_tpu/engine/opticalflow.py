@@ -29,7 +29,13 @@ import numpy as np
 
 from ..io.database import Database
 from .gftt import GFTTOptions, good_features_to_track
-from .lk import LKOptions, PyramidCache, calc_optical_flow, prepare_pyramid
+from .lk import (
+    LKOptions,
+    PyramidCache,
+    calc_optical_flow,
+    calc_optical_flow_multi,
+    prepare_pyramid,
+)
 
 # Skip pattern (cpp/opticalflow.cc:76-78)
 IMAGE_SKIPS = (-8, -4, -2, -1, 1, 2, 4, 8)
@@ -193,20 +199,29 @@ def _run(
 
         pyr1 = get_pyramid(frame_id1, gray1)
 
+        # Batch every needed skip target into one device dispatch
+        # (the reference's 4-thread pair pool, cpp/opticalflow.cc:269-309,
+        # becomes a batch axis).
+        targets = []
         for skip in IMAGE_SKIPS:
             frame_id2 = frame_id1 + skip
             if frame_id2 < first or frame_id2 >= last:
                 continue
             if db.image_pair_flow_exists(frame_id1, frame_id2):
                 continue
+            targets.append(frame_id2)
 
-            pyr2 = get_pyramid(frame_id2)
-            tracked, status, err = calc_optical_flow(
-                pyr1, pyr2, features, flow_options
-            )
-            keep = np.nonzero(status)[0].astype(np.uint32)
+        if not targets:
+            continue
+        pyrs2 = [get_pyramid(f2) for f2 in targets]
+        tracked, status, err = calc_optical_flow_multi(
+            pyr1, pyrs2, features, flow_options
+        )
+        for i, frame_id2 in enumerate(targets):
+            st = status[i]
+            keep = np.nonzero(st)[0].astype(np.uint32)
             db.write_image_pair_flow(
-                frame_id1, frame_id2, keep, tracked[status], err[status]
+                frame_id1, frame_id2, keep, tracked[i][st], err[i][st]
             )
 
     if callback is not None:

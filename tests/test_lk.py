@@ -139,3 +139,27 @@ def test_empty_points():
     p = prepare_pyramid(img)
     nxt, status, err = calc_optical_flow(p, p, np.empty((0, 2), np.float32))
     assert nxt.shape == (0, 2)
+
+
+def test_multi_target_matches_single(rng):
+    from polychase_tpu.engine.lk import calc_optical_flow_multi
+
+    img1 = textured(rng)
+    targets = [
+        shift_image(img1, 1.3, -0.7),
+        shift_image(img1, -2.1, 0.4),
+        shift_image(img1, 4.0, 2.5),
+    ]
+    pts, _ = good_features_to_track(img1, None, GFTTOptions(min_distance=9))
+    pts = pts[:50]
+
+    opts = LKOptions()
+    p1 = prepare_pyramid(img1, opts)
+    pyrs = [prepare_pyramid(t, opts) for t in targets]
+
+    m_nxt, m_status, m_err = calc_optical_flow_multi(p1, pyrs, pts, opts)
+    for i, p2 in enumerate(pyrs):
+        s_nxt, s_status, s_err = calc_optical_flow(p1, p2, pts, opts)
+        np.testing.assert_array_equal(m_status[i], s_status)
+        np.testing.assert_allclose(m_nxt[i], s_nxt, atol=1e-5)
+        np.testing.assert_allclose(m_err[i], s_err, atol=1e-5)
