@@ -33,6 +33,7 @@ tests/test_lk.py against cv2 goldens).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import List, NamedTuple, Tuple
 
@@ -336,13 +337,72 @@ def _prepare_levels(pyr: Tuple[jax.Array, ...], *, win: int, levels: int):
     return tuple(out)
 
 
+def _pad_level_asym(img, top, bottom, left, right, zero: bool):
+    """Pad with per-side widths: reflect-101 for images, zeros for derivs."""
+    if zero:
+        return jnp.pad(img, ((top, bottom), (left, right)))
+    out = img
+    rem = [top, bottom, left, right]
+    while any(r > 0 for r in rem):
+        step_ok = min(out.shape[0] - 1, out.shape[1] - 1)
+        if step_ok <= 0:
+            widths = ((rem[0], rem[1]), (rem[2], rem[3]))
+            out = jnp.pad(out, widths, mode="edge")
+            break
+        take = [min(r, step_ok) for r in rem]
+        out = jnp.pad(out, ((take[0], take[1]), (take[2], take[3])),
+                      mode="reflect")
+        rem = [r - t for r, t in zip(rem, take)]
+    return out
+
+
+def pallas_enabled() -> bool:
+    """Use the Pallas LK kernels? (TPU default; POLYCHASE_LK_PALLAS=0/1)."""
+    env = os.environ.get("POLYCHASE_LK_PALLAS", "").strip().lower()
+    if env in ("0", "false", "off"):
+        return False
+    if env in ("1", "true", "on"):
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+@partial(jax.jit, static_argnames=("levels",))
+def _prepare_levels_pallas(pyr, *, levels: int):
+    """Pallas-flavor padding: 16px borders, 8-aligned rows, 128-aligned
+    cols (see kernels/lk_pallas.py layout requirements)."""
+    from polychase_tpu.kernels import lk_pallas as lkp
+
+    out = []
+    for lvl in range(levels):
+        img = pyr[lvl]
+        h, w = img.shape
+        hp, wp = lkp.pad_level_dims(h, w)
+        top, left = lkp.PADY, lkp.PADX
+        bottom, right = hp - h - top, wp - w - left
+        dx, dy = _scharr_derivs(img)
+        out.append(
+            (
+                _pad_level_asym(img, top, bottom, left, right, zero=False),
+                _pad_level_asym(dx, top, bottom, left, right, zero=True),
+                _pad_level_asym(dy, top, bottom, left, right, zero=True),
+            )
+        )
+    return tuple(out)
+
+
 class PyramidCache:
     """Prepared (padded + differentiated) pyramid for one frame."""
 
-    def __init__(self, levels_data, num_levels: int, opts: LKOptions):
+    def __init__(self, levels_data, num_levels: int, opts: LKOptions,
+                 flavor: str = "xla", dims=None):
         self.levels = levels_data
         self.num_levels = num_levels
         self.opts = opts
+        self.flavor = flavor
+        self.dims = dims  # per-level (H, W), pallas flavor only
 
 
 def prepare_pyramid(image, opts: LKOptions = LKOptions()) -> PyramidCache:
@@ -350,6 +410,14 @@ def prepare_pyramid(image, opts: LKOptions = LKOptions()) -> PyramidCache:
     img = jnp.asarray(np.asarray(image), jnp.float32)
     levels = num_pyramid_levels(img.shape[0], img.shape[1], opts)
     pyr = build_pyramid(img, levels)
+    if pallas_enabled():
+        dims = []
+        h, w = img.shape
+        for _ in range(levels):
+            dims.append((h, w))
+            h, w = (h + 1) // 2, (w + 1) // 2
+        data = _prepare_levels_pallas(pyr, levels=levels)
+        return PyramidCache(data, levels, opts, "pallas", tuple(dims))
     data = _prepare_levels(pyr, win=opts.window_size, levels=levels)
     return PyramidCache(data, levels, opts)
 
@@ -368,6 +436,44 @@ def _bucket(n: int) -> int:
     while b < n:
         b *= 2
     return b
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "dims", "win", "max_iters", "eps2", "min_eig_thr", "levels", "T"
+    ),
+)
+def _lk_pallas_program(
+    prev_levels, next_images, pts, *,
+    dims, win, max_iters, eps2, min_eig_thr, levels, T,
+):
+    from polychase_tpu.kernels import lk_pallas as lkp
+
+    return lkp.lk_all_levels_pallas(
+        prev_levels, next_images, pts,
+        dims=dims, win=win, max_iters=max_iters, eps2=eps2,
+        min_eig_thr=min_eig_thr,
+    )
+
+
+def _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels):
+    eps = min(max(opts.term_epsilon, 0.0), 10.0)
+    next_images = tuple(
+        tuple(p.levels[lvl][0] for p in next_pyrs) for lvl in range(levels)
+    )
+    return _lk_pallas_program(
+        tuple(prev_pyr.levels[:levels]),
+        next_images,
+        jnp.asarray(pts_p),
+        dims=tuple(prev_pyr.dims[:levels]),
+        win=opts.window_size,
+        max_iters=opts.term_max_iters,
+        eps2=float(eps * eps),
+        min_eig_thr=float(opts.min_eigen_threshold),
+        levels=levels,
+        T=len(next_pyrs),
+    )
 
 
 def calc_optical_flow(
@@ -394,6 +500,13 @@ def calc_optical_flow(
     m = _bucket(n)
     pts_p = np.zeros((m, 2), np.float32)
     pts_p[:n] = pts
+
+    if prev_pyr.flavor == "pallas":
+        nxt, status, err = _run_pallas(
+            prev_pyr, [next_pyr], pts_p, opts, levels
+        )
+        nxt, status, err = jax.device_get((nxt, status, err))
+        return nxt[0, :n], status[0, :n], err[0, :n]
 
     eps = min(max(opts.term_epsilon, 0.0), 10.0)
     nxt, status, err = _lk_all_levels(
@@ -514,6 +627,12 @@ def calc_optical_flow_multi(
     m = _bucket(n)
     pts_p = np.zeros((m, 2), np.float32)
     pts_p[:n] = pts
+
+    if prev_pyr.flavor == "pallas":
+        nxt, status, err = _run_pallas(prev_pyr, next_pyrs, pts_p, opts,
+                                       levels)
+        nxt, status, err = jax.device_get((nxt, status, err))
+        return nxt[:, :n], status[:, :n], err[:, :n]
 
     stacked = tuple(
         jnp.stack([p.levels[lvl][0] for p in next_pyrs])

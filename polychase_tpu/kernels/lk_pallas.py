@@ -1,0 +1,509 @@
+"""Pyramidal Lucas-Kanade iteration as Pallas TPU kernels.
+
+Why this exists: the pure-XLA path in :mod:`polychase_tpu.engine.lk`
+gathers an 11x11 window per feature per iteration.  XLA lowers each
+window to one DMA descriptor, costing ~2us regardless of size, so a
+640x480 analyze frame (8k features x 8 skip-targets x 30 iters x 4
+levels) spends ~12 s in gathers on a v5e chip.  These kernels stage a
+(PR, PC) patch per feature in VMEM *once per pyramid level* and run all
+LK iterations out of VMEM, sampling bilinearly with per-feature integer
+offsets folded into shifted-slice weights (pure VPU work, no gathers).
+
+Semantics mirror ``engine.lk._lk_level`` (itself validated against
+``cv2.calcOpticalFlowPyrLK`` goldens; reference hot loop:
+/root/reference/cpp/opticalflow.cc:119-125):
+
+- per level, the previous image/derivative windows and the 2x2 normal
+  matrix come from a fixed sub-pixel position (kernel ``_prep_kernel``);
+- the iteration loop samples the *next* image at the moving position,
+  solves the 2x2 system, applies OpenCV's convergence / oscillation /
+  out-of-bounds rules (kernel ``_iter_kernel``), with early exit when
+  every feature in the 128-lane group has converged;
+- a feature whose position drifts outside its staged patch triggers an
+  in-loop re-extraction of the group's patches (rare: patches carry
+  +-6..10 px of slack re-centered on every extraction).
+
+Layout notes (see /opt/skills/guides/pallas_guide.md): feature groups of
+128 ride the lane dimension; patches live as (PR, PC, 128) f32 in VMEM;
+per-feature extraction does an 8-aligned sublane block slice plus one
+dynamic lane roll, then one transpose per group.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GROUP = 128          # features per kernel grid step (= lane width)
+PADX = 16            # left padding of each pyramid level, pixels
+PADY = 16            # top padding
+_FLT_SCALE = 1.0 / (1 << 20)
+_FLT_EPSILON = np.float32(1.1920929e-07)
+
+
+def _round8(n: int) -> int:
+    return ((n + 7) // 8) * 8
+
+
+def _patch_rows(win: int) -> int:
+    """Iteration patch rows: window + drift slack, 8-aligned."""
+    return _round8(win + 22)
+
+
+def _patch_cols(win: int) -> int:
+    return win + 14
+
+
+def _prep_rows(win: int) -> int:
+    """Prep block rows: (win+2) window + up-to-7 alignment remainder."""
+    return _round8(win + 10)
+
+
+def pallas_supported() -> bool:
+    """True when the default backend can run these kernels compiled."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+
+
+def pad_level_dims(h: int, w: int) -> Tuple[int, int]:
+    """Padded (Hp, Wp) for a level of size (h, w)."""
+    hp = PADY + h + 16 + (-(h + PADY + 16)) % 8
+    wp = max(256, -(-(w + PADX + 48) // 128) * 128)
+    return hp, wp
+
+
+def _lane_iota():
+    return jax.lax.broadcasted_iota(jnp.int32, (1, GROUP), 1)
+
+
+def _lane_scalar(vec, b):
+    """Extract lane ``b`` of an int32 (1, GROUP) vector as a scalar."""
+    return jnp.sum(jnp.where(_lane_iota() == b, vec, 0))
+
+
+# ---------------------------------------------------------------------------
+# Kernel A: previous-image window + derivative patches + normal matrix
+# ---------------------------------------------------------------------------
+
+
+def _make_prep_kernel(win: int, Hp: int, Wp: int):
+    INT = win + 2          # integer support incl. bilerp neighbor row/col
+    BR = _prep_rows(win)
+
+    def kernel(
+        iyp_ref, ixp_ref, ax_ref, ay_ref,
+        img_ref, dx_ref, dy_ref,
+        ip_out, dxi_out, dyi_out, a11_out, a12_out, a22_out,
+        tmpi, tmpx, tmpy,
+    ):
+        iyv = jnp.clip(iyp_ref[:], 0, Hp - INT)
+        ixv = jnp.clip(ixp_ref[:], 0, Wp - INT)
+        byv = jnp.minimum((iyv // 8) * 8, Hp - BR)
+        ryv = iyv - byv
+        bxcv = jnp.minimum((ixv // 128) * 128, Wp - 256)
+        rxv = ixv - bxcv
+
+        def per_track(b, _):
+            yb = _lane_scalar(byv, b)
+            ry = _lane_scalar(ryv, b)
+            xc = _lane_scalar(bxcv, b)
+            rx = _lane_scalar(rxv, b)
+            ys = pl.ds(pl.multiple_of(yb, 8), BR)
+            xs = pl.ds(pl.multiple_of(xc, 128), 256)
+            lsh = (256 - rx) % 256
+            ssh = (BR - ry) % BR
+            for src, dst in ((img_ref, tmpi), (dx_ref, tmpx), (dy_ref, tmpy)):
+                blk = pltpu.roll(src[ys, xs], lsh, 1)
+                blk = pltpu.roll(blk, ssh, 0)
+                dst[b] = blk[:INT, :INT]
+            return 0
+
+        jax.lax.fori_loop(0, GROUP, per_track, 0)
+
+        ax = ax_ref[:].reshape(1, 1, GROUP)
+        ay = ay_ref[:].reshape(1, 1, GROUP)
+        w00 = (1.0 - ax) * (1.0 - ay)
+        w01 = ax * (1.0 - ay)
+        w10 = (1.0 - ax) * ay
+        w11 = ax * ay
+
+        def bilerp(t):
+            p = jnp.transpose(t[:], (1, 2, 0))  # (INT, INT, GROUP)
+            return (
+                w00 * p[:win, :win, :]
+                + w01 * p[:win, 1 : win + 1, :]
+                + w10 * p[1 : win + 1, :win, :]
+                + w11 * p[1 : win + 1, 1 : win + 1, :]
+            )
+
+        ipatch = bilerp(tmpi)
+        dxi = bilerp(tmpx)
+        dyi = bilerp(tmpy)
+        ip_out[:] = ipatch
+        dxi_out[:] = dxi
+        dyi_out[:] = dyi
+        a11_out[:] = (jnp.sum(dxi * dxi, axis=(0, 1)) * _FLT_SCALE).reshape(
+            1, GROUP
+        )
+        a12_out[:] = (jnp.sum(dxi * dyi, axis=(0, 1)) * _FLT_SCALE).reshape(
+            1, GROUP
+        )
+        a22_out[:] = (jnp.sum(dyi * dyi, axis=(0, 1)) * _FLT_SCALE).reshape(
+            1, GROUP
+        )
+
+    return kernel, BR, INT
+
+
+def lk_prepare_level(
+    img_pad, dx_pad, dy_pad, pts, *, win: int, H: int, W: int,
+    min_eig_thr: float, interpret: bool = False,
+):
+    """Previous-frame patches + normal matrices for one pyramid level.
+
+    ``pts`` is (N, 2) float32 in unpadded level coordinates, N a multiple
+    of GROUP.  Returns (Ipatch, dxI, dyI, A11, A12, A22, invD, ok) where
+    patch arrays are (win, win, N) and vectors are (N,).
+    """
+    n = pts.shape[0]
+    assert n % GROUP == 0, n
+    Hp, Wp = img_pad.shape
+    half = (win - 1) * 0.5
+    ipf = jnp.floor(pts - half)
+    ax = (pts[:, 0] - half - ipf[:, 0]).reshape(1, n)
+    ay = (pts[:, 1] - half - ipf[:, 1]).reshape(1, n)
+    ix = ipf[:, 0].astype(jnp.int32)
+    iy = ipf[:, 1].astype(jnp.int32)
+    ixp = (ix + PADX).reshape(1, n)
+    iyp = (iy + PADY).reshape(1, n)
+
+    kernel, _, _ = _make_prep_kernel(win, Hp, Wp)
+    grid = n // GROUP
+    vec_in = lambda: pl.BlockSpec((1, GROUP), lambda g: (0, g), memory_space=pltpu.VMEM)
+    img_in = lambda: pl.BlockSpec((Hp, Wp), lambda g: (0, 0), memory_space=pltpu.VMEM)
+    patch_out = lambda: pl.BlockSpec(
+        (win, win, GROUP), lambda g: (0, 0, g), memory_space=pltpu.VMEM
+    )
+    vec_out = lambda: pl.BlockSpec((1, GROUP), lambda g: (0, g), memory_space=pltpu.VMEM)
+    INT = win + 2
+    ip, dxi, dyi, a11, a12, a22 = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[vec_in() for _ in range(4)] + [img_in() for _ in range(3)],
+        out_specs=tuple(
+            [patch_out() for _ in range(3)] + [vec_out() for _ in range(3)]
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((win, win, n), jnp.float32),
+            jax.ShapeDtypeStruct((win, win, n), jnp.float32),
+            jax.ShapeDtypeStruct((win, win, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((GROUP, INT, INT), jnp.float32) for _ in range(3)
+        ],
+        interpret=interpret,
+    )(iyp, ixp, ax, ay, img_pad, dx_pad, dy_pad)
+
+    a11 = a11.reshape(n)
+    a12 = a12.reshape(n)
+    a22 = a22.reshape(n)
+    in_bounds = (ix >= -win) & (ix < W) & (iy >= -win) & (iy < H)
+    D = a11 * a22 - a12 * a12
+    win_area = float(win * win)
+    min_eig = (a22 + a11 - jnp.sqrt((a11 - a22) ** 2 + 4.0 * a12 * a12)) / (
+        2.0 * win_area
+    )
+    ok = in_bounds & (min_eig >= min_eig_thr) & (D >= _FLT_EPSILON)
+    invD = jnp.where(ok, 1.0 / jnp.where(ok, D, 1.0), 0.0)
+    return ip, dxi, dyi, a11, a12, a22, invD, ok
+
+
+# ---------------------------------------------------------------------------
+# Kernel B: the LK iteration loop for one (level, target) pair
+# ---------------------------------------------------------------------------
+
+
+def _make_iter_kernel(
+    win: int, Hp: int, Wp: int, H: int, W: int,
+    max_iters: int, eps2: float, level_is_zero: bool,
+):
+    PR = _patch_rows(win)
+    PC = _patch_cols(win)
+    Dy = PR - win + 1
+    Dx = PC - win + 1
+    LYT = (PR - win - 1) // 2 - 2   # initial row slack target (pre-align)
+    LXT = (PC - win - 1) // 2       # initial col slack target
+    half = (win - 1) * 0.5
+    ly_max = float(PR - win - 1)
+    lx_max = float(PC - win - 1)
+
+    def kernel(
+        ip_ref, dxi_ref, dyi_ref, a11_ref, a12_ref, a22_ref, invd_ref,
+        ok_ref, x0_ref, y0_ref,
+        img_ref,
+        xo_ref, yo_ref, st_ref, err_ref,
+        tmp, patch, by_ref, bx_ref,
+    ):
+        def extract(pxv, pyv):
+            oyf = pyv - half + PADY
+            oxf = pxv - half + PADX
+            iyw = jnp.floor(oyf).astype(jnp.int32)
+            ixw = jnp.floor(oxf).astype(jnp.int32)
+            byv = jnp.clip(((iyw - LYT) // 8) * 8, 0, Hp - PR)
+            bxv = jnp.clip(ixw - LXT, 0, Wp - PC)
+            by_ref[:] = byv
+            bx_ref[:] = bxv
+            bxcv = jnp.minimum((bxv // 128) * 128, Wp - 256)
+            rxv = bxv - bxcv
+
+            def per_track(b, _):
+                yb = _lane_scalar(byv, b)
+                xc = _lane_scalar(bxcv, b)
+                rx = _lane_scalar(rxv, b)
+                blk = img_ref[
+                    pl.ds(pl.multiple_of(yb, 8), PR),
+                    pl.ds(pl.multiple_of(xc, 128), 256),
+                ]
+                tmp[b] = pltpu.roll(blk, (256 - rx) % 256, 1)[:, :PC]
+                return 0
+
+            jax.lax.fori_loop(0, GROUP, per_track, 0)
+            patch[:] = jnp.transpose(tmp[:], (1, 2, 0))
+
+        def local_coords(pxv, pyv):
+            lyf = (pyv - half + PADY) - by_ref[:].astype(jnp.float32)
+            lxf = (pxv - half + PADX) - bx_ref[:].astype(jnp.float32)
+            return lyf, lxf
+
+        def sample(lyf, lxf):
+            p = patch[:]
+            rows = jnp.zeros((win, PC, GROUP), jnp.float32)
+            for d in range(Dy):
+                wd = jnp.maximum(0.0, 1.0 - jnp.abs(lyf - d)).reshape(
+                    1, 1, GROUP
+                )
+                rows = rows + wd * p[d : d + win, :, :]
+            jw = jnp.zeros((win, win, GROUP), jnp.float32)
+            for e in range(Dx):
+                we = jnp.maximum(0.0, 1.0 - jnp.abs(lxf - e)).reshape(
+                    1, 1, GROUP
+                )
+                jw = jw + we * rows[:, e : e + win, :]
+            return jw
+
+        ipatch = ip_ref[:]
+        dxi = dxi_ref[:]
+        dyi = dyi_ref[:]
+        A11 = a11_ref[:]
+        A12 = a12_ref[:]
+        A22 = a22_ref[:]
+        invD = invd_ref[:]
+        ok = ok_ref[:] > 0.0
+
+        px0 = x0_ref[:]
+        py0 = y0_ref[:]
+        extract(px0, py0)
+
+        def cond(c):
+            it, _, _, active_f, _, _, _ = c
+            return (it < max_iters) & jnp.any(active_f > 0.0)
+
+        def body(c):
+            # Mosaic cannot carry i1 vectors through scf.while: active and
+            # status ride the carry as f32 masks.
+            it, px, py, active_f, pdx, pdy, status_f = c
+            active = active_f > 0.0
+            ixw = jnp.floor(px - half).astype(jnp.int32)
+            iyw = jnp.floor(py - half).astype(jnp.int32)
+            oob = (ixw < -win) | (ixw >= W) | (iyw < -win) | (iyw >= H)
+            if level_is_zero:
+                status_f = jnp.where(active & oob, 0.0, status_f)
+            active = active & ~oob
+
+            lyf, lxf = local_coords(px, py)
+            esc = active & (
+                (lyf < 0.0) | (lyf > ly_max) | (lxf < 0.0) | (lxf > lx_max)
+            )
+
+            @pl.when(jnp.any(esc))
+            def _():
+                extract(px, py)
+
+            lyf, lxf = local_coords(px, py)
+            jw = sample(lyf, lxf)
+            diff = (jw - ipatch) * 32.0
+            b1 = (jnp.sum(diff * dxi, axis=(0, 1)) * _FLT_SCALE).reshape(
+                1, GROUP
+            )
+            b2 = (jnp.sum(diff * dyi, axis=(0, 1)) * _FLT_SCALE).reshape(
+                1, GROUP
+            )
+            dx_ = (A12 * b2 - A22 * b1) * invD
+            dy_ = (A12 * b1 - A11 * b2) * invD
+            px2 = jnp.where(active, px + dx_, px)
+            py2 = jnp.where(active, py + dy_, py)
+            conv = dx_ * dx_ + dy_ * dy_ <= eps2
+            osc = (
+                (it > 0)
+                & (jnp.abs(dx_ + pdx) < 0.01)
+                & (jnp.abs(dy_ + pdy) < 0.01)
+            )
+            back = active & osc
+            px2 = jnp.where(back, px2 - dx_ * 0.5, px2)
+            py2 = jnp.where(back, py2 - dy_ * 0.5, py2)
+            active = active & ~conv & ~osc
+            return (
+                it + 1, px2, py2,
+                jnp.where(active, 1.0, 0.0),
+                dx_, dy_, status_f,
+            )
+
+        init = (
+            jnp.int32(0),
+            px0,
+            py0,
+            jnp.where(ok, 1.0, 0.0),
+            jnp.zeros((1, GROUP), jnp.float32),
+            jnp.zeros((1, GROUP), jnp.float32),
+            jnp.ones((1, GROUP), jnp.float32),
+        )
+        _, px, py, _, _, _, status_f = jax.lax.while_loop(cond, body, init)
+
+        xo_ref[:] = px
+        yo_ref[:] = py
+        st_ref[:] = status_f
+        if level_is_zero:
+            extract(px, py)
+            lyf, lxf = local_coords(px, py)
+            jw = sample(lyf, lxf)
+            err_ref[:] = (
+                jnp.sum(jnp.abs(jw - ipatch), axis=(0, 1)) / float(win * win)
+            ).reshape(1, GROUP)
+        else:
+            err_ref[:] = jnp.zeros((1, GROUP), jnp.float32)
+
+    return kernel, PR, PC
+
+
+def lk_iterate_level(
+    img_pad, ipatch, dxi, dyi, a11, a12, a22, invd, ok, pts, *,
+    win: int, H: int, W: int, max_iters: int, eps2: float,
+    level_is_zero: bool, interpret: bool = False,
+):
+    """Run the LK iteration loop for one level against one target image.
+
+    ``pts`` is the (N, 2) current guess in level coordinates.  Returns
+    (new_pts (N,2), status (N,) bool, err (N,)).  ``status`` is only
+    meaningful when ``level_is_zero``.
+    """
+    n = pts.shape[0]
+    assert n % GROUP == 0, n
+    Hp, Wp = img_pad.shape
+    kernel, PR, PC = _make_iter_kernel(
+        win, Hp, Wp, H, W, max_iters, eps2, level_is_zero
+    )
+    grid = n // GROUP
+    vec = lambda: pl.BlockSpec((1, GROUP), lambda g: (0, g), memory_space=pltpu.VMEM)
+    patch_in = lambda: pl.BlockSpec(
+        (win, win, GROUP), lambda g: (0, 0, g), memory_space=pltpu.VMEM
+    )
+    img_in = pl.BlockSpec((Hp, Wp), lambda g: (0, 0), memory_space=pltpu.VMEM)
+
+    okf = jnp.where(ok, 1.0, 0.0).reshape(1, n)
+    x0 = pts[:, 0].reshape(1, n)
+    y0 = pts[:, 1].reshape(1, n)
+    a11r = a11.reshape(1, n)
+    a12r = a12.reshape(1, n)
+    a22r = a22.reshape(1, n)
+    invdr = invd.reshape(1, n)
+
+    xo, yo, st, err = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[patch_in() for _ in range(3)]
+        + [vec() for _ in range(7)]
+        + [img_in],
+        out_specs=tuple(vec() for _ in range(4)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((1, n), jnp.float32) for _ in range(4)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((GROUP, PR, PC), jnp.float32),
+            pltpu.VMEM((PR, PC, GROUP), jnp.float32),
+            pltpu.VMEM((1, GROUP), jnp.int32),
+            pltpu.VMEM((1, GROUP), jnp.int32),
+        ],
+        interpret=interpret,
+    )(ipatch, dxi, dyi, a11r, a12r, a22r, invdr, okf, x0, y0, img_pad)
+
+    new_pts = jnp.stack([xo.reshape(n), yo.reshape(n)], axis=-1)
+    return new_pts, st.reshape(n) > 0.0, err.reshape(n)
+
+
+# ---------------------------------------------------------------------------
+# Full coarse-to-fine solve (one XLA program; host wrapper jits this)
+# ---------------------------------------------------------------------------
+
+
+def lk_all_levels_pallas(
+    prev_levels: Sequence,      # per level: (img_pad, dx_pad, dy_pad)
+    next_images: Sequence,      # per level: tuple over T targets of img_pad
+    pts,                        # (N, 2) f32 full-res positions, N % 128 == 0
+    *,
+    dims: Tuple[Tuple[int, int], ...],   # per level (H, W), unpadded
+    win: int,
+    max_iters: int,
+    eps2: float,
+    min_eig_thr: float,
+    interpret: bool = False,
+):
+    """Coarse-to-fine pyramidal LK for T targets sharing one source frame.
+
+    Returns (next_pts (T,N,2), status (T,N) bool, err (T,N) f32) with the
+    same conventions as ``engine.lk._lk_all_levels_multi``.
+    """
+    levels = len(prev_levels)
+    T = len(next_images[0])
+    n = pts.shape[0]
+    top = levels - 1
+    cur = [pts * (1.0 / (1 << top)) for _ in range(T)]
+    status = [None] * T
+    err = [None] * T
+
+    for lvl in range(top, -1, -1):
+        H, W = dims[lvl]
+        prev_pts = pts * (1.0 / (1 << lvl))
+        if lvl != top:
+            cur = [c * 2.0 for c in cur]
+        img_p, dx_p, dy_p = prev_levels[lvl]
+        ip, dxi, dyi, a11, a12, a22, invd, ok = lk_prepare_level(
+            img_p, dx_p, dy_p, prev_pts,
+            win=win, H=H, W=W, min_eig_thr=min_eig_thr, interpret=interpret,
+        )
+        for t in range(T):
+            cur[t], st_t, err_t = lk_iterate_level(
+                next_images[lvl][t], ip, dxi, dyi, a11, a12, a22, invd, ok,
+                cur[t],
+                win=win, H=H, W=W, max_iters=max_iters, eps2=eps2,
+                level_is_zero=(lvl == 0), interpret=interpret,
+            )
+            if lvl == 0:
+                status[t] = st_t
+                err[t] = err_t
+
+    return (
+        jnp.stack(cur),
+        jnp.stack(status),
+        jnp.stack(err),
+    )

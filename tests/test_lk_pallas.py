@@ -1,0 +1,98 @@
+"""Parity tests for the Pallas LK kernels (interpret mode on CPU).
+
+The Pallas path must produce the same tracks as the XLA gather path in
+engine/lk.py (which is itself golden-tested against cv2 in test_lk.py).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from polychase_tpu.engine import lk
+from polychase_tpu.kernels import lk_pallas as lkp
+
+
+def _make_pair(h=96, w=160, shift=(3.0, 2.0), seed=0):
+    rng = np.random.default_rng(seed)
+    big = rng.uniform(0, 255, (h + 32, w + 32)).astype(np.float32)
+    # smooth so LK has gradients to work with
+    k = np.array([1, 4, 6, 4, 1], np.float32) / 16
+    for axis in (0, 1):
+        big = np.apply_along_axis(
+            lambda m: np.convolve(m, k, mode="same"), axis, big
+        )
+    img1 = big[8 : 8 + h, 8 : 8 + w]
+    sy, sx = int(round(shift[1])), int(round(shift[0]))
+    img2 = big[8 + sy : 8 + sy + h, 8 + sx : 8 + sx + w]
+    return img1.astype(np.float32), img2.astype(np.float32)
+
+
+def _pallas_pyr(img, opts):
+    levels = lk.num_pyramid_levels(img.shape[0], img.shape[1], opts)
+    pyr = lk.build_pyramid(jnp.asarray(img), levels)
+    data = lk._prepare_levels_pallas(pyr, levels=levels)
+    dims = []
+    h, w = img.shape
+    for _ in range(levels):
+        dims.append((h, w))
+        h, w = (h + 1) // 2, (w + 1) // 2
+    return data, tuple(dims), levels
+
+
+def test_pallas_interpret_matches_xla():
+    opts = lk.LKOptions()
+    img1, img2 = _make_pair()
+    h, w = img1.shape
+
+    rng = np.random.default_rng(1)
+    n = lkp.GROUP  # one lane group keeps interpret mode fast
+    pts = rng.uniform((12, 12), (w - 12, h - 12), (n, 2)).astype(np.float32)
+
+    # XLA reference path
+    pyr1 = lk._prepare_levels(
+        lk.build_pyramid(jnp.asarray(img1), 3),
+        win=opts.window_size, levels=3,
+    )
+    pyr2 = lk._prepare_levels(
+        lk.build_pyramid(jnp.asarray(img2), 3),
+        win=opts.window_size, levels=3,
+    )
+    ref_nxt, ref_st, ref_err = lk._lk_all_levels(
+        pyr1, pyr2, jnp.asarray(pts),
+        jnp.float32(opts.term_epsilon**2),
+        jnp.float32(opts.min_eigen_threshold),
+        win=opts.window_size, max_iters=opts.term_max_iters, levels=3,
+    )
+
+    data1, dims, _ = _pallas_pyr(img1, opts)
+    data2, _, _ = _pallas_pyr(img2, opts)
+    nxt, st, err = lkp.lk_all_levels_pallas(
+        tuple(data1[:3]),
+        tuple((data2[lvl][0],) for lvl in range(3)),
+        jnp.asarray(pts),
+        dims=dims[:3],
+        win=opts.window_size,
+        max_iters=opts.term_max_iters,
+        eps2=float(opts.term_epsilon**2),
+        min_eig_thr=float(opts.min_eigen_threshold),
+        interpret=True,
+    )
+
+    ref_nxt, ref_st = np.asarray(ref_nxt), np.asarray(ref_st)
+    nxt, st = np.asarray(nxt[0]), np.asarray(st[0])
+    assert np.mean(st == ref_st) > 0.97
+    both = st & ref_st
+    assert both.sum() > n // 2
+    d = np.linalg.norm(nxt[both] - ref_nxt[both], axis=1)
+    assert np.max(d) < 0.05, np.max(d)
+
+
+def test_pad_level_dims_invariants():
+    for h, w in [(480, 640), (60, 80), (1080, 1920), (17, 33)]:
+        hp, wp = lkp.pad_level_dims(h, w)
+        assert hp % 8 == 0
+        assert wp % 128 == 0
+        assert wp >= 256
+        assert hp >= lkp.PADY + h + 16
+        assert wp >= lkp.PADX + w + 48
