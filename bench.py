@@ -1,30 +1,28 @@
 """Headline benchmark: Analyze-Video throughput (BASELINE.md config 1).
 
-Measures the steady-state per-frame analyze cost — GFTT detection +
-pyramid preparation + 8 skip-pair pyramidal-LK solves — on a synthetic
-640×480 clip, for:
+Drives the REAL analyze pipeline end-to-end on a synthetic 640x480 clip:
+GFTT detection + pyramidal LK into the +-{1,2,4,8} skip targets + SQLite
+flow-database writes, for:
 
-- this framework on the default JAX device (the TPU chip when run by the
-  driver), and
+- this framework via ``generate_optical_flow_database`` on the default
+  JAX device (the TPU chip when run by the driver), with its pipelined
+  dispatch (GFTT lookahead, deferred LK transfers, Pallas LK kernels);
 - the reference's actual hot path: OpenCV ``goodFeaturesToTrack`` +
-  ``buildOpticalFlowPyramid`` + ``calcOpticalFlowPyrLK`` on CPU with the
-  reference's 4-thread cap (cpp/opticalflow.cc:269-271).  The reference
-  C++ wheel only wraps these OpenCV kernels, so this is a faithful CPU
-  baseline measured on identical inputs.
+  ``calcOpticalFlowPyrLK`` on CPU with the reference's 4-thread cap
+  (cpp/opticalflow.cc:269-271), writing the same database schema.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import tempfile
 import time
 
 import numpy as np
 
 W, H = 640, 480
 N_FRAMES = 12
-N_SKIPS = 8
-WARMUP = 2
-MEASURE = 4
 
 
 def make_clip():
@@ -42,84 +40,73 @@ def make_clip():
 
 
 def bench_ours(frames):
-    from polychase_tpu.engine.gftt import GFTTOptions, good_features_to_track
-    from polychase_tpu.engine.lk import (
-        LKOptions,
-        calc_optical_flow_multi,
-        prepare_pyramid,
+    from polychase_tpu.engine.opticalflow import (
+        VideoInfo,
+        generate_optical_flow_database,
     )
 
-    opts = LKOptions()
-    gftt_opts = GFTTOptions()
+    info = VideoInfo(W, H, 0, len(frames))
 
-    def analyze_frame(i, pyramids, feats):
-        pts, _ = good_features_to_track(frames[i], None, gftt_opts)
-        feats[i] = pts
-        if i not in pyramids:
-            pyramids[i] = prepare_pyramid(frames[i], opts)
-        targets = [
-            i + s for s in (-8, -4, -2, -1, 1, 2, 4, 8)
-            if 0 <= i + s < len(frames)
-        ]
-        for j in targets:
-            if j not in pyramids:
-                pyramids[j] = prepare_pyramid(frames[j], opts)
-        # One batched dispatch for all skip pairs
-        nxt, status, err = calc_optical_flow_multi(
-            pyramids[i], [pyramids[j] for j in targets], feats[i], opts
-        )
-        return nxt
+    def run():
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "flow.db")
+            t0 = time.perf_counter()
+            generate_optical_flow_database(
+                info, lambda fid: frames[fid], None, path
+            )
+            return time.perf_counter() - t0
 
-    # Warmup (compiles). Warm both the full-fanout and edge-of-clip shapes.
-    pyramids, feats = {}, {}
-    for i in list(range(WARMUP)) + [len(frames) // 2]:
-        out = analyze_frame(i, pyramids, feats)
-
-    start = len(frames) // 2 - MEASURE // 2
-    t0 = time.perf_counter()
-    for i in range(start, start + MEASURE):
-        out = analyze_frame(i, pyramids, feats)
-    dt = time.perf_counter() - t0
-    return MEASURE / dt
+    run()  # warmup: compiles every shape
+    dt = min(run() for _ in range(2))
+    return len(frames) / dt
 
 
 def bench_opencv(frames):
     import cv2
 
+    from polychase_tpu.io.database import Database
+
     cv2.setNumThreads(4)  # the reference's analysis-thread cap
     win = (10, 10)
     crit = (cv2.TERM_CRITERIA_COUNT + cv2.TERM_CRITERIA_EPS, 30, 0.01)
 
-    def detect(img):
-        # quality/min-distance as the reference defaults
-        pts = cv2.goodFeaturesToTrack(
-            img, maxCorners=0, qualityLevel=0.01, minDistance=5.0,
-            blockSize=3,
-        )
-        return pts.reshape(-1, 1, 2).astype(np.float32)
+    def run():
+        with tempfile.TemporaryDirectory() as td:
+            db = Database(os.path.join(td, "flow.db"))
+            t0 = time.perf_counter()
+            feats = {}
+            for i in range(len(frames)):
+                pts = cv2.goodFeaturesToTrack(
+                    frames[i], maxCorners=0, qualityLevel=0.01,
+                    minDistance=5.0, blockSize=3,
+                )
+                feats[i] = pts.reshape(-1, 1, 2).astype(np.float32)
+                db.write_keypoints(i, feats[i].reshape(-1, 2))
+                for skip in (-8, -4, -2, -1, 1, 2, 4, 8):
+                    j = i + skip
+                    if not 0 <= j < len(frames):
+                        continue
+                    if db.image_pair_flow_exists(i, j):
+                        continue
+                    nxt, st, err = cv2.calcOpticalFlowPyrLK(
+                        frames[i], frames[j], feats[i], None,
+                        winSize=win, maxLevel=3, criteria=crit,
+                        flags=0, minEigThreshold=1e-4,
+                    )
+                    keep = st.reshape(-1) == 1
+                    db.write_image_pair_flow(
+                        i, j,
+                        np.nonzero(keep)[0].astype(np.uint32),
+                        nxt.reshape(-1, 2)[keep],
+                        err.reshape(-1)[keep],
+                    )
+            dt = time.perf_counter() - t0
+            db.close()
+            return dt
 
-    def analyze_frame(i, feats):
-        # cv2 5.0 bindings reject Python pyramid lists; pass raw images
-        # and let OpenCV build the pyramid internally (same LK kernel).
-        feats[i] = detect(frames[i])
-        for skip in (-8, -4, -2, -1, 1, 2, 4, 8):
-            j = i + skip
-            if not 0 <= j < len(frames):
-                continue
-            cv2.calcOpticalFlowPyrLK(
-                frames[i], frames[j], feats[i], None,
-                winSize=win, maxLevel=3, criteria=crit,
-                flags=0, minEigThreshold=1e-4,
-            )
-
-    feats = {}
-    for i in range(WARMUP):
-        analyze_frame(i, feats)
-    t0 = time.perf_counter()
-    for i in range(WARMUP, WARMUP + MEASURE):
-        analyze_frame(i, feats)
-    dt = time.perf_counter() - t0
-    return MEASURE / dt
+    run()
+    dt = min(run() for _ in range(2))
+    return len(frames) / dt
 
 
 def main():

@@ -315,6 +315,137 @@ def _native_suppress(xs, ys, vals, w, h, min_distance, max_corners):
         return None
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "block_size", "ksize", "use_harris", "grid_rows", "grid_cols",
+        "is_8u",
+    ),
+)
+def gftt_candidates_topk(
+    image, mask, quality_level, harris_k, *, k,
+    block_size=3, ksize=3, use_harris=False, grid_rows=4, grid_cols=4,
+    is_8u=True,
+):
+    """Device-compacted candidates: top-k (value, linear index) + count.
+
+    Transferring the full packed response map costs H*W*4 bytes per frame
+    (1.2 MB at 640x480, 8.3 MB at 1080p) on every host round-trip; the
+    candidate set after grid thresholding + NMS is a few-10k pixels, so a
+    device-side top-k shrinks the transfer ~5-20x.  ``count`` lets the
+    host detect (rare) overflow and fall back to the full map.
+    """
+    eig, cand = gftt_response(
+        image, mask, quality_level, harris_k,
+        block_size=block_size, ksize=ksize, use_harris=use_harris,
+        grid_rows=grid_rows, grid_cols=grid_cols, is_8u=is_8u,
+    )
+    flat = jnp.where(cand, eig, 0.0).reshape(-1)
+    vals, idx = jax.lax.top_k(flat, k)
+    return vals, idx.astype(jnp.int32), jnp.sum(cand)
+
+
+class GFTTDispatch(NamedTuple):
+    """In-flight device-side GFTT for one frame (async pipeline stage)."""
+
+    vals: object          # (k,) device f32
+    idx: object           # (k,) device i32
+    count: object         # scalar device i32
+    shape: Tuple[int, int]
+    options: "GFTTOptions"
+    fallback: object      # image (host) for the rare top-k overflow
+
+
+def _check_options(options: GFTTOptions) -> None:
+    if not (
+        options.quality_level > 0
+        and options.min_distance >= 0
+        and options.max_corners >= 0
+    ):
+        raise ValueError("invalid GFTT options")
+
+
+def gftt_dispatch(
+    image, mask=None, options: GFTTOptions = GFTTOptions(), k: int = 32768,
+) -> GFTTDispatch:
+    """Start GFTT for a frame; device work is queued, nothing blocks."""
+    img = np.asarray(image)
+    if img.ndim != 2:
+        raise ValueError("image must be 2D grayscale")
+    _check_options(options)
+    is_8u = img.dtype == np.uint8
+    imgf = jnp.asarray(img, jnp.float32)
+    maskj = None if mask is None else jnp.asarray(np.asarray(mask) != 0)
+    k = min(k, img.size)
+    vals, idx, count = gftt_candidates_topk(
+        imgf, maskj,
+        jnp.float32(options.quality_level), jnp.float32(options.harris_k),
+        k=k,
+        block_size=int(options.block_size),
+        ksize=int(options.gradient_size),
+        use_harris=bool(options.use_harris),
+        grid_rows=max(1, int(options.grid_rows)),
+        grid_cols=max(1, int(options.grid_cols)),
+        is_8u=is_8u,
+    )
+    return GFTTDispatch(vals, idx, count, img.shape, options, (img, maskj))
+
+
+def gftt_finish(d: GFTTDispatch) -> Tuple[np.ndarray, np.ndarray]:
+    """Blocking host half: sort + greedy min-distance suppression."""
+    import jax as _jax
+
+    vals, idx, count = _jax.device_get((d.vals, d.idx, d.count))
+    if int(count) > vals.shape[0]:
+        # Top-k overflowed: redo via the full packed map (exact, slow).
+        packed = gftt_response_packed(
+            jnp.asarray(d.fallback[0], jnp.float32), d.fallback[1],
+            jnp.float32(d.options.quality_level),
+            jnp.float32(d.options.harris_k),
+            block_size=int(d.options.block_size),
+            ksize=int(d.options.gradient_size),
+            use_harris=bool(d.options.use_harris),
+            grid_rows=max(1, int(d.options.grid_rows)),
+            grid_cols=max(1, int(d.options.grid_cols)),
+            is_8u=d.fallback[0].dtype == np.uint8,
+        )
+        packed_np = np.asarray(packed)
+        ys, xs = np.nonzero(packed_np)
+        vals = packed_np[ys, xs]
+    else:
+        keep = vals > 0.0
+        vals = vals[keep]
+        lin = idx[keep].astype(np.int64)
+        ys = lin // d.shape[1]
+        xs = lin % d.shape[1]
+
+    if xs.size == 0:
+        return np.empty((0, 2), np.float32), np.empty((0,), np.float32)
+
+    # Deterministic sort: quality desc, then later row-major position first
+    # (the reference tie-breaks on pointer address, gftt.cc:7-12).
+    lin = ys.astype(np.int64) * d.shape[1] + xs
+    order = np.lexsort((-lin, -vals))
+    xs, ys, vals = xs[order], ys[order], vals[order]
+
+    options = d.options
+    if options.min_distance >= 1:
+        ox, oy, oq = _min_distance_suppress(
+            xs, ys, vals,
+            d.shape[1], d.shape[0],
+            float(options.min_distance), int(options.max_corners),
+        )
+    else:
+        n = xs.size
+        if options.max_corners > 0:
+            n = min(n, int(options.max_corners))
+        ox = xs[:n].astype(np.float32)
+        oy = ys[:n].astype(np.float32)
+        oq = vals[:n].astype(np.float32)
+
+    return np.stack([ox, oy], axis=-1), oq
+
+
 def good_features_to_track(
     image,
     mask=None,
@@ -329,55 +460,7 @@ def good_features_to_track(
     img = np.asarray(image)
     if img.ndim != 2:
         raise ValueError("image must be 2D grayscale")
-    if not (
-        options.quality_level > 0
-        and options.min_distance >= 0
-        and options.max_corners >= 0
-    ):
-        raise ValueError("invalid GFTT options")
+    _check_options(options)
     if img.size == 0:
         return np.empty((0, 2), np.float32), np.empty((0,), np.float32)
-
-    is_8u = img.dtype == np.uint8
-    imgf = jnp.asarray(img, jnp.float32)
-    maskj = None if mask is None else jnp.asarray(np.asarray(mask) != 0)
-
-    packed = gftt_response_packed(
-        imgf,
-        maskj,
-        jnp.float32(options.quality_level),
-        jnp.float32(options.harris_k),
-        block_size=int(options.block_size),
-        ksize=int(options.gradient_size),
-        use_harris=bool(options.use_harris),
-        grid_rows=max(1, int(options.grid_rows)),
-        grid_cols=max(1, int(options.grid_cols)),
-        is_8u=is_8u,
-    )
-    packed_np = np.asarray(packed)  # single device→host transfer
-    ys, xs = np.nonzero(packed_np)
-    if xs.size == 0:
-        return np.empty((0, 2), np.float32), np.empty((0,), np.float32)
-    vals = packed_np[ys, xs]
-
-    # Deterministic sort: quality desc, then later row-major position first
-    # (the reference tie-breaks on pointer address, gftt.cc:7-12).
-    lin = ys.astype(np.int64) * img.shape[1] + xs
-    order = np.lexsort((-lin, -vals))
-    xs, ys, vals = xs[order], ys[order], vals[order]
-
-    if options.min_distance >= 1:
-        ox, oy, oq = _min_distance_suppress(
-            xs, ys, vals,
-            img.shape[1], img.shape[0],
-            float(options.min_distance), int(options.max_corners),
-        )
-    else:
-        n = xs.size
-        if options.max_corners > 0:
-            n = min(n, int(options.max_corners))
-        ox = xs[:n].astype(np.float32)
-        oy = ys[:n].astype(np.float32)
-        oq = vals[:n].astype(np.float32)
-
-    return np.stack([ox, oy], axis=-1), oq
+    return gftt_finish(gftt_dispatch(img, mask, options))

@@ -603,6 +603,64 @@ def _lk_all_levels_multi(
     return jax.vmap(solve_one)(next_images_stacked)
 
 
+def calc_optical_flow_multi_async(
+    prev_pyr: PyramidCache,
+    next_pyrs: List[PyramidCache],
+    prev_pts: np.ndarray,
+    opts: LKOptions = LKOptions(),
+):
+    """Dispatch a multi-target solve without blocking.
+
+    Returns an opaque handle for :func:`calc_optical_flow_multi_finish`;
+    the device work and the result transfer overlap subsequent host work
+    (JAX dispatch is asynchronous).
+    """
+    pts = np.ascontiguousarray(prev_pts, np.float32).reshape(-1, 2)
+    n = pts.shape[0]
+    T = len(next_pyrs)
+    if n == 0 or T == 0:
+        return ("empty", T, n)
+    levels = min([prev_pyr.num_levels] + [p.num_levels for p in next_pyrs])
+    m = _bucket(n)
+    pts_p = np.zeros((m, 2), np.float32)
+    pts_p[:n] = pts
+
+    if prev_pyr.flavor == "pallas":
+        out = _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels)
+        return ("dev", n, out)
+
+    stacked = tuple(
+        jnp.stack([p.levels[lvl][0] for p in next_pyrs])
+        for lvl in range(levels)
+    )
+    eps = min(max(opts.term_epsilon, 0.0), 10.0)
+    out = _lk_all_levels_multi(
+        tuple(prev_pyr.levels[:levels]),
+        stacked,
+        jnp.asarray(pts_p),
+        jnp.float32(eps * eps),
+        jnp.float32(opts.min_eigen_threshold),
+        win=opts.window_size,
+        max_iters=opts.term_max_iters,
+        levels=levels,
+    )
+    return ("dev", n, out)
+
+
+def calc_optical_flow_multi_finish(handle):
+    """Block on a :func:`calc_optical_flow_multi_async` handle."""
+    if handle[0] == "empty":
+        _, T, n = handle
+        return (
+            np.empty((T, 0, 2), np.float32),
+            np.empty((T, 0), bool),
+            np.empty((T, 0), np.float32),
+        )
+    _, n, out = handle
+    nxt, status, err = jax.device_get(out)
+    return nxt[:, :n], status[:, :n], err[:, :n]
+
+
 def calc_optical_flow_multi(
     prev_pyr: PyramidCache,
     next_pyrs: List[PyramidCache],

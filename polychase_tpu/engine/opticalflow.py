@@ -28,12 +28,14 @@ from typing import Callable, NamedTuple, Optional
 import numpy as np
 
 from ..io.database import Database
-from .gftt import GFTTOptions, good_features_to_track
+from .gftt import GFTTOptions, gftt_dispatch, gftt_finish
 from .lk import (
     LKOptions,
     PyramidCache,
     calc_optical_flow,
     calc_optical_flow_multi,
+    calc_optical_flow_multi_async,
+    calc_optical_flow_multi_finish,
     prepare_pyramid,
 )
 
@@ -165,39 +167,77 @@ def _run(
         )
         os.makedirs(frames_dir, exist_ok=True)
 
-    def get_pyramid(frame_id: int, gray: Optional[np.ndarray] = None):
+    gray_cache = _PyramidLRU(19)  # generic LRU; stores np arrays here
+
+    def gray_of(frame_id: int) -> np.ndarray:
+        g = gray_cache.get(frame_id)
+        if g is None:
+            g = _get_gray(frame_accessor, video_info, frame_id)
+            gray_cache.put(frame_id, g)
+        return g
+
+    def get_pyramid(frame_id: int):
         pyr = cache.get(frame_id)
         if pyr is None:
-            if gray is None:
-                gray = _get_gray(frame_accessor, video_info, frame_id)
-            pyr = prepare_pyramid(gray, flow_options)
+            pyr = prepare_pyramid(gray_of(frame_id), flow_options)
             cache.put(frame_id, pyr)
         return pyr
 
+    # Software pipeline: GFTT for upcoming frames is dispatched ahead,
+    # and LK result transfers are deferred one frame, so host work (greedy
+    # suppression, SQLite writes) and the device<->host link overlap device
+    # compute.  The reference overlaps work with a 4-thread TBB pool
+    # (cpp/opticalflow.cc:269-309); here asynchronous dispatch plays that
+    # role with a single Python thread.
+    LOOKAHEAD = 3
+    gftt_pending: dict = {}
+    gftt_skip: set = set()
+    from collections import deque
+
+    pending_flows: deque = deque()
+
+    def flush_one():
+        frame_id1, targets, handle = pending_flows.popleft()
+        tracked, status, err = calc_optical_flow_multi_finish(handle)
+        for i, frame_id2 in enumerate(targets):
+            st = status[i]
+            keep = np.nonzero(st)[0].astype(np.uint32)
+            db.write_image_pair_flow(
+                frame_id1, frame_id2, keep, tracked[i][st], err[i][st]
+            )
+
+    cancelled = False
     for frame_id1 in range(first, last):
         if callback is not None:
             progress = (frame_id1 - first) / max(video_info.num_frames, 1)
             if not callback(progress, f"Processing frame {frame_id1}"):
-                callback(1.0, "Cancelled")
-                return
+                cancelled = True
+                break
 
-        gray1 = _get_gray(frame_accessor, video_info, frame_id1)
+        # Prefetch detection for the current + next few frames.
+        for fa in range(frame_id1, min(frame_id1 + LOOKAHEAD + 1, last)):
+            if fa in gftt_pending or fa in gftt_skip:
+                continue
+            if db.read_keypoints(fa).shape[0] > 0:
+                gftt_skip.add(fa)
+                continue
+            gftt_pending[fa] = gftt_dispatch(
+                gray_of(fa), None, detector_options
+            )
 
         # Read-or-generate keypoints (cpp/opticalflow.cc:154-178)
         features = db.read_keypoints(frame_id1)
-        if features.shape[0] == 0:
-            features, _quality = good_features_to_track(
-                gray1, None, detector_options
-            )
+        if features.shape[0] == 0 and frame_id1 in gftt_pending:
+            features, _quality = gftt_finish(gftt_pending.pop(frame_id1))
             db.write_keypoints(frame_id1, features)
 
         if write_images and frames_dir is not None:
-            _save_debug_image(gray1, frame_id1, frames_dir, features)
+            _save_debug_image(
+                gray_of(frame_id1), frame_id1, frames_dir, features
+            )
 
         if features.shape[0] == 0:
             continue
-
-        pyr1 = get_pyramid(frame_id1, gray1)
 
         # Batch every needed skip target into one device dispatch
         # (the reference's 4-thread pair pool, cpp/opticalflow.cc:269-309,
@@ -213,19 +253,27 @@ def _run(
 
         if not targets:
             continue
+        pyr1 = get_pyramid(frame_id1)
         pyrs2 = [get_pyramid(f2) for f2 in targets]
-        tracked, status, err = calc_optical_flow_multi(
+        if pyr1.flavor == "pallas":
+            # Pad the target fan-out to a single compiled shape: clip-edge
+            # frames would otherwise each compile their own T, and every
+            # compile is minutes over a remote-compile TPU link.  Padding
+            # targets are the source frame itself (zero-flow, converges in
+            # one iteration) and their outputs are dropped.
+            while len(pyrs2) < len(IMAGE_SKIPS):
+                pyrs2.append(pyr1)
+        handle = calc_optical_flow_multi_async(
             pyr1, pyrs2, features, flow_options
         )
-        for i, frame_id2 in enumerate(targets):
-            st = status[i]
-            keep = np.nonzero(st)[0].astype(np.uint32)
-            db.write_image_pair_flow(
-                frame_id1, frame_id2, keep, tracked[i][st], err[i][st]
-            )
+        pending_flows.append((frame_id1, targets, handle))
+        while len(pending_flows) > 1:
+            flush_one()
 
+    while pending_flows:
+        flush_one()
     if callback is not None:
-        callback(1.0, "Done")
+        callback(1.0, "Cancelled" if cancelled else "Done")
 
 
 def _save_debug_image(gray, frame_id, frames_dir, features):

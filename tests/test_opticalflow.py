@@ -82,11 +82,13 @@ def test_resume_skips_existing(tmp_path, rng):
 
     generate_optical_flow_database(info, accessor, None, db_path)
     n_first = len(calls)
+    # The gray-frame LRU decodes each frame exactly once on the first run.
+    assert n_first == 6
     calls.clear()
     generate_optical_flow_database(info, accessor, None, db_path)
-    # Second run still visits each frame once (keypoint check) but skips
-    # all pair tracking, so far fewer accessor calls.
-    assert len(calls) <= 6 < n_first
+    # Second run finds keypoints and all pair flows in the DB and never
+    # touches the accessor.
+    assert len(calls) == 0
 
 
 def test_cancel(tmp_path, rng):
