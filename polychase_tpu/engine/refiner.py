@@ -452,6 +452,22 @@ def _edge_eval(
 
 
 @partial(jax.jit, static_argnames=("loss_type",))
+def refresh_prims_and_cost(
+    params, data: RefinerData, mesh: Mesh, model, model_inv,
+    tri_corners, loss_scale, *, loss_type: int,
+):
+    """Fused accepted-step update: one dispatch for the prim-cache sweep
+    and the post-refresh cost (the host loop otherwise pays two device
+    round-trips per accepted LM step)."""
+    prims = refresh_prims(params, data, mesh, model_inv)
+    cost = total_cost(
+        params, data, prims, tri_corners, model, model_inv, loss_scale,
+        loss_type=loss_type,
+    )
+    return prims, cost
+
+
+@partial(jax.jit, static_argnames=("loss_type",))
 def total_cost(
     params, data: RefinerData, prims, tri_corners, model, model_inv,
     loss_scale, *, loss_type: int,
@@ -541,6 +557,39 @@ def apply_step(
 # ---------------------------------------------------------------------------
 
 
+def _pad_edges_to(data: RefinerData, multiple: int) -> RefinerData:
+    """Pad edge-indexed arrays so E divides the mesh size (padding edges
+    carry edge_valid=False and contribute nothing)."""
+    E = int(data.src_frame.shape[0])
+    E2 = -(-E // multiple) * multiple
+    if E2 == E:
+        return data
+    pad = E2 - E
+
+    def pad_e(a):
+        return jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+        )
+
+    return data._replace(
+        src_frame=pad_e(data.src_frame),
+        tgt_frame=pad_e(data.tgt_frame),
+        src_kp=pad_e(data.src_kp),
+        tgt_px=pad_e(data.tgt_px),
+        match_valid=pad_e(data.match_valid),
+        edge_weight=pad_e(data.edge_weight),
+        edge_valid=pad_e(data.edge_valid),
+    )
+
+
+_EDGE_FIELDS = frozenset(
+    (
+        "src_frame", "tgt_frame", "src_kp", "tgt_px", "match_valid",
+        "edge_weight", "edge_valid",
+    )
+)
+
+
 def refine_trajectory(
     database,
     traj: CameraTrajectory,
@@ -550,9 +599,19 @@ def refine_trajectory(
     optimize_principal_point: bool = False,
     callback: Optional[RefineTrajectoryCallback] = None,
     bundle_opts: BundleOptions = BundleOptions(),
+    device_mesh=None,
 ) -> CameraTrajectory:
     """Refine a fully-filled trajectory segment in place; returns the
-    refined trajectory (cpp/refiner.cc:649-725)."""
+    refined trajectory (cpp/refiner.cc:649-725).
+
+    ``device_mesh`` selects the multi-chip path (SURVEY §2.4/§5.8): pass a
+    1-D ``jax.sharding.Mesh`` to shard the BA edge sweep over it, ``None``
+    (default) to auto-shard over all visible devices when more than one is
+    present, or ``False`` to force single-device execution.  The full LM
+    schedule (lambda updates, cost gating, prim refresh, anchors,
+    callbacks) is identical on both paths; only the normal-equation build
+    is distributed, with one psum over ICI per iteration.
+    """
     if traj.count <= 2:
         raise ValueError("refinement needs more than 2 frames")
     for fid in range(traj.first_frame, traj.last_frame + 1):
@@ -568,6 +627,32 @@ def refine_trajectory(
     finally:
         if own_db:
             database.close()
+
+    mesh_obj = None
+    if device_mesh is not False:
+        if device_mesh is not None:
+            mesh_obj = device_mesh
+        elif jax.device_count() > 1:
+            from ..parallel.sharded import make_edge_mesh
+
+            mesh_obj = make_edge_mesh()
+    if mesh_obj is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+        from ..parallel.sharded import EDGE_AXIS
+
+        data = _pad_edges_to(data, int(mesh_obj.devices.size))
+        edge_sh = NamedSharding(mesh_obj, PSpec(EDGE_AXIS))
+        rep_sh = NamedSharding(mesh_obj, PSpec())
+        data = RefinerData(
+            **{
+                f: jax.device_put(
+                    getattr(data, f),
+                    edge_sh if f in _EDGE_FIELDS else rep_sh,
+                )
+                for f in data._fields
+            }
+        )
 
     ppc = 9 if (optimize_focal_length or optimize_principal_point) else 6
     opt_f, opt_pp = bool(optimize_focal_length), bool(optimize_principal_point)
@@ -628,13 +713,26 @@ def refine_trajectory(
     JtJ = Jtr = None
     lam = float(bundle_opts.initial_lambda)
 
-    while stats["iterations"] < bundle_opts.max_iterations:
-        if rebuild:
-            JtJ, Jtr = build_normal_equations(
-                params, data, prims, tri_corners, model, model_inv,
+    if mesh_obj is not None:
+        from ..parallel.sharded import sharded_normal_equations_jit
+
+        def normal_equations(p, pr):
+            return sharded_normal_equations_jit(
+                mesh_obj, p, data, pr, tri_corners, model, model_inv,
                 loss_scale, loss_type=loss_type, opt_f=opt_f, opt_pp=opt_pp,
                 ppc=ppc,
             )
+    else:
+        def normal_equations(p, pr):
+            return build_normal_equations(
+                p, data, pr, tri_corners, model, model_inv,
+                loss_scale, loss_type=loss_type, opt_f=opt_f, opt_pp=opt_pp,
+                ppc=ppc,
+            )
+
+    while stats["iterations"] < bundle_opts.max_iterations:
+        if rebuild:
+            JtJ, Jtr = normal_equations(params, prims)
             stats["grad_norm"] = float(jnp.linalg.norm(Jtr))
             if stats["grad_norm"] < bundle_opts.gradient_tol:
                 break
@@ -674,13 +772,16 @@ def refine_trajectory(
                     )
                 )
             params = params_new
-            stats["cost"] = cost_new
             v = 2.0
             rebuild = True
             # Param change → refresh the intersection cache (the batched
-            # analogue of the reference's per-miss re-casting).
-            prims = refresh_prims(params, data, mesh, model_inv)
-            stats["cost"] = cost_of(params, prims)
+            # analogue of the reference's per-miss re-casting), fused with
+            # the post-refresh cost in one dispatch.
+            prims, new_cost = refresh_prims_and_cost(
+                params, data, mesh, model, model_inv, tri_corners,
+                loss_scale, loss_type=loss_type,
+            )
+            stats["cost"] = float(new_cost)
         else:
             stats["invalid_steps"] += 1
             if lam >= bundle_opts.max_lambda:

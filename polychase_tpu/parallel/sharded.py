@@ -146,6 +146,12 @@ def sharded_normal_equations(
     )
 
 
+sharded_normal_equations_jit = partial(
+    jax.jit,
+    static_argnames=("mesh", "loss_type", "opt_f", "opt_pp", "ppc"),
+)(sharded_normal_equations)
+
+
 @partial(
     jax.jit,
     static_argnames=("mesh", "loss_type", "opt_f", "opt_pp", "ppc"),

@@ -98,3 +98,49 @@ def test_sharded_step_runs(tmp_path, rng):
     np.testing.assert_array_equal(
         np.asarray(new_params.t[-1]), np.asarray(params.t[-1])
     )
+
+
+def test_refine_trajectory_sharded_matches_single(tmp_path, rng):
+    """End-to-end: the full LM schedule over an 8-device CPU mesh converges
+    to the same trajectory as forced single-device execution."""
+    import copy
+
+    from polychase_tpu.engine.levmarq import BundleOptions
+    from polychase_tpu.engine.refiner import refine_trajectory
+    from test_refiner import perturbed_traj
+    from test_tracker import pose_errors
+
+    mesh = make_sphere_mesh()
+    intr = make_intrinsics()
+    n = 8
+    poses = [orbit_pose(0.05 * t) for t in range(n)]
+    db_path = str(tmp_path / "flow.db")
+    build_flow_db(db_path, mesh, intr, poses, rng)
+
+    traj_single = perturbed_traj(poses, intr, rng)
+    traj_sharded = CameraTrajectory(0, n)
+    for i in range(n):
+        traj_sharded.set(i, traj_single.get(i))
+
+    opts = BundleOptions(loss_type=CAUCHY, loss_scale=1.0)
+    refine_trajectory(
+        db_path, traj_single, np.eye(4, dtype=np.float32), mesh,
+        bundle_opts=opts, device_mesh=False,
+    )
+    refine_trajectory(
+        db_path, traj_sharded, np.eye(4, dtype=np.float32), mesh,
+        bundle_opts=opts, device_mesh=make_edge_mesh(),
+    )
+
+    # f32 reduction order differs between the psum-sharded and the
+    # single-device sums, so the LM paths diverge slightly; both must
+    # agree closely and recover the ground truth away from anchors.
+    for i in range(n):
+        rot_err, t_err = pose_errors(
+            traj_sharded.get(i).pose, traj_single.get(i).pose
+        )
+        assert rot_err < 2e-3, (i, rot_err)
+        assert t_err < 4e-3, (i, t_err)
+    for i in range(1, n - 1):
+        rot_err, t_err = pose_errors(traj_sharded.get(i).pose, poses[i])
+        assert rot_err < 1e-3 and t_err < 2.5e-3, (i, rot_err, t_err)
