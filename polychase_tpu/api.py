@@ -46,7 +46,12 @@ __all__ = [
 ]
 
 
-CppException = RuntimeError  # exceptions cross the facade as RuntimeError
+class CppException(RuntimeError):
+    """Engine-side failure (the reference binds std::exception with a
+    ``what()`` accessor, cpp/polychase_pybind.cc:311-312)."""
+
+    def what(self) -> str:
+        return str(self)
 
 
 # ---------------------------------------------------------------------------
@@ -346,7 +351,9 @@ class OpticalFlowOptions:
 class BundleOptions:
     def __init__(self):
         self.max_iterations = 100
-        self.loss_type = LossType.Cauchy
+        # Reference default is HUBER (cpp/pnp/types.h:207); the addon
+        # overrides to Cauchy per call site.
+        self.loss_type = LossType.Huber
         self.loss_scale = 1.0
         self.gradient_tol = 1e-10
         self.step_tol = 1e-8

@@ -274,10 +274,16 @@ def lm_solve(problem: LMProblem, params0, opts: BundleOptions):
         v_out = jnp.where(accept, 2.0, 2.0 * s.v)
         invalid = s.invalid_steps + jnp.where(improved | tiny_step, 0, 1)
 
-        # Rebuild normal equations only when the step was accepted.
-        JtJ_new, Jtr_new = _normal_equations(problem, opts, params_out)
-        JtJ_out = jnp.where(accept, JtJ_new, s.JtJ)
-        Jtr_out = jnp.where(accept, Jtr_new, s.Jtr)
+        # Rebuild normal equations only when the step was accepted — a
+        # real branch (lax.cond), so rejected iterations skip the whole
+        # residual/Jacobian sweep like the reference
+        # (cpp/pnp/lev_marq.h:216-228).
+        JtJ_out, Jtr_out = jax.lax.cond(
+            accept,
+            lambda p: _normal_equations(problem, opts, p),
+            lambda _: (s.JtJ, s.Jtr),
+            params_out,
+        )
         grad_norm = jnp.linalg.norm(Jtr_out)
 
         done = (
