@@ -60,15 +60,35 @@ def set_camera_intrinsics(camera, intrinsics: pc.CameraIntrinsics) -> None:
     )
 
 
+def fold_scale(model_matrix, view_matrix):
+    """The reference's scale-folding factorization
+    (operators/tracking.py:195-220): core model matrix = diag(scale of
+    the geometry's world matrix); core view matrix = modelview with the
+    scale stripped.  The solved pose then stays a rigid transform while
+    the mesh is ray-cast at its true scaled size.
+
+    Returns ``(scale_matrix, modelview_no_scale)`` as mathutils matrices.
+    """
+    import mathutils
+
+    scale_matrix = mathutils.Matrix.Diagonal(
+        model_matrix.to_scale().to_4d()
+    )
+    model_view = view_matrix @ model_matrix
+    loc, rot, _scale = model_view.decompose()
+    model_view_no_scale = mathutils.Matrix.LocRotScale(loc, rot, None)
+    return scale_matrix, model_view_no_scale
+
+
 def scene_transformations(tracker, width, height) -> pc.SceneTransformations:
     """Current scene → core transform, scale folded into the model matrix
     (reference operators/tracking.py:195-220)."""
     geometry, camera = tracker.geometry, tracker.camera
     view = utils.get_camera_view_matrix(camera)
-    model = geometry.matrix_world
+    scale_matrix, mv_no_scale = fold_scale(geometry.matrix_world, view)
     return pc.SceneTransformations(
-        model_matrix=np.array(model, np.float32),
-        view_matrix=np.array(view, np.float32),
+        model_matrix=np.array(scale_matrix, np.float32),
+        view_matrix=np.array(mv_no_scale, np.float32),
         intrinsics=camera_intrinsics(camera, width, height),
     )
 

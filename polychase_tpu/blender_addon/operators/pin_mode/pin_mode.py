@@ -62,11 +62,20 @@ class PC_OT_PinMode(bpy.types.Operator):
     # -- scene transform plumbing ------------------------------------------
 
     def _scene_transform(self, tracker, context) -> pc.SceneTransformations:
+        # Pin mode passes the RAW model matrix (scale included) — unlike
+        # tracking, find_transformation recomposes full matrices, so no
+        # scale folding here (reference pin_mode.py:55-67).
         clip = tracker.clip
         width, height = (
             utils.clip_size(clip) if clip else (1920, 1080)
         )
-        return core.scene_transformations(tracker, width, height)
+        return pc.SceneTransformations(
+            model_matrix=np.array(tracker.geometry.matrix_world, np.float32),
+            view_matrix=np.array(
+                utils.get_camera_view_matrix(tracker.camera), np.float32
+            ),
+            intrinsics=core.camera_intrinsics(tracker.camera, width, height),
+        )
 
     def _apply_scene_transform(self, tracker, scene: pc.SceneTransformations,
                                trans_type) -> None:

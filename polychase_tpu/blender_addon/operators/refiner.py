@@ -55,16 +55,18 @@ def build_trajectory(tracker, start: int, end: int, width, height,
     try:
         for frame in range(start, end + 1):
             scene.frame_set(frame)
-            view = utils.get_camera_view_matrix(tracker.camera)
-            model = tracker.geometry.matrix_world
-            # The solver wants the modelview pose with the model matrix
-            # separated out; pose = view (camera world→cam).
+            # Pose = modelview without scale (the scale rides the model
+            # matrix passed to the refiner, reference refiner.py:175-200).
+            tm, Rm, _scale = utils.get_object_model_matrix_loc_rot_scale(
+                tracker.geometry
+            )
+            tv, Rv = utils.get_camera_view_matrix_loc_rot(tracker.camera)
+            Rmv = Rv @ Rm
+            tmv = tv + Rv @ tm
             intr = core.camera_intrinsics(tracker.camera, width, height)
-            mv = np.array(view, np.float32)
-            loc, rot, _ = mathutils.Matrix(mv.tolist()).decompose()
             pose = pc.Pose(
-                q=np.array([rot.w, rot.x, rot.y, rot.z], np.float32),
-                t=np.array(loc[:], np.float32),
+                q=np.array([Rmv.w, Rmv.x, Rmv.y, Rmv.z], np.float32),
+                t=np.array(tmv[:], np.float32),
             )
             traj.set(frame, pc.CameraState(intr, pose))
     finally:
@@ -83,17 +85,28 @@ def apply_refined_trajectory(tracker, traj, start: int, end: int,
             if state is None:
                 continue
             scene.frame_set(frame)
-            q = mathutils.Quaternion(tuple(float(v) for v in state.pose.q))
-            t = mathutils.Vector(tuple(float(v) for v in state.pose.t))
+            # The refined pose is the scale-free modelview; recompose as
+            # in tracking (reference refiner.py:410-445).
+            Rmv = mathutils.Quaternion(
+                tuple(float(v) for v in state.pose.q)
+            )
+            tmv = mathutils.Vector(tuple(float(v) for v in state.pose.t))
             if tracker.tracking_target == "CAMERA":
-                utils.set_camera_view_matrix(tracker.camera, t, q)
+                tm, Rm, _s = utils.get_object_model_matrix_loc_rot_scale(
+                    tracker.geometry
+                )
+                Rv = Rmv @ Rm.inverted()
+                tv = tmv - Rv @ tm
+                utils.set_camera_view_matrix(tracker.camera, tv, Rv)
                 target = tracker.camera
             else:
-                view = utils.get_camera_view_matrix(tracker.camera)
-                pose_mat = mathutils.Matrix.LocRotScale(t, q, None)
-                model = view.inverted() @ pose_mat
-                loc, rot, _ = model.decompose()
-                utils.set_object_model_matrix(tracker.geometry, loc, rot)
+                tv, Rv = utils.get_camera_view_matrix_loc_rot(
+                    tracker.camera
+                )
+                Rv_inv = Rv.inverted()
+                Rm = Rv_inv @ Rmv
+                tm = Rv_inv @ (tmv - tv)
+                utils.set_object_model_matrix(tracker.geometry, tm, Rm)
                 target = tracker.geometry
             keyframes.insert_keyframe(
                 target, frame, keytype=keyframes.GENERATED_KEYFRAME
@@ -182,7 +195,15 @@ class PC_OT_RefineSequence(bpy.types.Operator):
         )
         self._current_traj = (traj, start, end)
 
-        model = np.array(tracker.geometry.matrix_world, np.float32)
+        # Scale-folding: the refiner's model matrix is the scale only
+        # (reference refiner.py:361-371); poses in the trajectory are the
+        # scale-free modelview.
+        model = np.array(
+            mathutils.Matrix.Diagonal(
+                tracker.geometry.matrix_world.to_scale().to_4d()
+            ),
+            np.float32,
+        )
         opts = pc.BundleOptions()
         opts.loss_type = pc.LossType.Cauchy
         opts.loss_scale = 1.0

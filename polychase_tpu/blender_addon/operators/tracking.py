@@ -43,28 +43,41 @@ def compute_segment_end(tracker, current_frame: int, backward: bool,
 
 def apply_tracking_result(tracker, result) -> None:
     """Pose → Blender transforms + GENERATED keyframes
-    (reference tracking.py:290-356)."""
+    (reference tracking.py:290-356).
+
+    The solved pose is the scale-free modelview (Rmv, tmv) from the
+    scale-folding factorization (core.fold_scale); the object's scale is
+    preserved on write-back.
+    """
     geometry, camera = tracker.geometry, tracker.camera
     pose = result.pose
-    q = mathutils.Quaternion(
+    Rmv = mathutils.Quaternion(
         (float(pose.q[0]), float(pose.q[1]), float(pose.q[2]),
          float(pose.q[3]))
     )
-    t = mathutils.Vector(
+    tmv = mathutils.Vector(
         (float(pose.t[0]), float(pose.t[1]), float(pose.t[2]))
     )
 
     if tracker.tracking_target == "CAMERA":
-        # pose is the world→camera view transform
-        utils.set_camera_view_matrix(camera, t, q)
+        # view = modelview · model⁻¹ with the geometry's rigid part
+        # (reference tracking.py:331-337)
+        tm, Rm, _scale = utils.get_object_model_matrix_loc_rot_scale(
+            geometry
+        )
+        Rm_inv = Rm.inverted()
+        Rv = Rmv @ Rm_inv
+        tv = tmv - Rv @ tm
+        utils.set_camera_view_matrix(camera, tv, Rv)
         target = camera
     else:
-        # pose folds view·model: model = view⁻¹ · pose
-        view = utils.get_camera_view_matrix(camera)
-        pose_mat = mathutils.Matrix.LocRotScale(t, q, None)
-        model = view.inverted() @ pose_mat
-        loc, rot, _scale = model.decompose()
-        utils.set_object_model_matrix(geometry, loc, rot)
+        # model (rigid part) = view⁻¹ · modelview; scale preserved by
+        # set_object_model_matrix (reference tracking.py:313-320)
+        tv, Rv = utils.get_camera_view_matrix_loc_rot(camera)
+        Rv_inv = Rv.inverted()
+        Rm = Rv_inv @ Rmv
+        tm = Rv_inv @ (tmv - tv)
+        utils.set_object_model_matrix(geometry, tm, Rm)
         target = geometry
 
     keyframes.insert_keyframe(
