@@ -148,6 +148,143 @@ def raycast(
     )
 
 
+def raycast_grouped(
+    mesh: Mesh,
+    origins: jax.Array,   # (G, 3) one shared origin per ray group
+    dirs: jax.Array,      # (G, K, 3)
+    check_mask: bool = True,
+    chunk: int = 0,
+) -> RayHits:
+    """Closest-hit cast of G groups of K rays sharing one origin per group.
+
+    This is the hot batched shape — the tracker casts all of a frame's
+    keypoint rays from that frame's camera center, and the refiner's
+    prim-cache sweep casts (frame, keypoint) rays frame by frame
+    (cpp/refiner.cc:307-349).  A shared origin lets every Möller-Trumbore
+    scalar triple product factor into per-triangle constants contracted
+    against the ray direction:
+
+        det   = d · (e2 × e1)
+        u·det = d · (e2 × (o − v0))
+        v·det = d · ((o − v0) × e1)
+        t·det =      e2 · ((o − v0) × e1)
+
+    so a triangle chunk costs three (K,3)x(3,Tc) contractions plus
+    elementwise tests — no (N, T, 3) cross-product intermediates like the
+    general :func:`raycast`, ~3x less arithmetic and far less HBM
+    traffic.  Returns RayHits with (G, K) leading dims.
+    """
+    origins = jnp.asarray(origins, jnp.float32).reshape(-1, 3)
+    G = origins.shape[0]
+    dirs = jnp.asarray(dirs, jnp.float32).reshape(G, -1, 3)
+    K = dirs.shape[1]
+    p1, p2, p3 = mesh.triangle_corners()
+    num_tris = p1.shape[0]
+
+    if chunk <= 0:
+        # Keep the (G, K, Tc) intermediates around ~32M elements.
+        chunk = max(64, min(4096, (1 << 25) // max(G * K, 1)))
+        chunk = max(64, (chunk // 64) * 64)
+
+    pad = (-num_tris) % chunk
+    if pad:
+        padrow = jnp.zeros((pad, 3), p1.dtype)
+        p1 = jnp.concatenate([p1, padrow])
+        p2 = jnp.concatenate([p2, padrow])
+        p3 = jnp.concatenate([p3, padrow])
+    num_chunks = (num_tris + pad) // chunk
+
+    p1c = p1.reshape(num_chunks, chunk, 3)
+    e1c = (p2 - p1).reshape(num_chunks, chunk, 3)
+    e2c = (p3 - p1).reshape(num_chunks, chunk, 3)
+    base_ids = jnp.arange(num_chunks, dtype=jnp.uint32) * jnp.uint32(chunk)
+    eps = 1e-10
+
+    init = (
+        jnp.full((G, K), jnp.inf, jnp.float32),
+        jnp.zeros((G, K, 2), jnp.float32),
+        jnp.full((G, K), INVALID_ID),
+    )
+
+    d0 = dirs[..., 0:1]  # (G, K, 1) — broadcast against (G, 1, Tc)
+    d1 = dirs[..., 1:2]
+    d2 = dirs[..., 2:3]
+
+    def body(carry, blk):
+        best_t, best_uv, best_id = carry
+        v0, e1, e2, base = blk                      # (Tc, 3)
+        A = jnp.cross(e2, e1)                       # (Tc, 3)
+        omv = origins[:, None, :] - v0[None]        # (G, Tc, 3)
+        B = jnp.cross(e2[None], omv)                # (G, Tc, 3)
+        Cq = jnp.cross(omv, e1[None])               # (G, Tc, 3)
+        sdet = jnp.sum(e2[None] * Cq, axis=-1)      # (G, Tc)
+
+        # Contractions over the 3-dim as explicit broadcast FMAs: XLA
+        # fuses them with the tests below into one pass over (G, K, Tc)
+        # (einsum with inner dim 3 routes through a slow padded-MXU path).
+        def dot3(x0, x1, x2):  # each (G, 1, Tc) or (1, 1, Tc) -> (G, K, Tc)
+            return d0 * x0 + d1 * x1 + d2 * x2
+
+        det = dot3(A[None, None, :, 0], A[None, None, :, 1],
+                   A[None, None, :, 2])
+        udet = dot3(B[:, None, :, 0], B[:, None, :, 1], B[:, None, :, 2])
+        vdet = dot3(Cq[:, None, :, 0], Cq[:, None, :, 1], Cq[:, None, :, 2])
+
+        ok = jnp.abs(det) > eps
+        inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+        u = udet * inv_det
+        v = vdet * inv_det
+        t = sdet[:, None, :] * inv_det
+        tri_ids = base + jnp.arange(chunk, dtype=jnp.uint32)
+        hit = (
+            ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t > 0)
+            & (tri_ids[None, None, :] < num_tris)
+        )
+        t = jnp.where(hit, t, jnp.inf)
+        j = jnp.argmin(t, axis=-1)                  # (G, K)
+        tj = jnp.take_along_axis(t, j[..., None], axis=-1)[..., 0]
+        closer = tj < best_t
+        uj = jnp.take_along_axis(u, j[..., None], axis=-1)[..., 0]
+        vj = jnp.take_along_axis(v, j[..., None], axis=-1)[..., 0]
+        best_uv = jnp.where(
+            closer[..., None], jnp.stack([uj, vj], axis=-1), best_uv
+        )
+        best_id = jnp.where(closer, base + j.astype(jnp.uint32), best_id)
+        best_t = jnp.where(closer, tj, best_t)
+        return (best_t, best_uv, best_id), None
+
+    (best_t, best_uv, best_id), _ = jax.lax.scan(
+        body, init, (p1c, e1c, e2c, base_ids)
+    )
+
+    valid = best_id != INVALID_ID
+    if check_mask:
+        masked = mesh.is_triangle_masked(jnp.where(valid, best_id, 0))
+        valid = valid & ~masked
+
+    safe_id = jnp.where(valid, best_id, 0).astype(jnp.int32)
+    q1, q2, q3 = p1[safe_id], p2[safe_id], p3[safe_id]
+    u, v = best_uv[..., 0], best_uv[..., 1]
+    pos = (
+        (1.0 - u - v)[..., None] * q1
+        + u[..., None] * q2
+        + v[..., None] * q3
+    )
+    ng = jnp.cross(q2 - q1, q3 - q1)
+    normal = ng / jnp.maximum(
+        jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-20
+    )
+
+    return RayHits(
+        pos=jnp.where(valid[..., None], pos, 0.0),
+        normal=jnp.where(valid[..., None], normal, 0.0),
+        barycentric=jnp.where(valid[..., None], best_uv, 0.0),
+        t=jnp.where(valid, best_t, jnp.inf),
+        prim_id=jnp.where(valid, best_id, INVALID_ID),
+        valid=valid,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Screen-point → ray helpers (cpp/ray_casting.h:53-74)
 # ---------------------------------------------------------------------------

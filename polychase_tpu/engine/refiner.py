@@ -53,7 +53,7 @@ from .levmarq import (
 from .raycast import (
     intersect_ray_plane_jac,
     intersect_ray_triangle,
-    raycast,
+    raycast_grouped,
 )
 from .trajectory import CameraTrajectory
 
@@ -304,6 +304,78 @@ def _all_rays(params: TrajParams, data: RefinerData, model_inv):
     return origin_o, dir_o
 
 
+_all_rays_jit = jax.jit(_all_rays)
+
+# Measured on a v5e chip, 100k-triangle mesh, 64x512 rays: device grouped
+# Moller-Trumbore = 1.30 s, brute = 2.0 s, host binned-SAH BVH = 38 ms
+# (+~70 ms tunnel transfers).  The device path wins below ~8k triangles
+# where it fuses into the surrounding program with zero transfers.
+BVH_TRIANGLE_THRESHOLD = 8192
+
+
+def _make_prim_refresher(data: RefinerData, mesh: Mesh, model, model_inv,
+                         tri_corners, loss_scale, loss_type: int):
+    """Choose the prim-cache refresh path by mesh size.
+
+    Small meshes: one fused device program (raycast sweep + cost).  Large
+    meshes: rays are pulled to the host and cast through the native C++
+    BVH (polychase_tpu/native), then the cost is a second dispatch —
+    the reference's Embree role (cpp/ray_casting.cc:21-121).
+    """
+    use_bvh = False
+    if mesh.num_triangles >= BVH_TRIANGLE_THRESHOLD:
+        try:
+            from .. import native
+
+            use_bvh = native.available()
+        except Exception:  # pragma: no cover
+            use_bvh = False
+
+    if not use_bvh:
+        def refresh(params):
+            return refresh_prims_and_cost(
+                params, data, mesh, model, model_inv, tri_corners,
+                loss_scale, loss_type=loss_type,
+            )
+
+        return refresh
+
+    from .. import native
+    from .raycast import INVALID_ID
+
+    bvh = native.BvhRaycaster(
+        np.asarray(mesh.vertices), np.asarray(mesh.triangles)
+    )
+    masked_bits = np.asarray(mesh.masked_triangles)
+    if not masked_bits.any():
+        masked_bits = None
+    kp_valid = np.asarray(data.kp_valid)
+    F, K = kp_valid.shape
+
+    def refresh(params):
+        origin_o, dir_o = jax.device_get(
+            _all_rays_jit(params, data, model_inv)
+        )
+        o_flat = np.ascontiguousarray(
+            np.broadcast_to(origin_o[:, None, :], (F, K, 3)).reshape(-1, 3)
+        )
+        _, _, _, _, prim = bvh.raycast(
+            o_flat, np.ascontiguousarray(dir_o.reshape(-1, 3)), masked_bits
+        )
+        prim = prim.reshape(F, K)
+        valid = (prim != np.uint32(INVALID_ID)) & kp_valid
+        prims = jnp.asarray(
+            np.where(valid, prim.astype(np.int32), _INVALID)
+        )
+        cost = total_cost(
+            params, data, prims, tri_corners, model, model_inv,
+            loss_scale, loss_type=loss_type,
+        )
+        return prims, cost
+
+    return refresh
+
+
 @jax.jit
 def refresh_prims(
     params: TrajParams, data: RefinerData, mesh: Mesh, model_inv
@@ -316,15 +388,13 @@ def refresh_prims(
     """
     F, K = data.kps.shape[:2]
     origin_o, dir_o = _all_rays(params, data, model_inv)
-    origins = jnp.broadcast_to(origin_o[:, None, :], (F, K, 3)).reshape(-1, 3)
-    dirs = dir_o.reshape(-1, 3)
-    hits = raycast(mesh, origins, dirs, check_mask=True)
+    hits = raycast_grouped(mesh, origin_o, dir_o, check_mask=True)
     prim = jnp.where(
-        hits.valid & data.kp_valid.reshape(-1),
+        hits.valid & data.kp_valid,
         hits.prim_id.astype(jnp.int32),
         _INVALID,
     )
-    return prim.reshape(F, K)
+    return prim
 
 
 def _edge_eval(
@@ -667,7 +737,10 @@ def refine_trajectory(
     bounds = C.intrinsics_bounds(traj.get(traj.first_frame).intrinsics)
 
     params = traj_to_params(traj)
-    prims = refresh_prims(params, data, mesh, model_inv)
+    refresh = _make_prim_refresher(
+        data, mesh, model, model_inv, tri_corners, loss_scale, loss_type
+    )
+    prims, cost0 = refresh(params)
 
     def cost_of(p, pr):
         return float(
@@ -677,7 +750,7 @@ def refine_trajectory(
             )
         )
 
-    cost = cost_of(params, prims)
+    cost = float(cost0)
     stats = dict(
         iterations=0, initial_cost=cost, cost=cost,
         lambda_=float(bundle_opts.initial_lambda),
@@ -775,12 +848,9 @@ def refine_trajectory(
             v = 2.0
             rebuild = True
             # Param change → refresh the intersection cache (the batched
-            # analogue of the reference's per-miss re-casting), fused with
-            # the post-refresh cost in one dispatch.
-            prims, new_cost = refresh_prims_and_cost(
-                params, data, mesh, model, model_inv, tri_corners,
-                loss_scale, loss_type=loss_type,
-            )
+            # analogue of the reference's per-miss re-casting); one fused
+            # dispatch on small meshes, host-BVH casting on large ones.
+            prims, new_cost = refresh(params)
             stats["cost"] = float(new_cost)
         else:
             stats["invalid_steps"] += 1

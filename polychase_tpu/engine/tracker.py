@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,7 +26,7 @@ from . import pose as P
 from .geometry import Mesh, SceneTransformations
 from .levmarq import BundleOptions, BundleStats
 from .pnp import PnPOptions, solve_pnp
-from .raycast import raycast
+from .raycast import raycast_grouped
 from .trajectory import CameraTrajectory
 
 
@@ -102,7 +103,12 @@ def gather_correspondences(
         origins, dirs = rays_object_space(
             model_matrix, view, cam.intrinsics, src_px
         )
-        hits = raycast(mesh, jnp.asarray(origins), jnp.asarray(dirs), True)
+        # All of a frame's rays share the camera center: the grouped
+        # (shared-origin) cast uses the factored Moller-Trumbore form.
+        hits = raycast_grouped(
+            mesh, jnp.asarray(origins[:1]), jnp.asarray(dirs)[None], True
+        )
+        hits = jax.tree.map(lambda a: a[0], hits)
         valid = np.asarray(hits.valid)
         if not valid.any():
             continue

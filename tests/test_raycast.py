@@ -151,3 +151,55 @@ def test_get_ray_object_space_identity():
     np.testing.assert_allclose(np.asarray(origin), 0.0, atol=1e-6)
     # center pixel looks straight down -Z in OpenGL
     np.testing.assert_allclose(np.asarray(direction), [0, 0, -1], atol=1e-6)
+
+
+def test_raycast_grouped_matches_flat(rng):
+    """The shared-origin (factored Moller-Trumbore) cast returns the same
+    hits as the general brute-force cast."""
+    from polychase_tpu.engine.raycast import raycast, raycast_grouped
+    from synthetic import make_sphere_mesh
+
+    mesh = make_sphere_mesh()
+    # mask a few triangles to exercise mask-occlusion parity
+    from polychase_tpu.engine.geometry import mask_array_size
+    bits = np.zeros(mask_array_size(mesh.num_triangles), np.uint32)
+    for t in range(0, 20, 3):
+        bits[t // 32] |= np.uint32(1 << (t % 32))
+    mesh = mesh._replace(masked_triangles=jnp.asarray(bits))
+
+    G, K = 3, 64
+    origins = np.array(
+        [[0, 0, 4], [2.5, 0.5, 3], [-1, 2, 3.5]], np.float32
+    )
+    dirs = np.zeros((G, K, 3), np.float32)
+    for g in range(G):
+        targets = rng.uniform(-1.2, 1.2, (K, 3)).astype(np.float32)
+        dirs[g] = targets - origins[g]
+
+    grouped = raycast_grouped(
+        mesh, jnp.asarray(origins), jnp.asarray(dirs), True
+    )
+    flat = raycast(
+        mesh,
+        jnp.asarray(np.repeat(origins, K, axis=0)),
+        jnp.asarray(dirs.reshape(-1, 3)),
+        True,
+    )
+    g_valid = np.asarray(grouped.valid).reshape(-1)
+    f_valid = np.asarray(flat.valid)
+    assert np.array_equal(g_valid, f_valid)
+    assert g_valid.sum() > G * K // 3
+    assert np.array_equal(
+        np.asarray(grouped.prim_id).reshape(-1)[f_valid],
+        np.asarray(flat.prim_id)[f_valid],
+    )
+    np.testing.assert_allclose(
+        np.asarray(grouped.pos).reshape(-1, 3)[f_valid],
+        np.asarray(flat.pos)[f_valid],
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(grouped.t).reshape(-1)[f_valid],
+        np.asarray(flat.t)[f_valid],
+        rtol=1e-4,
+    )

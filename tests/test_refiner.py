@@ -118,3 +118,40 @@ def test_refine_requires_filled_frames(tmp_path, rng):
         refine_trajectory(
             str(tmp_path / "flow.db"), traj, np.eye(4, dtype=np.float32), mesh
         )
+
+
+def test_prim_refresher_bvh_matches_device(tmp_path, rng, monkeypatch):
+    """The host-BVH prim refresh (large-mesh path) returns the same prim
+    cache and cost as the fused device sweep."""
+    import jax.numpy as jnp
+
+    from polychase_tpu.engine import refiner as R
+    from polychase_tpu import native
+
+    if not native.available():
+        pytest.skip("native BVH unavailable")
+
+    mesh = make_sphere_mesh()
+    intr = make_intrinsics()
+    poses = [orbit_pose(0.05 * t) for t in range(6)]
+    db_path = str(tmp_path / "flow.db")
+    build_flow_db(db_path, mesh, intr, poses, rng)
+    traj = perturbed_traj(poses, intr, rng)
+
+    db = Database(db_path)
+    data = R.build_refiner_data(db, traj, mesh, np.eye(4, dtype=np.float32))
+    db.close()
+    params = R.traj_to_params(traj)
+    model = jnp.eye(4)
+    tri = mesh.triangle_corners()
+    scale = jnp.float32(1.0)
+
+    dev = R._make_prim_refresher(data, mesh, model, model, tri, scale, CAUCHY)
+    monkeypatch.setattr(R, "BVH_TRIANGLE_THRESHOLD", 1)
+    bvh = R._make_prim_refresher(data, mesh, model, model, tri, scale, CAUCHY)
+
+    prims_d, cost_d = dev(params)
+    prims_b, cost_b = bvh(params)
+    agree = np.mean(np.asarray(prims_d) == np.asarray(prims_b))
+    assert agree > 0.999, agree
+    assert abs(float(cost_d) - float(cost_b)) < 1e-3 * max(1.0, float(cost_d))
