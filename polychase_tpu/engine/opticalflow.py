@@ -28,6 +28,7 @@ from typing import Callable, NamedTuple, Optional
 import numpy as np
 
 from ..io.database import Database
+from ..obs import get_logger, profile_region
 from .gftt import GFTTOptions, gftt_dispatch, gftt_finish
 from .lk import (
     LKOptions,
@@ -144,6 +145,9 @@ def _get_gray(
     raise ValueError("frames must be (H, W, 3) RGB or (H, W) gray")
 
 
+_log = get_logger("opticalflow")
+
+
 def _run(
     db: Database,
     video_info: VideoInfo,
@@ -230,6 +234,10 @@ def _run(
         if features.shape[0] == 0 and frame_id1 in gftt_pending:
             features, _quality = gftt_finish(gftt_pending.pop(frame_id1))
             db.write_keypoints(frame_id1, features)
+            _log.debug(
+                "frame %d: detected %d keypoints", frame_id1,
+                features.shape[0],
+            )
 
         if write_images and frames_dir is not None:
             _save_debug_image(
@@ -263,9 +271,14 @@ def _run(
             # one iteration) and their outputs are dropped.
             while len(pyrs2) < len(IMAGE_SKIPS):
                 pyrs2.append(pyr1)
-        handle = calc_optical_flow_multi_async(
-            pyr1, pyrs2, features, flow_options
+        _log.debug(
+            "frame %d: tracking %d features into %s",
+            frame_id1, features.shape[0], targets,
         )
+        with profile_region("analyze.lk"):
+            handle = calc_optical_flow_multi_async(
+                pyr1, pyrs2, features, flow_options
+            )
         pending_flows.append((frame_id1, targets, handle))
         while len(pending_flows) > 1:
             flush_one()

@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.database import Database
+from ..obs import get_logger, profile_region
 from . import camera as C
 from . import pose as P
 from .geometry import Mesh, transform_bbox, Bbox3
@@ -58,6 +59,7 @@ from .raycast import (
 from .trajectory import CameraTrajectory
 
 _INVALID = np.int32(-1)
+_log = get_logger("refiner")
 _HI = jax.lax.Precision.HIGHEST
 
 
@@ -736,6 +738,11 @@ def refine_trajectory(
     tri_corners = mesh.triangle_corners()
     bounds = C.intrinsics_bounds(traj.get(traj.first_frame).intrinsics)
 
+    _log.info(
+        "refine segment [%d, %d]: %d frames, %d edges, %d keypoint slots",
+        traj.first_frame, traj.last_frame, traj.count,
+        int(data.src_frame.shape[0]), int(data.kps.shape[1]),
+    )
     params = traj_to_params(traj)
     refresh = _make_prim_refresher(
         data, mesh, model, model_inv, tri_corners, loss_scale, loss_type
@@ -805,7 +812,8 @@ def refine_trajectory(
 
     while stats["iterations"] < bundle_opts.max_iterations:
         if rebuild:
-            JtJ, Jtr = normal_equations(params, prims)
+            with profile_region("refiner.normal_equations"):
+                JtJ, Jtr = normal_equations(params, prims)
             stats["grad_norm"] = float(jnp.linalg.norm(Jtr))
             if stats["grad_norm"] < bundle_opts.gradient_tol:
                 break
@@ -866,6 +874,12 @@ def refine_trajectory(
             break
 
     stats["lambda_"] = lam
+    _log.info(
+        "refine done: cost %.4f -> %.4f in %d iterations"
+        " (%d invalid steps)",
+        stats["initial_cost"], stats["cost"], stats["iterations"],
+        stats["invalid_steps"],
+    )
     emit(final=True)
 
     refined = params_to_traj(params, traj)

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.database import Database
+from ..obs import get_logger, profile_region
 from . import camera as C
 from . import pose as P
 from .geometry import Mesh, SceneTransformations
@@ -45,6 +46,8 @@ TrackingCallback = Callable[[FrameTrackingResult], bool]
 
 # Max reprojection error for the inlier ratio (cpp/tracker.cc:123)
 MAX_INLIER_ERROR = 12.0
+
+_log = get_logger("tracker")
 
 
 class TrackingError(RuntimeError):
@@ -139,11 +142,17 @@ def solve_frame(
 
     Returns a PnPResult or None when fewer than 3 correspondences exist.
     """
-    X, x = gather_correspondences(
-        database, camera_traj, model_matrix, frame_id, mesh
-    )
+    with profile_region("tracker.gather"):
+        X, x = gather_correspondences(
+            database, camera_traj, model_matrix, frame_id, mesh
+        )
     if X.shape[0] < 3:
+        _log.info(
+            "frame %d: only %d correspondences, cannot solve",
+            frame_id, X.shape[0],
+        )
         return None
+    _log.debug("frame %d: %d correspondences", frame_id, X.shape[0])
 
     # Warm start from current/prev/next pose (cpp/tracker.cc:112-119)
     cam0: Optional[C.CameraState] = None
@@ -160,7 +169,14 @@ def solve_frame(
         optimize_focal_length=optimize_focal_length,
         optimize_principal_point=optimize_principal_point,
     )
-    return solve_pnp(X, x, cam0, opts)
+    with profile_region("tracker.pnp"):
+        result = solve_pnp(X, x, cam0, opts)
+    _log.debug(
+        "frame %d: inlier_ratio=%.3f cost=%.3f iters=%d",
+        frame_id, float(result.inlier_ratio), float(result.stats.cost),
+        int(result.stats.iterations),
+    )
+    return result
 
 
 def track_camera_trajectory(

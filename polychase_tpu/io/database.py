@@ -22,7 +22,9 @@ indices (N,) uint32, errors (N,) float32.
 
 from __future__ import annotations
 
+import functools
 import sqlite3
+import threading
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -75,19 +77,35 @@ CREATE TABLE IF NOT EXISTS optical_flow(
 """
 
 
+def _locked(fn):
+    """Serialize access to the shared sqlite3 connection — the analogue of
+    the reference's GuardedDatabase mutex (cpp/opticalflow.cc:39-69)."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._lock:
+            return fn(self, *args, **kwargs)
+
+    return wrapper
+
+
 class Database:
-    """Thread-compatible wrapper over sqlite3 (one connection per instance).
+    """Thread-safe wrapper over sqlite3 (one connection per instance, all
+    operations serialized by an internal lock like the reference's
+    GuardedDatabase, cpp/opticalflow.cc:39-69).
 
     API mirrors cpp/database.h:36-100 / the pybind surface
     (cpp/polychase_pybind.cc:71-109).
     """
 
     def __init__(self, path: str):
+        self._lock = threading.RLock()
         self._conn: Optional[sqlite3.Connection] = None
         self.open(path)
 
     # -- lifecycle ----------------------------------------------------------
 
+    @_locked
     def open(self, path: str) -> None:
         self.close()
         self._conn = sqlite3.connect(path, check_same_thread=False)
@@ -101,6 +119,7 @@ class Database:
         cur.execute(_FLOW_SQL)
         self._conn.commit()
 
+    @_locked
     def close(self) -> None:
         if self._conn is not None:
             self._conn.commit()
@@ -115,6 +134,7 @@ class Database:
 
     # -- keypoints ----------------------------------------------------------
 
+    @_locked
     def write_keypoints(self, image_id: int, keypoints: np.ndarray) -> None:
         kps = np.ascontiguousarray(keypoints, np.float32).reshape(-1, 2)
         self._conn.execute(
@@ -124,6 +144,7 @@ class Database:
         )
         self._conn.commit()
 
+    @_locked
     def read_keypoints(self, image_id: int) -> np.ndarray:
         row = self._conn.execute(
             "SELECT rows, keypoints FROM keypoints WHERE image_id = ?",
@@ -139,6 +160,7 @@ class Database:
             )
         return kps.reshape(n, 2).copy()
 
+    @_locked
     def keypoints_exist(self, image_id: int) -> bool:
         row = self._conn.execute(
             "SELECT 1 FROM keypoints WHERE image_id = ? LIMIT 1",
@@ -146,16 +168,19 @@ class Database:
         ).fetchone()
         return row is not None
 
+    @_locked
     def get_min_image_id_with_keypoints(self) -> int:
         row = self._conn.execute("SELECT MIN(image_id) FROM keypoints").fetchone()
         return INVALID_ID if row is None or row[0] is None else int(row[0])
 
+    @_locked
     def get_max_image_id_with_keypoints(self) -> int:
         row = self._conn.execute("SELECT MAX(image_id) FROM keypoints").fetchone()
         return INVALID_ID if row is None or row[0] is None else int(row[0])
 
     # -- pair flows ---------------------------------------------------------
 
+    @_locked
     def write_image_pair_flow(
         self,
         image_id_from,
@@ -186,6 +211,7 @@ class Database:
         )
         self._conn.commit()
 
+    @_locked
     def read_image_pair_flow(
         self, image_id_from: int, image_id_to: int
     ) -> ImagePairFlow:
@@ -205,6 +231,7 @@ class Database:
             raise ValueError("flow blob size mismatch")
         return flow
 
+    @_locked
     def image_pair_flow_exists(
         self, image_id_from: int, image_id_to: int
     ) -> bool:
@@ -215,6 +242,7 @@ class Database:
         ).fetchone()
         return row is not None
 
+    @_locked
     def find_optical_flows_from_image(self, image_id_from: int) -> list:
         rows = self._conn.execute(
             "SELECT image_id_to FROM optical_flow WHERE image_id_from = ?",
@@ -222,6 +250,7 @@ class Database:
         ).fetchall()
         return [r[0] for r in rows]
 
+    @_locked
     def find_optical_flows_to_image(self, image_id_to: int) -> list:
         rows = self._conn.execute(
             "SELECT image_id_from FROM optical_flow WHERE image_id_to = ?",
