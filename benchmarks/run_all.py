@@ -1,0 +1,285 @@
+#!/usr/bin/env python3
+"""BASELINE.md benchmark configs, one JSON line per metric.
+
+Configs (BASELINE.md "Targets for this rebuild"):
+  1. Analyze Video throughput, 640x480 clip  -> delegated to /bench.py
+  2. Pin-mode single-frame pose: 8-pin PnP solve latency (ms)
+  3. Forward camera tracking over a 120-frame synthetic clip (frames/s)
+  4. Trajectory refinement: BA over a 250-frame segment with focal
+     estimation (wall seconds)
+
+The reference publishes no numbers and its prebuilt wheels in this image
+are git-lfs pointers, so configs 2-4 report absolute device numbers
+(vs_baseline null); config 1 compares against OpenCV on CPU.
+
+Run: python benchmarks/run_all.py [--skip-analyze]
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def emit(metric, value, unit, vs_baseline=None):
+    print(json.dumps({
+        "metric": metric, "value": round(value, 4), "unit": unit,
+        "vs_baseline": vs_baseline,
+    }), flush=True)
+
+
+def make_scene(n_frames, width=1920, height=1080, focal=1800.0):
+    """Synthetic orbiting-camera scene over a sphere mesh."""
+    import jax.numpy as jnp
+
+    from polychase_tpu.engine import camera as C, pose as P
+    from polychase_tpu.engine.geometry import Mesh
+
+    n_lat, n_lon = 24, 32
+    verts, tris = [], []
+    for i in range(n_lat + 1):
+        th = np.pi * i / n_lat
+        for j in range(n_lon):
+            ph = 2 * np.pi * j / n_lon
+            verts.append([np.sin(th) * np.cos(ph),
+                          np.sin(th) * np.sin(ph), np.cos(th)])
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            if i > 0:
+                tris.append([a, c, b])
+            if i < n_lat - 1:
+                tris.append([b, c, d])
+    mesh = Mesh.create(np.asarray(verts, np.float32),
+                       np.asarray(tris, np.uint32))
+    intr = C.Intrinsics.create(
+        focal, focal, width / 2, height / 2, 1.0, width, height, C.OPENCV
+    )
+    poses = []
+    for t in range(n_frames):
+        ang = 0.01 * t
+        q = np.array([np.cos(ang / 2), 0, np.sin(ang / 2), 0], np.float32)
+        tr = np.array([0.05 * np.sin(0.05 * t), 0.02 * t / n_frames, 4.0],
+                      np.float32)
+        poses.append(P.Pose(jnp.asarray(q), jnp.asarray(tr)))
+    return mesh, intr, poses
+
+
+def build_synth_db(db_path, mesh, intr, poses, rng, kp_per_frame=256):
+    """Project random mesh surface points to build a consistent flow DB."""
+    import jax
+    import jax.numpy as jnp
+
+    from polychase_tpu.engine import camera as C, pose as P
+    from polychase_tpu.io.database import Database
+
+    n = len(poses)
+    # sample surface points via rays from each camera
+    from polychase_tpu.engine.raycast import raycast_grouped
+
+    db = Database(db_path)
+    width = float(intr.width)
+    height = float(intr.height)
+    pts3d = {}
+    kps = {}
+    for i, pose in enumerate(poses):
+        pix = rng.uniform(
+            (width * 0.3, height * 0.3), (width * 0.7, height * 0.7),
+            (kp_per_frame, 2),
+        ).astype(np.float32)
+        dirs_cam = C.unproject(intr, jnp.asarray(pix))
+        Rt = P.quat_to_mat(P.quat_conj(pose.q))
+        origin = P.pose_center(pose)
+        dirs = dirs_cam @ Rt.T
+        hits = raycast_grouped(mesh, origin[None], dirs[None], True)
+        valid = np.asarray(hits.valid[0])
+        X = np.asarray(hits.pos[0])[valid]
+        pix = pix[valid]
+        kps[i] = pix
+        pts3d[i] = X
+        db.write_keypoints(i, pix)
+
+    for i in range(n):
+        for skip in (-8, -4, -2, -1, 1, 2, 4, 8):
+            j = i + skip
+            if not 0 <= j < n:
+                continue
+            X = pts3d[i]
+            if X.shape[0] == 0:
+                continue
+            proj = np.asarray(
+                C.project(intr, P.pose_apply(poses[j], jnp.asarray(X)))
+            )
+            inb = (
+                (proj[:, 0] > 0) & (proj[:, 0] < width)
+                & (proj[:, 1] > 0) & (proj[:, 1] < height)
+            )
+            idx = np.nonzero(inb)[0].astype(np.uint32)
+            noise = rng.normal(0, 0.3, (idx.size, 2)).astype(np.float32)
+            db.write_image_pair_flow(
+                i, j, idx, proj[inb] + noise,
+                np.zeros(idx.size, np.float32),
+            )
+    db.close()
+
+
+def bench_pin_drag():
+    """Config 2: 8-pin PnP solve per mouse-move (api.find_transformation)."""
+    import jax
+    import jax.numpy as jnp
+
+    import polychase_tpu.polychase_core as pc
+    from polychase_tpu.engine import camera as C, pose as P
+
+    rng = np.random.default_rng(0)
+    mesh, intr, poses = make_scene(1)
+    pose = poses[0]
+
+    # 8 pins on the mesh surface
+    from polychase_tpu.engine.raycast import raycast_grouped
+
+    pix = rng.uniform((700, 400), (1200, 700), (8, 2)).astype(np.float32)
+    dirs_cam = C.unproject(intr, jnp.asarray(pix))
+    Rt = P.quat_to_mat(P.quat_conj(pose.q))
+    hits = raycast_grouped(
+        mesh, P.pose_center(pose)[None], (dirs_cam @ Rt.T)[None], True
+    )
+    pins = np.asarray(hits.pos[0])[np.asarray(hits.valid[0])][:8]
+
+    view = np.asarray(P.pose_rt4x4(pose))
+    core_intr = pc.CameraIntrinsics(
+        float(intr.fx), float(intr.fy), float(intr.cx), float(intr.cy),
+        1.0, float(intr.width), float(intr.height),
+        pc.CameraConvention.OpenCV,
+    )
+    st = pc.SceneTransformations(
+        model_matrix=np.eye(4, dtype=np.float32), view_matrix=view,
+        intrinsics=core_intr,
+    )
+    def solve(k):
+        u = pc.PinUpdate(2, np.array([955.0 + k, 542.0], np.float32))
+        return pc.find_transformation(
+            pins, st, st, u, pc.TransformationType.Camera,
+        )
+
+    solve(0)  # compile
+    solve(1)
+    t0 = time.perf_counter()
+    reps = 20
+    for k in range(reps):
+        solve(k % 5)
+    dt = (time.perf_counter() - t0) / reps
+    emit("pin_drag_solve_ms", dt * 1000, "ms/solve")
+
+
+def bench_tracking():
+    """Config 3: forward tracking over a 120-frame 1080p-scale clip."""
+    import jax.numpy as jnp
+
+    from polychase_tpu.engine import camera as C
+    from polychase_tpu.engine.tracker import track_camera_trajectory
+    from polychase_tpu.engine.trajectory import CameraTrajectory
+    from polychase_tpu.io.database import Database
+
+    rng = np.random.default_rng(1)
+    n = 120
+    mesh, intr, poses = make_scene(n)
+    with tempfile.TemporaryDirectory() as td:
+        db_path = os.path.join(td, "flow.db")
+        t0 = time.perf_counter()
+        build_synth_db(db_path, mesh, intr, poses, rng)
+        print(f"# db build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+        def run():
+            traj = CameraTrajectory(0, n)
+            traj.set(0, C.CameraState(intr, poses[0]))
+            db = Database(db_path)
+            t0 = time.perf_counter()
+            track_camera_trajectory(
+                db, traj, 0, n - 1, np.eye(4, dtype=np.float32), mesh
+            )
+            dt = time.perf_counter() - t0
+            db.close()
+            return dt, traj
+
+        dt_w, _ = run()  # warm
+        print(f"# warm run: {dt_w:.1f}s", file=sys.stderr)
+        dt, traj = run()
+        emit("tracking_fps_120f_1080p", (n - 1) / dt, "frames/sec")
+
+
+def bench_refine():
+    """Config 4: BA over a 250-frame segment with focal estimation."""
+    import jax.numpy as jnp
+
+    from polychase_tpu.engine import camera as C, pose as P
+    from polychase_tpu.engine.levmarq import BundleOptions, CAUCHY
+    from polychase_tpu.engine.refiner import refine_trajectory
+    from polychase_tpu.engine.trajectory import CameraTrajectory
+
+    rng = np.random.default_rng(2)
+    n = 250
+    mesh, intr, poses = make_scene(n)
+    with tempfile.TemporaryDirectory() as td:
+        db_path = os.path.join(td, "flow.db")
+        build_synth_db(db_path, mesh, intr, poses, rng, kp_per_frame=128)
+
+        def make_traj():
+            traj = CameraTrajectory(0, n)
+            for i, p in enumerate(poses):
+                t = np.asarray(p.t)
+                if i not in (0, n - 1):
+                    t = t + rng.normal(0, 0.005, 3).astype(np.float32)
+                traj.set(i, C.CameraState(
+                    intr, P.Pose(p.q, jnp.asarray(t))
+                ))
+            return traj
+
+        opts = BundleOptions(
+            loss_type=CAUCHY, loss_scale=1.0, max_iterations=30
+        )
+        refine_trajectory(  # warm (compile)
+            db_path, make_traj(), np.eye(4, dtype=np.float32), mesh,
+            optimize_focal_length=True, bundle_opts=opts,
+        )
+        t0 = time.perf_counter()
+        refine_trajectory(
+            db_path, make_traj(), np.eye(4, dtype=np.float32), mesh,
+            optimize_focal_length=True, bundle_opts=opts,
+        )
+        emit("refine_250f_walltime_s", time.perf_counter() - t0, "seconds")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-analyze", action="store_true")
+    ap.add_argument("--only", choices=["pin", "track", "refine", "analyze"])
+    args = ap.parse_args()
+
+    if args.only:
+        {"pin": bench_pin_drag, "track": bench_tracking,
+         "refine": bench_refine}.get(args.only, lambda: None)()
+        if args.only == "analyze":
+            import bench
+            bench.main()
+        return
+
+    if not args.skip_analyze:
+        import bench
+        bench.main()
+    bench_pin_drag()
+    bench_tracking()
+    bench_refine()
+
+
+if __name__ == "__main__":
+    main()

@@ -183,9 +183,11 @@ class SceneTransformations:
         self.intrinsics = intrinsics
 
     def _to_engine(self) -> _geometry.SceneTransformations:
+        # Host arrays: the consumers (pin mode, tracking setup) orchestrate
+        # on the host and pass slices to jitted programs themselves.
         return _geometry.SceneTransformations(
-            jnp.asarray(self.model_matrix),
-            jnp.asarray(self.view_matrix),
+            self.model_matrix,
+            self.view_matrix,
             self.intrinsics._to_engine(),
         )
 

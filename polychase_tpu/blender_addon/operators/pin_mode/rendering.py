@@ -1,12 +1,23 @@
 """GPU overlay rendering for pin mode
 (rebuild of blender_addon/operators/pin_mode/rendering.py).
 
-Draws round anti-aliased pin sprites, the mesh wireframe with a masked-
-triangle tint (UBO bitmask indexed by gl_PrimitiveID), and the mask
-brush circle, from a ``SpaceView3D`` POST_PIXEL draw handler.
+Matches the reference renderer's visual semantics
+(reference rendering.py:63-107, 280-330):
+
+- a **depth prepass** draws the mesh solid (color alpha 0, depth writes
+  on) so the wireframe is occluded by the mesh's own front surfaces, and
+  masked triangles are tinted in the same pass via a **UBO bitmask
+  indexed by gl_PrimitiveID**;
+- the wireframe then draws with a small negative depth bias under
+  LESS_EQUAL depth testing (no Z-fighting, correct self-occlusion);
+- pins are round anti-aliased point sprites drawn with depth testing
+  off (always visible, like the reference);
+- the mask brush paints a screen-space selection circle.
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 
@@ -14,43 +25,124 @@ import bpy
 import gpu
 from gpu_extras.batch import batch_for_shader
 
+# uvec4[1024] = 4096 u32 words = 131072 triangle bits (reference
+# rendering.py:96 typedef MaskData)
+_MASK_WORDS = 4096
 
-_PIN_VERT = """
-uniform mat4 mvp;
-uniform float radius;
-in vec3 position;
-void main() {
-    gl_Position = mvp * vec4(position, 1.0);
-    gl_PointSize = radius * 2.0;
-}
-"""
 
-_PIN_FRAG = """
-uniform vec4 color;
-out vec4 fragColor;
-void main() {
-    vec2 d = gl_PointCoord - vec2(0.5);
-    float r = length(d) * 2.0;
-    float alpha = 1.0 - smoothstep(0.85, 1.0, r);
-    if (alpha <= 0.0) discard;
-    fragColor = vec4(color.rgb, color.a * alpha);
-}
-"""
+@functools.cache
+def _wireframe_shader() -> gpu.types.GPUShader:
+    """Wireframe/prepass shader with per-primitive mask tint
+    (reference rendering.py:63-107)."""
+    info = gpu.types.GPUShaderCreateInfo()
+    info.vertex_source(
+        """
+    void main()
+    {
+        gl_Position = mvp * vec4(position, 1.0f);
+        gl_Position.z += bias * gl_Position.w;
+    }
+    """
+    )
+    info.fragment_source(
+        """
+    void main()
+    {
+        if (!useMask) {
+            fragColor = color;
+        } else {
+            int vec_idx = gl_PrimitiveID / 128;
+            int component_idx = (gl_PrimitiveID % 128) / 32;
+            int bit_idx = (gl_PrimitiveID % 128) % 32;
 
-_WIRE_VERT = """
-uniform mat4 mvp;
-in vec3 position;
-void main() {
-    gl_Position = mvp * vec4(position, 1.0);
-    gl_Position.z -= 1e-4 * gl_Position.w;  // depth bias over the mesh
-}
-"""
+            bool is_masked =
+                (u_maskData.data[vec_idx][component_idx]
+                 & (1u << bit_idx)) != 0;
 
-_WIRE_FRAG = """
-uniform vec4 color;
-out vec4 fragColor;
-void main() { fragColor = color; }
-"""
+            if (is_masked) {
+                fragColor = mask_color;
+            } else {
+                fragColor = color;
+            }
+        }
+    }
+    """
+    )
+    info.typedef_source("struct MaskData { uvec4 data[1024]; };")
+    info.vertex_in(0, "VEC3", "position")
+    info.fragment_out(0, "VEC4", "fragColor")
+    info.push_constant("MAT4", "mvp")
+    info.push_constant("VEC4", "color")
+    info.push_constant("VEC4", "mask_color")
+    info.push_constant("FLOAT", "bias")
+    info.push_constant("BOOL", "useMask")
+    info.uniform_buf(0, "MaskData", "u_maskData")
+    return gpu.shader.create_from_info(info)
+
+
+@functools.cache
+def _pin_shader() -> gpu.types.GPUShader:
+    info = gpu.types.GPUShaderCreateInfo()
+    info.vertex_source(
+        """
+    void main()
+    {
+        gl_Position = mvp * vec4(position, 1.0f);
+        gl_PointSize = point_size;
+    }
+    """
+    )
+    info.fragment_source(
+        """
+    void main()
+    {
+        vec2 d = gl_PointCoord - vec2(0.5);
+        float r = length(d) * 2.0;
+        float alpha = 1.0 - smoothstep(0.85, 1.0, r);
+        if (alpha <= 0.0) { discard; }
+        fragColor = vec4(color.rgb, color.a * alpha);
+    }
+    """
+    )
+    info.vertex_in(0, "VEC3", "position")
+    info.fragment_out(0, "VEC4", "fragColor")
+    info.push_constant("MAT4", "mvp")
+    info.push_constant("FLOAT", "point_size")
+    info.push_constant("VEC4", "color")
+    return gpu.shader.create_from_info(info)
+
+
+@functools.cache
+def _circle_shader() -> gpu.types.GPUShader:
+    """Screen-space selection circle (reference rendering.py:110-139)."""
+    info = gpu.types.GPUShaderCreateInfo()
+    info.vertex_source(
+        """
+    void main()
+    {
+        gl_Position = vec4(position, 0.0, 1.0);
+    }
+    """
+    )
+    info.fragment_source(
+        """
+    void main()
+    {
+        const float width = 1.5f;
+        float d = abs(distance(vec2(gl_FragCoord), center) - radius);
+        if (d < width) {
+            fragColor = vec4(1.0, 1.0, 1.0, 1.0 - d / width);
+        } else {
+            discard;
+        }
+    }
+    """
+    )
+    info.vertex_in(0, "VEC2", "position")
+    info.push_constant("VEC2", "center")
+    info.push_constant("FLOAT", "radius")
+    info.fragment_out(0, "VEC4", "fragColor")
+    return gpu.shader.create_from_info(info)
 
 
 class PinModeRenderer:
@@ -59,10 +151,10 @@ class PinModeRenderer:
     def __init__(self, tracker_props, engine_tracker):
         self._handler = None
         self._pins_batch = None
+        self._sel_batch = None
         self._wire_batch = None
-        self._masked_batch = None
-        self._pin_shader = gpu.types.GPUShader(_PIN_VERT, _PIN_FRAG)
-        self._wire_shader = gpu.types.GPUShader(_WIRE_VERT, _WIRE_FRAG)
+        self._depth_batch = None
+        self._mask_ubo = None
         self._mask_circle = None  # (x, y, radius) while mask-painting
         self.update_geometry(engine_tracker)
         self._tracker_id = tracker_props.id
@@ -76,40 +168,37 @@ class PinModeRenderer:
         )
         if mesh is None:
             self._wire_batch = None
-            self._masked_batch = None
+            self._depth_batch = None
             return
+        shader = _wireframe_shader()
         verts = mesh.vertices
         tris = mesh.triangles.astype(np.int32)
         edges = np.concatenate(
             [tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]]
         )
         self._wire_batch = batch_for_shader(
-            self._wire_shader, "LINES",
-            {"position": verts}, indices=edges,
+            shader, "LINES", {"position": verts}, indices=edges,
+        )
+        # Solid prepass batch: fills the Z-buffer and tints masked tris
+        self._depth_batch = batch_for_shader(
+            shader, "TRIS", {"position": verts}, indices=tris,
         )
         self.update_mask(mesh)
 
     def update_mask(self, mesh) -> None:
-        """Rebuild the masked-triangle overlay batch."""
-        tris = mesh.triangles.astype(np.int32)
-        masked_ids = [
-            i for i in range(len(tris)) if mesh.is_triangle_masked(i)
-        ]
-        if not masked_ids:
-            self._masked_batch = None
-            return
-        self._masked_batch = batch_for_shader(
-            self._wire_shader, "TRIS",
-            {"position": mesh.vertices},
-            indices=tris[masked_ids],
-        )
+        """(Re)upload the packed triangle mask into the UBO."""
+        bits = np.zeros(_MASK_WORDS, np.uint32)
+        src = np.asarray(mesh.masked_triangles, np.uint32).reshape(-1)
+        n = min(src.size, _MASK_WORDS)
+        bits[:n] = src[:n]
+        self._mask_ubo = gpu.types.GPUUniformBuf(bits.tobytes())
 
     def update_pins(self, points: np.ndarray) -> None:
         if points is None or len(points) == 0:
             self._pins_batch = None
             return
         self._pins_batch = batch_for_shader(
-            self._pin_shader, "POINTS", {"position": points}
+            _pin_shader(), "POINTS", {"position": points}
         )
 
     def set_mask_circle(self, circle) -> None:
@@ -138,64 +227,83 @@ class PinModeRenderer:
         model = tracker_props.geometry.matrix_world
         mvp = rv3d.perspective_matrix @ model
 
-        gpu.state.blend_set("ALPHA")
-
-        if self._masked_batch is not None:
-            self._wire_shader.bind()
-            self._wire_shader.uniform_float("mvp", mvp)
-            self._wire_shader.uniform_float(
-                "color", tuple(tracker_props.masked_color)
-            )
-            self._masked_batch.draw(self._wire_shader)
-
-        if self._wire_batch is not None:
-            gpu.state.line_width_set(1.0)
-            self._wire_shader.bind()
-            self._wire_shader.uniform_float("mvp", mvp)
-            self._wire_shader.uniform_float(
-                "color", tuple(tracker_props.wireframe_color)
-            )
-            self._wire_batch.draw(self._wire_shader)
-
-        if self._pins_batch is not None:
-            gpu.state.program_point_size_set(True)
-            self._pin_shader.bind()
-            self._pin_shader.uniform_float("mvp", mvp)
-            self._pin_shader.uniform_float("radius", tracker_props.pin_radius)
-            self._pin_shader.uniform_float(
-                "color", tuple(tracker_props.pin_color)
-            )
-            self._pins_batch.draw(self._pin_shader)
-
-            sel = tracker_props.selected_pin
-            if sel >= 0:
-                # Redraw the selected pin in its own color
-                from .. import pin_mode as _pm  # avoid cycles
-
+        self._draw_wireframe(mvp, tracker_props)
+        self._draw_pins(mvp, tracker_props)
         if self._mask_circle is not None:
             self._draw_circle(*self._mask_circle)
-
         gpu.state.blend_set("NONE")
+        gpu.state.depth_mask_set(False)
+        gpu.state.depth_test_set("NONE")
+
+    def _draw_wireframe(self, mvp, tracker_props) -> None:
+        """Depth prepass with mask tint, then the biased wireframe
+        (reference rendering.py:295-323)."""
+        if self._depth_batch is None or self._mask_ubo is None:
+            return
+        shader = _wireframe_shader()
+
+        gpu.state.depth_mask_set(True)
+        gpu.state.depth_test_set("LESS_EQUAL")
+        gpu.state.blend_set("ALPHA")
+
+        shader.bind()
+        shader.uniform_float("mvp", mvp)
+        shader.uniform_float("bias", 0.0)
+        shader.uniform_float("color", (0.0, 0.0, 0.0, 0.0))
+        shader.uniform_float(
+            "mask_color", tuple(tracker_props.masked_color)
+        )
+        shader.uniform_bool("useMask", True)
+        shader.uniform_block("u_maskData", self._mask_ubo)
+        self._depth_batch.draw(shader)
+
+        if self._wire_batch is not None:
+            gpu.state.depth_mask_set(False)
+            gpu.state.line_width_set(1.0)
+            shader.uniform_float("bias", -1e-4)
+            shader.uniform_float(
+                "color", tuple(tracker_props.wireframe_color)
+            )
+            shader.uniform_bool("useMask", False)
+            self._wire_batch.draw(shader)
+
+    def _draw_pins(self, mvp, tracker_props) -> None:
+        if self._pins_batch is None:
+            return
+        shader = _pin_shader()
+        gpu.state.depth_test_set("NONE")
+        gpu.state.depth_mask_set(False)
+        gpu.state.blend_set("ALPHA")
+        gpu.state.program_point_size_set(True)
+        shader.bind()
+        shader.uniform_float("mvp", mvp)
+        shader.uniform_float(
+            "point_size", float(tracker_props.pin_radius) * 2.0
+        )
+        shader.uniform_float("color", tuple(tracker_props.pin_color))
+        self._pins_batch.draw(shader)
 
     def draw_selected_pin(self, tracker_props, point) -> None:
+        shader = _pin_shader()
         batch = batch_for_shader(
-            self._pin_shader, "POINTS", {"position": [tuple(point)]}
+            shader, "POINTS", {"position": [tuple(point)]}
         )
-        self._pin_shader.bind()
-        self._pin_shader.uniform_float(
+        shader.bind()
+        shader.uniform_float(
             "color", tuple(tracker_props.selected_pin_color)
         )
-        batch.draw(self._pin_shader)
+        batch.draw(shader)
 
     def _draw_circle(self, x, y, radius) -> None:
-        steps = 48
-        angles = np.linspace(0, 2 * np.pi, steps, endpoint=False)
-        pts = np.stack(
-            [x + radius * np.cos(angles), y + radius * np.sin(angles)],
-            axis=-1,
-        ).astype(np.float32)
-        shader = gpu.shader.from_builtin("UNIFORM_COLOR")
-        batch = batch_for_shader(shader, "LINE_LOOP", {"pos": pts})
+        shader = _circle_shader()
+        # Full-screen quad in clip space; the fragment shader cuts the ring
+        quad = np.array(
+            [[-1, -1], [1, -1], [1, 1], [-1, -1], [1, 1], [-1, 1]],
+            np.float32,
+        )
+        batch = batch_for_shader(shader, "TRIS", {"position": quad})
+        gpu.state.blend_set("ALPHA")
         shader.bind()
-        shader.uniform_float("color", (1.0, 1.0, 1.0, 0.8))
+        shader.uniform_float("center", (float(x), float(y)))
+        shader.uniform_float("radius", float(radius))
         batch.draw(shader)

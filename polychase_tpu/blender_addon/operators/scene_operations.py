@@ -152,26 +152,119 @@ class PC_OT_ConvertAnimation(bpy.types.Operator):
         return {"FINISHED"}
 
 
+# Live-preview state for PC_OT_TransformScene (reference
+# scene_operations.py:240-332): the props dialog edits the reference
+# object in real time and the companion object follows rigidly.
+_disable_update = True
+_orig_geom_mat = mathutils.Matrix()
+_orig_cam_mat = mathutils.Matrix()
+_orig_geom_scale = mathutils.Vector((1.0, 1.0, 1.0))
+
+
+def _ts_ref_obj(tracker, reference):
+    return tracker.geometry if reference == "GEOMETRY" else tracker.camera
+
+
+def _ts_on_coords_changed(operator, context):
+    """Re-sync the dialog's loc/rot fields from the reference object when
+    the coordinate space toggles (reference scene_operations.py:246-272)."""
+    global _disable_update
+    if _disable_update:
+        return
+    tracker = _active_tracker(context)
+    if not tracker or not tracker.geometry or not tracker.camera:
+        return
+    ref_obj = _ts_ref_obj(tracker, operator.reference)
+    mat = (
+        ref_obj.matrix_world
+        if operator.coords == "WORLD" else ref_obj.matrix_local
+    )
+    loc, rot, _ = mat.decompose()
+    _disable_update = True
+    operator.location = loc
+    operator.rotation = rot.to_euler()
+    _disable_update = False
+
+
+def _ts_update_reference(tracker, reference):
+    """Companion object rigidly follows the edited reference
+    (reference scene_operations.py:275-293)."""
+    if reference == "GEOMETRY":
+        update = tracker.geometry.matrix_world @ _orig_geom_mat.inverted()
+        tracker.camera.matrix_world = update @ _orig_cam_mat
+    else:
+        update = tracker.camera.matrix_world @ _orig_cam_mat.inverted()
+        tracker.geometry.matrix_world = update @ _orig_geom_mat
+    tracker.camera.scale = (1.0, 1.0, 1.0)
+
+
+def _ts_on_transform_changed(operator, context):
+    """Live preview: write the dialog transform onto the reference object
+    and drag the companion along (reference scene_operations.py:296-332)."""
+    global _disable_update
+    if _disable_update:
+        return
+    tracker = _active_tracker(context)
+    if not tracker or not tracker.geometry or not tracker.camera:
+        return
+
+    if operator.reference == "GEOMETRY":
+        ref_obj = tracker.geometry
+        scale = operator.scale * _orig_geom_scale
+    else:
+        ref_obj = tracker.camera
+        scale = None
+
+    matrix = mathutils.Matrix.LocRotScale(
+        mathutils.Vector(operator.location),
+        mathutils.Euler(operator.rotation).to_quaternion(),
+        scale,
+    )
+    if operator.coords == "WORLD":
+        ref_obj.matrix_world = matrix
+    else:
+        ref_obj.matrix_world = (
+            ref_obj.matrix_world @ ref_obj.matrix_local.inverted()
+        ) @ matrix
+    _ts_update_reference(tracker, operator.reference)
+
+
 class PC_OT_TransformScene(bpy.types.Operator):
     bl_idname = "polychase.transform_scene"
     bl_label = "Transform Scene"
     bl_description = (
-        "Rigidly re-pose the whole tracked scene across all keyframes"
+        "Transform tracked geometry or camera while maintaining correct "
+        "relative poses between them"
     )
     bl_options = {"REGISTER", "UNDO"}
 
-    location: bpy.props.FloatVectorProperty(name="Location", size=3)
-    rotation: bpy.props.FloatVectorProperty(
-        name="Rotation", size=3, subtype="EULER"
-    )
-    scale: bpy.props.FloatProperty(name="Scale", default=1.0, min=1e-6)
     reference: bpy.props.EnumProperty(
         name="Reference",
-        items=[
-            ("GEOMETRY", "Geometry", "Anchor the geometry's first pose"),
-            ("CAMERA", "Camera", "Anchor the camera's first pose"),
-        ],
-        default="GEOMETRY",
+        items=(
+            ("GEOMETRY", "Geometry", "Transform geometry"),
+            ("CAMERA", "Camera", "Transform camera"),
+        ),
+    )
+    coords: bpy.props.EnumProperty(
+        name="Coordinates",
+        items=(
+            ("LOCAL", "Local", "Local Coordinates"),
+            ("WORLD", "World", "World Coordinates"),
+        ),
+        default="WORLD",
+        update=_ts_on_coords_changed,
+    )
+    scale: bpy.props.FloatProperty(
+        name="Scale", default=1.0, precision=3, min=0.0,
+        update=_ts_on_transform_changed,
+    )
+    rotation: bpy.props.FloatVectorProperty(
+        name="Rotation", size=3, subtype="EULER", precision=3,
+        update=_ts_on_transform_changed,
+    )
+    location: bpy.props.FloatVectorProperty(
+        name="Location", size=3, subtype="TRANSLATION", precision=3,
+        update=_ts_on_transform_changed,
     )
 
     @classmethod
@@ -184,7 +277,41 @@ class PC_OT_TransformScene(bpy.types.Operator):
             and not properties.transient_state(tracker).busy
         )
 
+    def draw(self, context):
+        layout = self.layout
+        layout.use_property_split = True
+        col = layout.column()
+        col.prop(self, "coords")
+        col.prop(self, "location")
+        col.prop(self, "rotation")
+        if self.reference == "GEOMETRY":
+            col.prop(self, "scale")
+
     def invoke(self, context, event):
+        global _disable_update, _orig_geom_mat, _orig_cam_mat
+        global _orig_geom_scale
+        tracker = _active_tracker(context)
+        if not tracker or not tracker.geometry or not tracker.camera:
+            return {"CANCELLED"}
+
+        # Cancel-restore snapshots + the rigid-link baseline
+        self._geom_mat = tracker.geometry.matrix_world.copy()
+        self._cam_mat = tracker.camera.matrix_world.copy()
+        _orig_geom_mat = self._geom_mat.copy()
+        _orig_cam_mat = self._cam_mat.copy()
+        _orig_geom_scale = self._geom_mat.to_scale()
+
+        scale_n = _orig_geom_scale.normalized()
+        if abs(scale_n.x - scale_n.y) > 0.01 or abs(
+            scale_n.y - scale_n.z
+        ) > 0.01:
+            self.report({"ERROR"}, "Non uniform scale detected")
+            return {"CANCELLED"}
+
+        _disable_update = True
+        self.scale = 1.0
+        _disable_update = False
+        _ts_on_coords_changed(self, context)
         return context.window_manager.invoke_props_dialog(self)
 
     def execute(self, context):
@@ -192,57 +319,46 @@ class PC_OT_TransformScene(bpy.types.Operator):
         geometry, camera = tracker.geometry, tracker.camera
         scene = context.scene
 
-        delta = mathutils.Matrix.LocRotScale(
-            mathutils.Vector(self.location),
-            mathutils.Euler(self.rotation).to_quaternion(),
-            mathutils.Vector((self.scale,) * 3),
-        )
+        if self.reference == "GEOMETRY":
+            update = geometry.matrix_world @ _orig_geom_mat.inverted()
+        else:
+            update = camera.matrix_world @ _orig_cam_mat.inverted()
 
-        cam_frames = _iter_keyframe_frames(camera)
-        geo_frames = _iter_keyframe_frames(geometry)
-        frames = sorted(set(cam_frames) | set(geo_frames))
+        animated = (
+            geometry if tracker.tracking_target == "GEOMETRY" else camera
+        )
+        frames = _iter_keyframe_frames(animated)
         saved = scene.frame_current
         try:
-            if not frames:
-                # Static scene: transform both current transforms
-                geometry.matrix_world = delta @ geometry.matrix_world
-                camera.matrix_world = delta @ camera.matrix_world
-                return {"FINISHED"}
-
-            # Collect per-frame world transforms
-            gathered = []
-            for frame in frames:
-                scene.frame_set(frame)
-                gathered.append(
-                    (
-                        frame,
-                        geometry.matrix_world.copy(),
-                        camera.matrix_world.copy(),
-                    )
-                )
-
-            for frame, geo_mat, cam_mat in gathered:
-                scene.frame_set(frame)
-                new_geo = delta @ geo_mat
-                new_cam = delta @ cam_mat
-                if frame in geo_frames or not geo_frames:
-                    loc, rot, scl = new_geo.decompose()
-                    utils.set_object_model_matrix(geometry, loc, rot, scl)
-                    keyframes.insert_keyframe(
-                        geometry, frame,
-                        keytype=keyframes.GENERATED_KEYFRAME,
-                    )
-                if frame in cam_frames or not cam_frames:
-                    loc, rot, _ = new_cam.decompose()
-                    camera.matrix_world = mathutils.Matrix.LocRotScale(
-                        loc, rot, camera.matrix_world.to_scale()
-                    )
-                    keyframes.insert_keyframe(
-                        camera, frame, keytype=keyframes.GENERATED_KEYFRAME
-                    )
+            if tracker.tracking_target == "GEOMETRY":
+                for frame in frames:
+                    scene.frame_set(frame)
+                    mat_world = geometry.matrix_world.copy()
+                    geometry.matrix_world = update @ mat_world
+                    keyframes.insert_keyframe(geometry, frame)
+                    # restore so the object's scale channel is untouched
+                    geometry.matrix_world = mat_world
+                camera.matrix_world = update @ _orig_cam_mat
+                camera.scale = (1.0, 1.0, 1.0)
+            else:
+                for frame in frames:
+                    scene.frame_set(frame)
+                    camera.matrix_world = update @ camera.matrix_world
+                    camera.scale = (1.0, 1.0, 1.0)
+                    keyframes.insert_keyframe(camera, frame)
+                geometry.matrix_world = update @ _orig_geom_mat
         finally:
             scene.frame_set(saved)
         return {"FINISHED"}
+
+    def cancel(self, context):
+        tracker = _active_tracker(context)
+        if not tracker:
+            return
+        if tracker.geometry and hasattr(self, "_geom_mat"):
+            tracker.geometry.matrix_world = self._geom_mat
+        if tracker.camera and hasattr(self, "_cam_mat"):
+            tracker.camera.matrix_world = self._cam_mat
 
 
 CLASSES = (

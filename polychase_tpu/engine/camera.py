@@ -16,6 +16,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Convention markers (matches CameraConvention in cpp/pnp/types.h:13-16)
 OPENGL = 0  # looking at -Z
@@ -37,8 +38,11 @@ class Intrinsics(NamedTuple):
 
     @staticmethod
     def create(fx, fy, cx, cy, aspect_ratio, width, height, convention=OPENGL):
+        # Host numpy scalars: creating device scalars here would cost one
+        # host->device transfer per field on every construction (intrinsics
+        # are built on the host per frame / per UI event).
         sign = 1.0 if convention == OPENCV else -1.0
-        f = jnp.float32
+        f = np.float32
         return Intrinsics(
             f(fx), f(fy), f(cx), f(cy), f(aspect_ratio), f(width), f(height),
             f(sign),

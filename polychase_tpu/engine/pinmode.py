@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -141,6 +142,39 @@ def _find_transformation_2(
     )
 
 
+def _np_mat_to_quat(m):
+    """Host-side rotation matrix -> WXYZ quaternion (Shepperd)."""
+    t = np.trace(m)
+    if t > 0:
+        w = np.sqrt(1.0 + t) / 2.0
+        return np.array([
+            w,
+            (m[2, 1] - m[1, 2]) / (4 * w),
+            (m[0, 2] - m[2, 0]) / (4 * w),
+            (m[1, 0] - m[0, 1]) / (4 * w),
+        ])
+    i = int(np.argmax(np.diag(m)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(1.0 + m[i, i] - m[j, j] - m[k, k]) * 2
+    q = np.empty(4)
+    q[i + 1] = s / 4
+    q[0] = (m[k, j] - m[j, k]) / s
+    q[j + 1] = (m[j, i] + m[i, j]) / s
+    q[k + 1] = (m[k, i] + m[i, k]) / s
+    return q / np.linalg.norm(q)
+
+
+def _np_quat_to_mat(q):
+    """Host-side WXYZ quaternion -> rotation matrix (keeps the pin-drag
+    epilogue free of device round trips)."""
+    w, x, y, z = q / np.linalg.norm(q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ])
+
+
 def _find_transformation_n(
     object_points,
     initial: SceneTransformations,
@@ -157,7 +191,15 @@ def _find_transformation_n(
     mv_R, mv_t = model_view[:3, :3], model_view[:3, 3]
 
     X_cam = X @ mv_R.T + mv_t
-    Kp = np.asarray(C.proj_matrix_3x3(initial.intrinsics), np.float64)
+    ii = jax.device_get(initial.intrinsics)
+    Kp = np.array(
+        [
+            [float(ii.fx), 0.0, float(ii.cx)],
+            [0.0, float(ii.fy), float(ii.cy)],
+            [0.0, 0.0, 1.0],
+        ],
+        np.float64,
+    )
     proj = X_cam @ Kp.T
     image_points = (proj[:, :2] / proj[:, 2:3]).astype(np.float32)
     image_points[update.pin_idx] = np.asarray(update.pos, np.float32)
@@ -168,9 +210,12 @@ def _find_transformation_n(
         @ _np4(current.model_matrix)
         @ np.linalg.inv(model_view)
     )
+    # Host-side decomposition: each eager device op on this interactive
+    # path costs a tunnel round trip.
+    q0 = _np_mat_to_quat(initial_pose_mat[:3, :3]).astype(np.float32)
     cam0 = C.CameraState(
         current.intrinsics,
-        P.pose_from_rt(jnp.asarray(initial_pose_mat, jnp.float32)),
+        P.Pose(q0, initial_pose_mat[:3, 3].astype(np.float32)),
     )
 
     opts = PnPOptions(
@@ -181,7 +226,7 @@ def _find_transformation_n(
     )
     result = solve_pnp(X_cam.astype(np.float32), image_points, cam0, opts)
 
-    R = np.asarray(P.quat_to_mat(result.camera.pose.q), np.float64)
+    R = _np_quat_to_mat(np.asarray(result.camera.pose.q, np.float64))
     t = np.asarray(result.camera.pose.t, np.float64)
 
     if trans_type == TRANSFORM_MODEL:

@@ -113,29 +113,33 @@ def _step(cam: C.CameraState, dp, bounds: C.Bounds, opt_f, opt_pp):
     return C.CameraState(intr, P.Pose(q, t))
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "opt_f", "opt_pp", "loss_type", "max_iterations", "max_parallelism"
-    ),
-)
+@partial(jax.jit, static_argnames=("opt_f", "opt_pp", "opts"))
 def _solve_padded(
-    X, x, weights, mask, cam0: C.CameraState, bounds: C.Bounds,
-    loss_scale, gradient_tol, step_tol, initial_lambda, min_lambda, max_lambda,
-    max_inlier_error,
-    *, opt_f: bool, opt_pp: bool, loss_type: int, max_iterations: int,
-    max_parallelism: int = 8,
+    packed,      # (m, 8) f32: X(3) | x(2) | weight | mask | unused
+    params,      # (16,) f32: q(4) t(3) fx fy cx cy aspect w h sign err
+    *, opt_f: bool, opt_pp: bool, opts: BundleOptions,
 ):
-    opts = BundleOptions(
-        max_iterations=max_iterations,
-        loss_type=loss_type,
-        loss_scale=loss_scale,
-        gradient_tol=gradient_tol,
-        step_tol=step_tol,
-        initial_lambda=initial_lambda,
-        min_lambda=min_lambda,
-        max_lambda=max_lambda,
+    """One-dispatch PnP solve.
+
+    Every dynamic input rides in two packed arrays and the result is one
+    flat vector — a host→device→host round trip costs ~26 ms each way on
+    a tunneled chip, so interactive solves (pin drags fire per mouse-move,
+    cpp/pin_mode.cc:219-246) must not scatter scalars across transfers.
+    ``opts`` is static: solver tolerances change at most per session.
+    """
+    X = packed[:, 0:3]
+    x = packed[:, 3:5]
+    weights = packed[:, 5]
+    mask = packed[:, 6] > 0.0
+
+    intr = C.Intrinsics(
+        fx=params[7], fy=params[8], cx=params[9], cy=params[10],
+        aspect_ratio=params[11], width=params[12], height=params[13],
+        sign=params[14],
     )
+    cam0 = C.CameraState(intr, P.Pose(params[0:4], params[4:7]))
+    bounds = C.intrinsics_bounds(intr)
+    max_inlier_error = params[15]
 
     def residuals(cam):
         res, valid, behind = _residuals(cam, X, x, mask)
@@ -167,7 +171,20 @@ def _solve_padded(
         inliers.astype(jnp.float32) / num_points.astype(jnp.float32),
         0.0,
     )
-    return cam_out, stats, ratio
+    io = cam_out.intrinsics
+    return jnp.stack(
+        [
+            cam_out.pose.q[0], cam_out.pose.q[1], cam_out.pose.q[2],
+            cam_out.pose.q[3],
+            cam_out.pose.t[0], cam_out.pose.t[1], cam_out.pose.t[2],
+            io.fx, io.fy, io.cx, io.cy,
+            stats.iterations.astype(jnp.float32),
+            stats.initial_cost, stats.cost, stats.lambda_,
+            stats.invalid_steps.astype(jnp.float32),
+            stats.step_norm, stats.grad_norm,
+            ratio,
+        ]
+    )
 
 
 _BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
@@ -201,32 +218,68 @@ def solve_pnp(
         raise ValueError("PnP needs at least 3 points")
 
     m = bucket_size(n)
-    Xp = np.zeros((m, 3), np.float32)
-    xp = np.zeros((m, 2), np.float32)
-    wp = np.zeros((m,), np.float32)
-    maskp = np.zeros((m,), bool)
-    Xp[:n], xp[:n], maskp[:n] = X, x, True
+    packed = np.zeros((m, 8), np.float32)
+    packed[:n, 0:3] = X
+    packed[:n, 3:5] = x
+    packed[:n, 6] = 1.0
     # Padded image targets at the projection of a dummy point would produce
     # garbage residuals; they are masked out everywhere.
     if weights is None:
-        wp[:n] = 1.0
+        packed[:n, 5] = 1.0
     else:
-        wp[:n] = np.ascontiguousarray(weights, np.float32).reshape(-1)
+        packed[:n, 5] = np.ascontiguousarray(
+            weights, np.float32
+        ).reshape(-1)
 
     # Intrinsics optimization requires > 3 points (cpp/pnp/pnp_problem.h:34)
     opt_f = bool(opts.optimize_focal_length) and n > 3
     opt_pp = bool(opts.optimize_principal_point) and n > 3
 
-    bounds = C.intrinsics_bounds(cam0.intrinsics)
-    b = opts.bundle_opts
-    cam_out, stats, ratio = _solve_padded(
-        jnp.asarray(Xp), jnp.asarray(xp), jnp.asarray(wp), jnp.asarray(maskp),
-        cam0, bounds,
-        jnp.float32(b.loss_scale), jnp.float32(b.gradient_tol),
-        jnp.float32(b.step_tol), jnp.float32(b.initial_lambda),
-        jnp.float32(b.min_lambda), jnp.float32(b.max_lambda),
-        jnp.float32(opts.max_inlier_error),
-        opt_f=opt_f, opt_pp=opt_pp,
-        loss_type=int(b.loss_type), max_iterations=int(b.max_iterations),
+    # One host-side gather of the warm-start camera (it may hold device
+    # scalars from a previous solve), one packed upload, one download.
+    c = jax.device_get(cam0)
+    ci = c.intrinsics
+    params = np.array(
+        [
+            *np.asarray(c.pose.q, np.float32).reshape(4),
+            *np.asarray(c.pose.t, np.float32).reshape(3),
+            float(ci.fx), float(ci.fy), float(ci.cx), float(ci.cy),
+            float(ci.aspect_ratio), float(ci.width), float(ci.height),
+            float(ci.sign), float(opts.max_inlier_error),
+        ],
+        np.float32,
     )
-    return PnPResult(camera=cam_out, stats=stats, inlier_ratio=ratio)
+
+    b = opts.bundle_opts
+    static_opts = BundleOptions(
+        max_iterations=int(b.max_iterations),
+        loss_type=int(b.loss_type),
+        loss_scale=float(b.loss_scale),
+        gradient_tol=float(b.gradient_tol),
+        step_tol=float(b.step_tol),
+        initial_lambda=float(b.initial_lambda),
+        min_lambda=float(b.min_lambda),
+        max_lambda=float(b.max_lambda),
+    )
+    out = np.asarray(
+        _solve_padded(
+            packed, params, opt_f=opt_f, opt_pp=opt_pp, opts=static_opts
+        )
+    )
+    intr_out = C.Intrinsics(
+        fx=np.float32(out[7]), fy=np.float32(out[8]),
+        cx=np.float32(out[9]), cy=np.float32(out[10]),
+        aspect_ratio=ci.aspect_ratio, width=ci.width, height=ci.height,
+        sign=ci.sign,
+    )
+    camera = C.CameraState(intr_out, P.Pose(out[0:4], out[4:7]))
+    stats = BundleStats(
+        iterations=np.int32(out[11]),
+        initial_cost=np.float32(out[12]),
+        cost=np.float32(out[13]),
+        lambda_=np.float32(out[14]),
+        invalid_steps=np.int32(out[15]),
+        step_norm=np.float32(out[16]),
+        grad_norm=np.float32(out[17]),
+    )
+    return PnPResult(camera=camera, stats=stats, inlier_ratio=out[18])

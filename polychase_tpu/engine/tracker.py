@@ -86,39 +86,64 @@ def gather_correspondences(
     pixels (cpp/tracker.cc:36-97).  Returns (X (N,3), x (N,2)).
     """
     model_matrix = np.asarray(model_matrix, np.float32)
-    obj_pts, img_pts = [], []
 
+    # Collect all source flows first, then do ONE grouped (shared-origin
+    # per source frame) cast padded to bucket shapes — a cast per flow
+    # would compile a fresh program for every distinct match count and
+    # pay a device round trip each (cpp/tracker.cc:43-92 does this with
+    # per-keypoint Embree queries instead).
+    groups = []
     for flow_frame_id in database.find_optical_flows_to_image(frame_id):
         if flow_frame_id == frame_id:
             raise TrackingError("self-flow in database")
         if not camera_traj.is_frame_filled(flow_frame_id):
             continue
-
         keypoints = database.read_keypoints(flow_frame_id)
         flow = database.read_image_pair_flow(flow_frame_id, frame_id)
         if flow.src_kps_indices.size == 0:
             continue
-
         cam = camera_traj.get(flow_frame_id)
         src_px = keypoints[flow.src_kps_indices]
-
         view = np.asarray(P.pose_rt4x4(cam.pose), np.float32)
         origins, dirs = rays_object_space(
             model_matrix, view, cam.intrinsics, src_px
         )
-        # All of a frame's rays share the camera center: the grouped
-        # (shared-origin) cast uses the factored Moller-Trumbore form.
-        hits = raycast_grouped(
-            mesh, jnp.asarray(origins[:1]), jnp.asarray(dirs)[None], True
-        )
-        hits = jax.tree.map(lambda a: a[0], hits)
-        valid = np.asarray(hits.valid)
+        groups.append((origins[0], dirs, flow.tgt_kps))
+
+    if not groups:
+        return np.empty((0, 3), np.float32), np.empty((0, 2), np.float32)
+
+    from .pnp import bucket_size
+
+    G = len(groups)
+    # The skip pattern bounds G at 8; pad the group axis too so every
+    # frame reuses one compiled shape per K bucket.
+    Gp = max(8, G)
+    K = bucket_size(max(d.shape[0] for _, d, _ in groups))
+    origins_arr = np.zeros((Gp, 3), np.float32)
+    dirs_arr = np.zeros((Gp, K, 3), np.float32)
+    dirs_arr[..., 2] = 1.0  # padding rays: unit z, masked by count below
+    counts = np.zeros(Gp, np.int32)
+    for g, (o, d, _) in enumerate(groups):
+        origins_arr[g] = o
+        dirs_arr[g, : d.shape[0]] = d
+        counts[g] = d.shape[0]
+
+    hits = raycast_grouped(
+        mesh, jnp.asarray(origins_arr), jnp.asarray(dirs_arr), True
+    )
+    valid_all, pos_all = jax.device_get((hits.valid, hits.pos))
+
+    obj_pts, img_pts = [], []
+    for g, (_, d, tgt_kps) in enumerate(groups):
+        n = counts[g]
+        valid = valid_all[g, :n]
         if not valid.any():
             continue
-        pos_obj = np.asarray(hits.pos)[valid]
+        pos_obj = pos_all[g, :n][valid]
         pos_world = pos_obj @ model_matrix[:3, :3].T + model_matrix[:3, 3]
         obj_pts.append(pos_world)
-        img_pts.append(flow.tgt_kps[valid])
+        img_pts.append(tgt_kps[valid])
 
     if not obj_pts:
         return np.empty((0, 3), np.float32), np.empty((0, 2), np.float32)
