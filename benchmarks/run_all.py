@@ -75,50 +75,69 @@ def make_scene(n_frames, width=1920, height=1080, focal=1800.0):
 
 
 def build_synth_db(db_path, mesh, intr, poses, rng, kp_per_frame=256):
-    """Project random mesh surface points to build a consistent flow DB."""
+    """Project random mesh surface points to build a consistent flow DB.
+
+    All math is host numpy except one batched raycast over all frames —
+    eager per-pair device ops would pay a tunnel round trip each.
+    """
     import jax
     import jax.numpy as jnp
 
-    from polychase_tpu.engine import camera as C, pose as P
+    from polychase_tpu.engine.tracker import (
+        _np_quat_to_mat,
+        unproject_np,
+    )
+    from polychase_tpu.engine.raycast import raycast_grouped
     from polychase_tpu.io.database import Database
 
     n = len(poses)
-    # sample surface points via rays from each camera
-    from polychase_tpu.engine.raycast import raycast_grouped
-
     db = Database(db_path)
     width = float(intr.width)
     height = float(intr.height)
-    pts3d = {}
-    kps = {}
-    for i, pose in enumerate(poses):
-        pix = rng.uniform(
-            (width * 0.3, height * 0.3), (width * 0.7, height * 0.7),
-            (kp_per_frame, 2),
-        ).astype(np.float32)
-        dirs_cam = C.unproject(intr, jnp.asarray(pix))
-        Rt = P.quat_to_mat(P.quat_conj(pose.q))
-        origin = P.pose_center(pose)
-        dirs = dirs_cam @ Rt.T
-        hits = raycast_grouped(mesh, origin[None], dirs[None], True)
-        valid = np.asarray(hits.valid[0])
-        X = np.asarray(hits.pos[0])[valid]
-        pix = pix[valid]
-        kps[i] = pix
-        pts3d[i] = X
-        db.write_keypoints(i, pix)
+    fx, fy = float(intr.fx), float(intr.fy)
+    cx, cy = float(intr.cx), float(intr.cy)
+
+    Rs = [_np_quat_to_mat(np.asarray(p.q)) for p in poses]
+    ts = [np.asarray(p.t, np.float64).reshape(3) for p in poses]
+
+    pix_all = rng.uniform(
+        (width * 0.3, height * 0.3), (width * 0.7, height * 0.7),
+        (n, kp_per_frame, 2),
+    ).astype(np.float32)
+    origins = np.stack([-(R.T @ t) for R, t in zip(Rs, ts)]).astype(
+        np.float32
+    )
+    dirs = np.stack(
+        [
+            unproject_np(intr, pix_all[i]) @ Rs[i]
+            for i in range(n)
+        ]
+    ).astype(np.float32)
+    hits = raycast_grouped(
+        mesh, jnp.asarray(origins), jnp.asarray(dirs), True
+    )
+    valid_all, pos_all = jax.device_get((hits.valid, hits.pos))
+
+    pts3d, kps = {}, {}
+    for i in range(n):
+        valid = valid_all[i]
+        kps[i] = pix_all[i][valid]
+        pts3d[i] = pos_all[i][valid].astype(np.float64)
+        db.write_keypoints(i, kps[i])
 
     for i in range(n):
+        X = pts3d[i]
+        if X.shape[0] == 0:
+            continue
         for skip in (-8, -4, -2, -1, 1, 2, 4, 8):
             j = i + skip
             if not 0 <= j < n:
                 continue
-            X = pts3d[i]
-            if X.shape[0] == 0:
-                continue
-            proj = np.asarray(
-                C.project(intr, P.pose_apply(poses[j], jnp.asarray(X)))
-            )
+            Z = X @ Rs[j].T + ts[j]
+            proj = np.stack(
+                [fx * Z[:, 0] / Z[:, 2] + cx, fy * Z[:, 1] / Z[:, 2] + cy],
+                axis=-1,
+            ).astype(np.float32)
             inb = (
                 (proj[:, 0] > 0) & (proj[:, 0] < width)
                 & (proj[:, 1] > 0) & (proj[:, 1] < height)

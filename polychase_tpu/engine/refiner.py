@@ -602,6 +602,41 @@ def build_normal_equations(
     return JtJ, Jtr
 
 
+@partial(jax.jit, static_argnames=("loss_type", "opt_f", "opt_pp", "ppc"))
+def try_lm_step(
+    JtJ, Jtr, params, data: RefinerData, prims, tri_corners, model,
+    model_inv, loss_scale, lam, bounds: C.Bounds,
+    *, loss_type: int, opt_f: bool, opt_pp: bool, ppc: int,
+):
+    """Solve + step + candidate cost in ONE dispatch.
+
+    The LM host loop needs five scalars to make its accept/λ decision;
+    fetching them one eager op at a time costs a device round trip each
+    (~26 ms on a tunneled chip).  Returns (params_new, vec) with
+    vec = [grad_norm, solve_ok, step_norm, cost_new, expected_decrease].
+    """
+    step, ok = damped_cholesky_solve(JtJ, Jtr, lam)
+    step_norm = jnp.linalg.norm(step)
+    params_new = apply_step(
+        params, data, step, bounds, opt_f=opt_f, opt_pp=opt_pp, ppc=ppc
+    )
+    cost_new = total_cost(
+        params_new, data, prims, tri_corners, model, model_inv, loss_scale,
+        loss_type=loss_type,
+    )
+    expected = jnp.dot(step, 2.0 * Jtr + JtJ @ step)
+    vec = jnp.stack(
+        [
+            jnp.linalg.norm(Jtr),
+            jnp.where(ok, 1.0, 0.0),
+            step_norm,
+            cost_new,
+            expected,
+        ]
+    )
+    return params_new, vec
+
+
 @partial(jax.jit, static_argnames=("opt_f", "opt_pp", "ppc"))
 def apply_step(
     params: TrajParams, data: RefinerData, step, bounds: C.Bounds,
@@ -814,12 +849,24 @@ def refine_trajectory(
         if rebuild:
             with profile_region("refiner.normal_equations"):
                 JtJ, Jtr = normal_equations(params, prims)
-            stats["grad_norm"] = float(jnp.linalg.norm(Jtr))
-            if stats["grad_norm"] < bundle_opts.gradient_tol:
+
+        # One dispatch + one 5-scalar transfer per iteration: solve, step,
+        # candidate cost, gain-ratio terms all come back together.
+        with profile_region("refiner.try_step"):
+            params_new, vec = try_lm_step(
+                JtJ, Jtr, params, data, prims, tri_corners, model,
+                model_inv, loss_scale, jnp.float32(lam), bounds,
+                loss_type=loss_type, opt_f=opt_f, opt_pp=opt_pp, ppc=ppc,
+            )
+        grad_norm, solve_ok, step_norm, cost_new, expected = (
+            float(x) for x in np.asarray(vec)
+        )
+        if rebuild:
+            stats["grad_norm"] = grad_norm
+            if grad_norm < bundle_opts.gradient_tol:
                 break
 
-        step, ok = damped_cholesky_solve(JtJ, Jtr, jnp.float32(lam))
-        if not bool(ok):
+        if solve_ok == 0.0:
             stats["invalid_steps"] += 1
             if lam >= bundle_opts.max_lambda:
                 break
@@ -829,20 +876,12 @@ def refine_trajectory(
             stats["iterations"] += 1
             continue
 
-        stats["step_norm"] = float(jnp.linalg.norm(step))
-        if stats["step_norm"] < bundle_opts.step_tol:
+        stats["step_norm"] = step_norm
+        if step_norm < bundle_opts.step_tol:
             break
-
-        params_new = apply_step(
-            params, data, step, bounds, opt_f=opt_f, opt_pp=opt_pp, ppc=ppc
-        )
-        cost_new = cost_of(params_new, prims)
 
         if cost_new < stats["cost"]:
             actual = cost_new - stats["cost"]
-            expected = float(
-                jnp.dot(step, 2.0 * Jtr + JtJ @ step)
-            )
             rho = actual / expected if expected != 0 else -1.0
             if rho > 0:
                 factor = max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)

@@ -54,6 +54,47 @@ class TrackingError(RuntimeError):
     pass
 
 
+def _np_quat_to_mat(q: np.ndarray) -> np.ndarray:
+    """Host copy of pose.quat_to_mat — the tracker gathers rays for up to
+    8 source frames per tracked frame, and an eager device op per source
+    costs a full round trip on a remote chip."""
+    w, x, y, z = (float(v) for v in np.asarray(q).reshape(4))
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+             2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+             2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x),
+             1 - 2 * (x * x + y * y)],
+        ],
+        np.float64,
+    )
+
+
+def pose_rt4x4_np(pose: P.Pose) -> np.ndarray:
+    """Host [R t; 0 1] (cpp/pose.h:27-36)."""
+    m = np.eye(4)
+    m[:3, :3] = _np_quat_to_mat(np.asarray(pose.q))
+    m[:3, 3] = np.asarray(pose.t, np.float64).reshape(3)
+    return m
+
+
+def unproject_np(intrinsics: C.Intrinsics, pixels: np.ndarray) -> np.ndarray:
+    """Host copy of camera.unproject (cpp/pnp/types.h:95-98)."""
+    intr = jax.device_get(intrinsics)
+    s = float(intr.sign)
+    p = np.asarray(pixels, np.float64).reshape(-1, 2)
+    return np.stack(
+        [
+            s * (p[:, 0] - float(intr.cx)) / float(intr.fx),
+            s * (p[:, 1] - float(intr.cy)) / float(intr.fy),
+            np.full(p.shape[0], s),
+        ],
+        axis=-1,
+    )
+
+
 def rays_object_space(
     model_matrix: np.ndarray,
     view_matrix: np.ndarray,
@@ -65,7 +106,7 @@ def rays_object_space(
         model_matrix, np.float64
     )
     inv = np.linalg.inv(mv).astype(np.float32)
-    dirs_cam = np.asarray(C.unproject(intrinsics, jnp.asarray(pixels)))
+    dirs_cam = unproject_np(intrinsics, pixels).astype(np.float32)
     origins = np.broadcast_to(inv[:3, 3], dirs_cam.shape)
     dirs = dirs_cam @ inv[:3, :3].T
     return origins, dirs
@@ -104,7 +145,7 @@ def gather_correspondences(
             continue
         cam = camera_traj.get(flow_frame_id)
         src_px = keypoints[flow.src_kps_indices]
-        view = np.asarray(P.pose_rt4x4(cam.pose), np.float32)
+        view = pose_rt4x4_np(jax.device_get(cam.pose)).astype(np.float32)
         origins, dirs = rays_object_space(
             model_matrix, view, cam.intrinsics, src_px
         )
