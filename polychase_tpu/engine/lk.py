@@ -603,6 +603,58 @@ def _lk_all_levels_multi(
     return jax.vmap(solve_one)(next_images_stacked)
 
 
+def _analyze_mesh():
+    """Target-sharding mesh for Analyze (opt-in: POLYCHASE_SHARD_ANALYZE=1,
+    SURVEY §2.4 row 1)."""
+    if os.environ.get("POLYCHASE_SHARD_ANALYZE", "").strip().lower() not in (
+        "1", "true", "on"
+    ):
+        return None
+    if jax.device_count() < 2:
+        return None
+    mesh = globals().get("_ANALYZE_MESH")
+    if mesh is None:
+        from ..parallel.analyze import make_target_mesh
+
+        mesh = make_target_mesh()
+        globals()["_ANALYZE_MESH"] = mesh
+    return mesh
+
+
+def _dispatch_multi_xla(prev_pyr, stacked, pts_p, eps, opts, levels, T):
+    """Multi-target dispatch; shards the target axis over a device mesh
+    when enabled (the reference's per-pair thread pool becomes chips)."""
+    args = (
+        jnp.asarray(pts_p),
+        jnp.float32(eps * eps),
+        jnp.float32(opts.min_eigen_threshold),
+    )
+    kw = dict(
+        win=opts.window_size, max_iters=opts.term_max_iters, levels=levels
+    )
+    mesh = _analyze_mesh()
+    if mesh is not None and T >= 2:
+        from ..parallel.analyze import shard_targets, sharded_lk_multi
+
+        D = int(mesh.devices.size)
+        pad = (-T) % D
+        if pad:
+            stacked = tuple(
+                jnp.concatenate(
+                    [s, jnp.repeat(prev_pyr.levels[lvl][0][None], pad, 0)]
+                )
+                for lvl, s in enumerate(stacked)
+            )
+        nxt, status, err = sharded_lk_multi(
+            mesh, tuple(prev_pyr.levels[:levels]),
+            shard_targets(mesh, stacked), *args, **kw,
+        )
+        return nxt[:T], status[:T], err[:T]
+    return _lk_all_levels_multi(
+        tuple(prev_pyr.levels[:levels]), stacked, *args, **kw
+    )
+
+
 def calc_optical_flow_multi_async(
     prev_pyr: PyramidCache,
     next_pyrs: List[PyramidCache],
@@ -634,16 +686,7 @@ def calc_optical_flow_multi_async(
         for lvl in range(levels)
     )
     eps = min(max(opts.term_epsilon, 0.0), 10.0)
-    out = _lk_all_levels_multi(
-        tuple(prev_pyr.levels[:levels]),
-        stacked,
-        jnp.asarray(pts_p),
-        jnp.float32(eps * eps),
-        jnp.float32(opts.min_eigen_threshold),
-        win=opts.window_size,
-        max_iters=opts.term_max_iters,
-        levels=levels,
-    )
+    out = _dispatch_multi_xla(prev_pyr, stacked, pts_p, eps, opts, levels, T)
     return ("dev", n, out)
 
 
@@ -697,15 +740,8 @@ def calc_optical_flow_multi(
         for lvl in range(levels)
     )
     eps = min(max(opts.term_epsilon, 0.0), 10.0)
-    nxt, status, err = _lk_all_levels_multi(
-        tuple(prev_pyr.levels[:levels]),
-        stacked,
-        jnp.asarray(pts_p),
-        jnp.float32(eps * eps),
-        jnp.float32(opts.min_eigen_threshold),
-        win=opts.window_size,
-        max_iters=opts.term_max_iters,
-        levels=levels,
+    nxt, status, err = _dispatch_multi_xla(
+        prev_pyr, stacked, pts_p, eps, opts, levels, T
     )
     nxt, status, err = jax.device_get((nxt, status, err))
     return nxt[:, :n], status[:, :n], err[:, :n]

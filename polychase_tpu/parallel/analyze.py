@@ -1,0 +1,81 @@
+"""Multi-chip sharding of the Analyze (optical-flow) fan-out.
+
+SURVEY §2.4 row 1: the reference's per-skip-pair TBB pool
+(cpp/opticalflow.cc:269-309) maps to sharding the *target-frame axis* of
+the multi-target LK solve over a 1-D device mesh — each chip tracks the
+shared source frame's features into its shard of the ±{1,2,4,8} skip
+targets.  There is no cross-target communication, so the only collective
+cost is the result gather.
+
+The source frame's prepared pyramid (images + derivatives + the shared
+per-feature normal matrices) is replicated; the stacked target images are
+sharded on their leading axis.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
+from jax import shard_map
+
+from ..engine import lk as _lk
+
+TARGET_AXIS = "targets"
+
+
+def make_target_mesh(devices=None) -> Mesh:
+    """1-D device mesh over which LK targets are sharded."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices.reshape(-1), (TARGET_AXIS,))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "win", "max_iters", "levels"),
+)
+def sharded_lk_multi(
+    mesh: Mesh,
+    prev_levels,            # per level: (img, dx, dy, shape) — replicated
+    next_images_stacked,    # per level: (T, Hp, Wp) — sharded on T
+    pts,                    # (N, 2) full-res positions — replicated
+    eps2,
+    min_eig_thr,
+    *,
+    win: int,
+    max_iters: int,
+    levels: int,
+):
+    """Target-sharded coarse-to-fine LK (XLA path).
+
+    ``T`` must be a multiple of the mesh size (pad with copies of the
+    source images; their outputs are dropped by the caller).  Returns the
+    same (T, N, 2)/(T, N)/(T, N) tuple as ``_lk_all_levels_multi``.
+    """
+    target = PSpec(TARGET_AXIS)
+
+    # shard_map body: each device runs the plain multi-target program on
+    # its local shard of the stacked images (no collectives needed).
+    def body(next_images_local):
+        return _lk._lk_all_levels_multi(
+            prev_levels, next_images_local, pts, eps2, min_eig_thr,
+            win=win, max_iters=max_iters, levels=levels,
+        )
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(tuple(target for _ in range(levels)),),
+        out_specs=(target, target, target),
+        check_vma=False,
+    )
+    return fn(next_images_stacked)
+
+
+def shard_targets(mesh: Mesh, stacked) -> tuple:
+    """device_put per-level stacked target images with the target sharding."""
+    sh = NamedSharding(mesh, PSpec(TARGET_AXIS))
+    return tuple(jax.device_put(s, sh) for s in stacked)

@@ -1,0 +1,67 @@
+"""Target-sharded Analyze fan-out: parity with the single-device solve."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from polychase_tpu.engine import lk
+from polychase_tpu.parallel.analyze import (
+    make_target_mesh,
+    shard_targets,
+    sharded_lk_multi,
+)
+
+
+def _clip(rng, n=10, h=96, w=160):
+    import scipy.ndimage as ndi
+
+    big = ndi.gaussian_filter(
+        rng.uniform(0, 255, (h + 40, w + 40)).astype(np.float32), 1.5
+    )
+    return [
+        np.ascontiguousarray(big[2 * t : 2 * t + h, 3 * t : 3 * t + w])
+        for t in range(n)
+    ]
+
+
+def test_sharded_lk_multi_matches_single(rng):
+    assert jax.device_count() >= 8
+    frames = _clip(rng)
+    opts = lk.LKOptions()
+    pyrs = [
+        lk._prepare_levels(
+            lk.build_pyramid(jnp.asarray(f, jnp.float32), 3),
+            win=opts.window_size, levels=3,
+        )
+        for f in frames
+    ]
+    pts = rng.uniform((12, 12), (148, 84), (256, 2)).astype(np.float32)
+    prev = pyrs[4]
+    target_ids = [0, 1, 2, 3, 5, 6, 7, 8]  # T = 8 = mesh size
+
+    stacked = tuple(
+        jnp.stack([pyrs[t][lvl][0] for t in target_ids])
+        for lvl in range(3)
+    )
+    args = (
+        jnp.asarray(pts),
+        jnp.float32(opts.term_epsilon**2),
+        jnp.float32(opts.min_eigen_threshold),
+    )
+    ref = lk._lk_all_levels_multi(
+        prev, stacked, *args,
+        win=opts.window_size, max_iters=opts.term_max_iters, levels=3,
+    )
+
+    mesh = make_target_mesh()
+    sharded = sharded_lk_multi(
+        mesh, prev, shard_targets(mesh, stacked), *args,
+        win=opts.window_size, max_iters=opts.term_max_iters, levels=3,
+    )
+
+    nxt_r, st_r, err_r = jax.device_get(ref)
+    nxt_s, st_s, err_s = jax.device_get(sharded)
+    assert np.array_equal(st_r, st_s)
+    both = st_r
+    np.testing.assert_allclose(nxt_s[both], nxt_r[both], atol=1e-5)
+    np.testing.assert_allclose(err_s[both], err_r[both], atol=1e-4)
