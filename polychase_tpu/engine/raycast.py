@@ -19,6 +19,7 @@ all triangles and then discarded if that triangle is masked
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -64,6 +65,7 @@ def _moller_trumbore(origins, dirs, p1, p2, p3):
     return t, u, v, hit
 
 
+@partial(jax.jit, static_argnames=("check_mask", "chunk"))
 def raycast(
     mesh: Mesh,
     origins: jax.Array,
@@ -148,6 +150,7 @@ def raycast(
     )
 
 
+@partial(jax.jit, static_argnames=("check_mask", "chunk"))
 def raycast_grouped(
     mesh: Mesh,
     origins: jax.Array,   # (G, 3) one shared origin per ray group
