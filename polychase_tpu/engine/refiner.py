@@ -115,19 +115,43 @@ def _round_up(n, m):
 
 
 def _compute_bbox(state: C.CameraState, mesh: Mesh, model_matrix) -> tuple:
-    """Image-space mesh bbox + 20px pad (cpp/refiner.cc:53-69)."""
+    """Image-space mesh bbox + 20px pad (cpp/refiner.cc:53-69).
+
+    Pure host numpy: this runs once per frame while packing the problem,
+    and eager device ops would cost a round trip each.
+    """
+    from .tracker import pose_rt4x4_np
+
+    intr = jax.device_get(state.intrinsics)
+    f, n = 100.0, 10.0
+    proj = np.array(
+        [
+            [float(intr.fx), 0, float(intr.cx), 0],
+            [0, float(intr.fy), float(intr.cy), 0],
+            [0, 0, -(f + n) / (f - n), -2.0 * f * n / (f - n)],
+            [0, 0, 1.0, 0],
+        ],
+        np.float64,
+    )
     mvp = (
-        np.asarray(C.proj_matrix_4x4(state.intrinsics), np.float64)
-        @ np.asarray(P.pose_rt4x4(state.pose), np.float64)
+        proj
+        @ pose_rt4x4_np(jax.device_get(state.pose))
         @ np.asarray(model_matrix, np.float64)
     )
-    bbox = transform_bbox(
-        Bbox3(mesh.bbox.pmin, mesh.bbox.pmax), jnp.asarray(mvp, jnp.float32)
+    lo = np.asarray(mesh.bbox.pmin, np.float64)
+    hi = np.asarray(mesh.bbox.pmax, np.float64)
+    corners = np.array(
+        [
+            [x, y, z]
+            for x in (lo[0], hi[0])
+            for y in (lo[1], hi[1])
+            for z in (lo[2], hi[2])
+        ]
     )
+    hom = np.concatenate([corners, np.ones((8, 1))], axis=-1) @ mvp.T
+    xy = hom[:, :2] / hom[:, 3:4]
     pad = 20.0
-    pmin = np.asarray(bbox.pmin) - pad
-    pmax = np.asarray(bbox.pmax) + pad
-    return pmin, pmax
+    return xy.min(axis=0) - pad, xy.max(axis=0) + pad
 
 
 def build_refiner_data(
