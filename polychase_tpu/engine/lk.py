@@ -427,15 +427,19 @@ def _round_up(n: int, m: int) -> int:
 
 
 def _bucket(n: int) -> int:
-    """Pad feature counts to coarse power-of-two buckets.
+    """Pad feature counts to stable buckets.
 
     Every distinct padded size is a separate compile (minutes over a
     tunneled TPU), so per-frame feature-count jitter must not create new
-    shapes."""
+    shapes.  Power-of-two steps up to 2048, then 512-steps: real clips sit
+    at a few thousand features and the pow2 jump to 8192 wastes ~25% of
+    every LK dispatch."""
     b = 256
-    while b < n:
+    while b < n and b < 2048:
         b *= 2
-    return b
+    if n <= b:
+        return b
+    return -(-n // 512) * 512
 
 
 @partial(

@@ -280,7 +280,9 @@ def _run(
                 pyr1, pyrs2, features, flow_options
             )
         pending_flows.append((frame_id1, targets, handle))
-        while len(pending_flows) > 1:
+        # Keep two solves in flight: the finish of frame i-2 overlaps the
+        # device compute of frames i-1 and i.
+        while len(pending_flows) > 2:
             flush_one()
 
     while pending_flows:
