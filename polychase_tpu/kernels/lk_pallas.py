@@ -94,16 +94,16 @@ def _lane_scalar(vec, b):
 # ---------------------------------------------------------------------------
 
 
-def _make_prep_kernel(win: int, Hp: int, Wp: int):
+def _make_extract_kernel(win: int, Hp: int, Wp: int):
+    """Extract the (win+2)x(win+2) integer support window per feature from
+    ONE image.  A single kernel loading image+dx+dy together exceeds the
+    ~16 MB VMEM budget at 1080p, so prep runs this once per array and the
+    bilinear blend + normal matrix happen in XLA on the (INT, INT, N)
+    outputs."""
     INT = win + 2          # integer support incl. bilerp neighbor row/col
     BR = _prep_rows(win)
 
-    def kernel(
-        iyp_ref, ixp_ref, ax_ref, ay_ref,
-        img_ref, dx_ref, dy_ref,
-        ip_out, dxi_out, dyi_out, a11_out, a12_out, a22_out,
-        tmpi, tmpx, tmpy,
-    ):
+    def kernel(iyp_ref, ixp_ref, img_ref, out_ref, tmp):
         iyv = jnp.clip(iyp_ref[:], 0, Hp - INT)
         ixv = jnp.clip(ixp_ref[:], 0, Wp - INT)
         byv = jnp.minimum((iyv // 8) * 8, Hp - BR)
@@ -118,47 +118,13 @@ def _make_prep_kernel(win: int, Hp: int, Wp: int):
             rx = _lane_scalar(rxv, b)
             ys = pl.ds(pl.multiple_of(yb, 8), BR)
             xs = pl.ds(pl.multiple_of(xc, 128), 256)
-            lsh = (256 - rx) % 256
-            ssh = (BR - ry) % BR
-            for src, dst in ((img_ref, tmpi), (dx_ref, tmpx), (dy_ref, tmpy)):
-                blk = pltpu.roll(src[ys, xs], lsh, 1)
-                blk = pltpu.roll(blk, ssh, 0)
-                dst[b] = blk[:INT, :INT]
+            blk = pltpu.roll(img_ref[ys, xs], (256 - rx) % 256, 1)
+            blk = pltpu.roll(blk, (BR - ry) % BR, 0)
+            tmp[b] = blk[:INT, :INT]
             return 0
 
         jax.lax.fori_loop(0, GROUP, per_track, 0)
-
-        ax = ax_ref[:].reshape(1, 1, GROUP)
-        ay = ay_ref[:].reshape(1, 1, GROUP)
-        w00 = (1.0 - ax) * (1.0 - ay)
-        w01 = ax * (1.0 - ay)
-        w10 = (1.0 - ax) * ay
-        w11 = ax * ay
-
-        def bilerp(t):
-            p = jnp.transpose(t[:], (1, 2, 0))  # (INT, INT, GROUP)
-            return (
-                w00 * p[:win, :win, :]
-                + w01 * p[:win, 1 : win + 1, :]
-                + w10 * p[1 : win + 1, :win, :]
-                + w11 * p[1 : win + 1, 1 : win + 1, :]
-            )
-
-        ipatch = bilerp(tmpi)
-        dxi = bilerp(tmpx)
-        dyi = bilerp(tmpy)
-        ip_out[:] = ipatch
-        dxi_out[:] = dxi
-        dyi_out[:] = dyi
-        a11_out[:] = (jnp.sum(dxi * dxi, axis=(0, 1)) * _FLT_SCALE).reshape(
-            1, GROUP
-        )
-        a12_out[:] = (jnp.sum(dxi * dyi, axis=(0, 1)) * _FLT_SCALE).reshape(
-            1, GROUP
-        )
-        a22_out[:] = (jnp.sum(dyi * dyi, axis=(0, 1)) * _FLT_SCALE).reshape(
-            1, GROUP
-        )
+        out_ref[:] = jnp.transpose(tmp[:], (1, 2, 0))
 
     return kernel, BR, INT
 
@@ -178,46 +144,51 @@ def lk_prepare_level(
     Hp, Wp = img_pad.shape
     half = (win - 1) * 0.5
     ipf = jnp.floor(pts - half)
-    ax = (pts[:, 0] - half - ipf[:, 0]).reshape(1, n)
-    ay = (pts[:, 1] - half - ipf[:, 1]).reshape(1, n)
+    ax = (pts[:, 0] - half - ipf[:, 0]).reshape(1, 1, n)
+    ay = (pts[:, 1] - half - ipf[:, 1]).reshape(1, 1, n)
     ix = ipf[:, 0].astype(jnp.int32)
     iy = ipf[:, 1].astype(jnp.int32)
     ixp = (ix + PADX).reshape(1, n)
     iyp = (iy + PADY).reshape(1, n)
 
-    kernel, _, _ = _make_prep_kernel(win, Hp, Wp)
+    kernel, _, INT = _make_extract_kernel(win, Hp, Wp)
     grid = n // GROUP
     vec_in = lambda: pl.BlockSpec((1, GROUP), lambda g: (0, g), memory_space=pltpu.VMEM)
     img_in = lambda: pl.BlockSpec((Hp, Wp), lambda g: (0, 0), memory_space=pltpu.VMEM)
-    patch_out = lambda: pl.BlockSpec(
-        (win, win, GROUP), lambda g: (0, 0, g), memory_space=pltpu.VMEM
+    ints_out = lambda: pl.BlockSpec(
+        (INT, INT, GROUP), lambda g: (0, 0, g), memory_space=pltpu.VMEM
     )
-    vec_out = lambda: pl.BlockSpec((1, GROUP), lambda g: (0, g), memory_space=pltpu.VMEM)
-    INT = win + 2
-    ip, dxi, dyi, a11, a12, a22 = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[vec_in() for _ in range(4)] + [img_in() for _ in range(3)],
-        out_specs=tuple(
-            [patch_out() for _ in range(3)] + [vec_out() for _ in range(3)]
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((win, win, n), jnp.float32),
-            jax.ShapeDtypeStruct((win, win, n), jnp.float32),
-            jax.ShapeDtypeStruct((win, win, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((GROUP, INT, INT), jnp.float32) for _ in range(3)
-        ],
-        interpret=interpret,
-    )(iyp, ixp, ax, ay, img_pad, dx_pad, dy_pad)
 
-    a11 = a11.reshape(n)
-    a12 = a12.reshape(n)
-    a22 = a22.reshape(n)
+    def extract(image):
+        return pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[vec_in(), vec_in(), img_in()],
+            out_specs=ints_out(),
+            out_shape=jax.ShapeDtypeStruct((INT, INT, n), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((GROUP, INT, INT), jnp.float32)],
+            interpret=interpret,
+        )(iyp, ixp, image)
+
+    w00 = (1.0 - ax) * (1.0 - ay)
+    w01 = ax * (1.0 - ay)
+    w10 = (1.0 - ax) * ay
+    w11 = ax * ay
+
+    def bilerp(p):
+        return (
+            w00 * p[:win, :win, :]
+            + w01 * p[:win, 1 : win + 1, :]
+            + w10 * p[1 : win + 1, :win, :]
+            + w11 * p[1 : win + 1, 1 : win + 1, :]
+        )
+
+    ip = bilerp(extract(img_pad))
+    dxi = bilerp(extract(dx_pad))
+    dyi = bilerp(extract(dy_pad))
+    a11 = jnp.sum(dxi * dxi, axis=(0, 1)) * _FLT_SCALE
+    a12 = jnp.sum(dxi * dyi, axis=(0, 1)) * _FLT_SCALE
+    a22 = jnp.sum(dyi * dyi, axis=(0, 1)) * _FLT_SCALE
     in_bounds = (ix >= -win) & (ix < W) & (iy >= -win) & (iy < H)
     D = a11 * a22 - a12 * a12
     win_area = float(win * win)
