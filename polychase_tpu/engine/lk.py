@@ -405,21 +405,12 @@ class PyramidCache:
         self.dims = dims  # per-level (H, W), pallas flavor only
 
 
-def _pallas_fits(h: int, w: int) -> bool:
-    """The iterate kernel keeps one padded level-0 image in VMEM (~16 MB
-    per core); beyond ~12 MB (4K frames) fall back to the XLA path."""
-    from polychase_tpu.kernels import lk_pallas as lkp
-
-    hp, wp = lkp.pad_level_dims(h, w)
-    return hp * wp * 4 <= 12 * (1 << 20)
-
-
 def prepare_pyramid(image, opts: LKOptions = LKOptions()) -> PyramidCache:
     """Build the LK pyramid for a grayscale frame (uint8 or float)."""
     img = jnp.asarray(np.asarray(image), jnp.float32)
     levels = num_pyramid_levels(img.shape[0], img.shape[1], opts)
     pyr = build_pyramid(img, levels)
-    if pallas_enabled() and _pallas_fits(img.shape[0], img.shape[1]):
+    if pallas_enabled():
         dims = []
         h, w = img.shape
         for _ in range(levels):

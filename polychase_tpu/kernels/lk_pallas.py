@@ -94,7 +94,55 @@ def _lane_scalar(vec, b):
 # ---------------------------------------------------------------------------
 
 
-def _make_extract_kernel(win: int, Hp: int, Wp: int):
+# Keep a whole padded level in VMEM only below this size; larger images
+# (4K frames) stay in HBM and patches arrive via per-feature DMA.
+IMG_VMEM_LIMIT = 12 * (1 << 20)
+
+
+def _block_fetcher(img_ref, img_in_hbm: bool, rows: int):
+    """Returns (issue(b, yb, xc, buf, sems), grab(b, yb, xc, buf, sems))
+    for fetching a (rows, 256) block at an aligned base.
+
+    VMEM images slice directly; HBM images DMA into a per-feature buffer
+    slot — all GROUP DMAs are issued before the first wait so their
+    latencies overlap (guide: Async DMA / double buffering)."""
+    if not img_in_hbm:
+        def issue(b, yb, xc, buf, sems):
+            return None
+
+        def grab(b, yb, xc, buf, sems):
+            return img_ref[
+                pl.ds(pl.multiple_of(yb, 8), rows),
+                pl.ds(pl.multiple_of(xc, 128), 256),
+            ]
+
+        return issue, grab
+
+    def issue(b, yb, xc, buf, sems):
+        pltpu.make_async_copy(
+            img_ref.at[
+                pl.ds(pl.multiple_of(yb, 8), rows),
+                pl.ds(pl.multiple_of(xc, 128), 256),
+            ],
+            buf.at[b],
+            sems.at[b],
+        ).start()
+
+    def grab(b, yb, xc, buf, sems):
+        pltpu.make_async_copy(
+            img_ref.at[
+                pl.ds(pl.multiple_of(yb, 8), rows),
+                pl.ds(pl.multiple_of(xc, 128), 256),
+            ],
+            buf.at[b],
+            sems.at[b],
+        ).wait()
+        return buf[b]
+
+    return issue, grab
+
+
+def _make_extract_kernel(win: int, Hp: int, Wp: int, img_in_hbm: bool):
     """Extract the (win+2)x(win+2) integer support window per feature from
     ONE image.  A single kernel loading image+dx+dy together exceeds the
     ~16 MB VMEM budget at 1080p, so prep runs this once per array and the
@@ -103,22 +151,30 @@ def _make_extract_kernel(win: int, Hp: int, Wp: int):
     INT = win + 2          # integer support incl. bilerp neighbor row/col
     BR = _prep_rows(win)
 
-    def kernel(iyp_ref, ixp_ref, img_ref, out_ref, tmp):
+    def kernel(iyp_ref, ixp_ref, img_ref, out_ref, tmp, buf, sems):
         iyv = jnp.clip(iyp_ref[:], 0, Hp - INT)
         ixv = jnp.clip(ixp_ref[:], 0, Wp - INT)
         byv = jnp.minimum((iyv // 8) * 8, Hp - BR)
         ryv = iyv - byv
         bxcv = jnp.minimum((ixv // 128) * 128, Wp - 256)
         rxv = ixv - bxcv
+        issue, grab = _block_fetcher(img_ref, img_in_hbm, BR)
+
+        if img_in_hbm:
+            def start(b, _):
+                issue(b, _lane_scalar(byv, b), _lane_scalar(bxcv, b),
+                      buf, sems)
+                return 0
+
+            jax.lax.fori_loop(0, GROUP, start, 0)
 
         def per_track(b, _):
             yb = _lane_scalar(byv, b)
             ry = _lane_scalar(ryv, b)
             xc = _lane_scalar(bxcv, b)
             rx = _lane_scalar(rxv, b)
-            ys = pl.ds(pl.multiple_of(yb, 8), BR)
-            xs = pl.ds(pl.multiple_of(xc, 128), 256)
-            blk = pltpu.roll(img_ref[ys, xs], (256 - rx) % 256, 1)
+            blk = grab(b, yb, xc, buf, sems)
+            blk = pltpu.roll(blk, (256 - rx) % 256, 1)
             blk = pltpu.roll(blk, (BR - ry) % BR, 0)
             tmp[b] = blk[:INT, :INT]
             return 0
@@ -151,10 +207,12 @@ def lk_prepare_level(
     ixp = (ix + PADX).reshape(1, n)
     iyp = (iy + PADY).reshape(1, n)
 
-    kernel, _, INT = _make_extract_kernel(win, Hp, Wp)
+    img_in_hbm = (not interpret) and Hp * Wp * 4 > IMG_VMEM_LIMIT
+    kernel, BR, INT = _make_extract_kernel(win, Hp, Wp, img_in_hbm)
     grid = n // GROUP
     vec_in = lambda: pl.BlockSpec((1, GROUP), lambda g: (0, g), memory_space=pltpu.VMEM)
-    img_in = lambda: pl.BlockSpec((Hp, Wp), lambda g: (0, 0), memory_space=pltpu.VMEM)
+    img_space = pltpu.ANY if img_in_hbm else pltpu.VMEM
+    img_in = lambda: pl.BlockSpec((Hp, Wp), lambda g: (0, 0), memory_space=img_space)
     ints_out = lambda: pl.BlockSpec(
         (INT, INT, GROUP), lambda g: (0, 0, g), memory_space=pltpu.VMEM
     )
@@ -166,7 +224,11 @@ def lk_prepare_level(
             in_specs=[vec_in(), vec_in(), img_in()],
             out_specs=ints_out(),
             out_shape=jax.ShapeDtypeStruct((INT, INT, n), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((GROUP, INT, INT), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((GROUP, INT, INT), jnp.float32),
+                pltpu.VMEM((GROUP, BR, 256), jnp.float32),
+                pltpu.SemaphoreType.DMA((GROUP,)),
+            ],
             interpret=interpret,
         )(iyp, ixp, image)
 
@@ -207,7 +269,7 @@ def lk_prepare_level(
 
 def _make_iter_kernel(
     win: int, Hp: int, Wp: int, H: int, W: int,
-    max_iters: int, eps2: float, level_is_zero: bool,
+    max_iters: int, eps2: float, level_is_zero: bool, img_in_hbm: bool,
 ):
     PR = _patch_rows(win)
     PC = _patch_cols(win)
@@ -224,8 +286,10 @@ def _make_iter_kernel(
         ok_ref, x0_ref, y0_ref,
         img_ref,
         xo_ref, yo_ref, st_ref, err_ref,
-        tmp, patch, by_ref, bx_ref,
+        tmp, patch, by_ref, bx_ref, buf, sems,
     ):
+        issue, grab = _block_fetcher(img_ref, img_in_hbm, PR)
+
         def extract(pxv, pyv):
             oyf = pyv - half + PADY
             oxf = pxv - half + PADX
@@ -238,14 +302,19 @@ def _make_iter_kernel(
             bxcv = jnp.minimum((bxv // 128) * 128, Wp - 256)
             rxv = bxv - bxcv
 
+            if img_in_hbm:
+                def start(b, _):
+                    issue(b, _lane_scalar(byv, b), _lane_scalar(bxcv, b),
+                          buf, sems)
+                    return 0
+
+                jax.lax.fori_loop(0, GROUP, start, 0)
+
             def per_track(b, _):
                 yb = _lane_scalar(byv, b)
                 xc = _lane_scalar(bxcv, b)
                 rx = _lane_scalar(rxv, b)
-                blk = img_ref[
-                    pl.ds(pl.multiple_of(yb, 8), PR),
-                    pl.ds(pl.multiple_of(xc, 128), 256),
-                ]
+                blk = grab(b, yb, xc, buf, sems)
                 tmp[b] = pltpu.roll(blk, (256 - rx) % 256, 1)[:, :PC]
                 return 0
 
@@ -381,15 +450,19 @@ def lk_iterate_level(
     n = pts.shape[0]
     assert n % GROUP == 0, n
     Hp, Wp = img_pad.shape
+    img_in_hbm = (not interpret) and Hp * Wp * 4 > IMG_VMEM_LIMIT
     kernel, PR, PC = _make_iter_kernel(
-        win, Hp, Wp, H, W, max_iters, eps2, level_is_zero
+        win, Hp, Wp, H, W, max_iters, eps2, level_is_zero, img_in_hbm
     )
     grid = n // GROUP
     vec = lambda: pl.BlockSpec((1, GROUP), lambda g: (0, g), memory_space=pltpu.VMEM)
     patch_in = lambda: pl.BlockSpec(
         (win, win, GROUP), lambda g: (0, 0, g), memory_space=pltpu.VMEM
     )
-    img_in = pl.BlockSpec((Hp, Wp), lambda g: (0, 0), memory_space=pltpu.VMEM)
+    img_in = pl.BlockSpec(
+        (Hp, Wp), lambda g: (0, 0),
+        memory_space=pltpu.ANY if img_in_hbm else pltpu.VMEM,
+    )
 
     okf = jnp.where(ok, 1.0, 0.0).reshape(1, n)
     x0 = pts[:, 0].reshape(1, n)
@@ -414,6 +487,8 @@ def lk_iterate_level(
             pltpu.VMEM((PR, PC, GROUP), jnp.float32),
             pltpu.VMEM((1, GROUP), jnp.int32),
             pltpu.VMEM((1, GROUP), jnp.int32),
+            pltpu.VMEM((GROUP, PR, 256), jnp.float32),
+            pltpu.SemaphoreType.DMA((GROUP,)),
         ],
         interpret=interpret,
     )(ipatch, dxi, dyi, a11r, a12r, a22r, invdr, okf, x0, y0, img_pad)
