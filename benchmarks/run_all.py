@@ -278,15 +278,91 @@ def bench_refine():
         emit("refine_250f_walltime_s", time.perf_counter() - t0, "seconds")
 
 
+def bench_4k_pipeline():
+    """Config 5: 4K clip — analyze (GFTT + LK) fps, then object tracking
+    with a 3D-masked mesh and variable focal + principal point."""
+    import cv2
+    import jax.numpy as jnp
+
+    from polychase_tpu.engine import camera as C
+    from polychase_tpu.engine.geometry import mask_array_size
+    from polychase_tpu.engine.levmarq import BundleOptions, CAUCHY
+    from polychase_tpu.engine.opticalflow import (
+        VideoInfo, generate_optical_flow_database,
+    )
+    from polychase_tpu.engine.tracker import track_camera_trajectory
+    from polychase_tpu.engine.trajectory import CameraTrajectory
+    from polychase_tpu.io.database import Database
+
+    # --- analyze on a real 4K image stream -------------------------------
+    W4, H4, NF = 3840, 2160, 6
+    rng = np.random.default_rng(3)
+    big = rng.integers(0, 255, (H4 + 40, W4 + 60)).astype(np.float32)
+    big = cv2.GaussianBlur(big, (0, 0), 1.5)
+    big = (255 * (big - big.min()) / np.ptp(big)).astype(np.uint8)
+    frames = [
+        np.ascontiguousarray(big[3 * t : 3 * t + H4, 5 * t : 5 * t + W4])
+        for t in range(NF)
+    ]
+    info = VideoInfo(W4, H4, 0, NF)
+
+    def run_analyze():
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "flow.db")
+            t0 = time.perf_counter()
+            generate_optical_flow_database(
+                info, lambda fid: frames[fid], None, path
+            )
+            return time.perf_counter() - t0
+
+    run_analyze()  # warm
+    emit("analyze_fps_4k", NF / run_analyze(), "frames/sec")
+
+    # --- object tracking: masked mesh + variable intrinsics ---------------
+    n = 60
+    mesh, intr, poses = make_scene(n, width=W4, height=H4, focal=3600.0)
+    bits = np.zeros(mask_array_size(mesh.num_triangles), np.uint32)
+    for t in range(0, mesh.num_triangles // 10):   # mask 10% of triangles
+        bits[t // 32] |= np.uint32(1 << (t % 32))
+    mesh = mesh._replace(masked_triangles=jnp.asarray(bits))
+
+    with tempfile.TemporaryDirectory() as td:
+        db_path = os.path.join(td, "flow.db")
+        build_synth_db(db_path, mesh, intr, poses, rng, kp_per_frame=256)
+
+        def run_track():
+            traj = CameraTrajectory(0, n)
+            traj.set(0, C.CameraState(intr, poses[0]))
+            db = Database(db_path)
+            t0 = time.perf_counter()
+            track_camera_trajectory(
+                db, traj, 0, n - 1, np.eye(4, dtype=np.float32), mesh,
+                optimize_focal_length=True, optimize_principal_point=True,
+                bundle_opts=BundleOptions(loss_type=CAUCHY, loss_scale=1.0),
+            )
+            db.close()
+            return time.perf_counter() - t0
+
+        run_track()
+        emit(
+            "object_tracking_fps_4k_masked_varintr",
+            (n - 1) / run_track(), "frames/sec",
+        )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-analyze", action="store_true")
-    ap.add_argument("--only", choices=["pin", "track", "refine", "analyze"])
+    ap.add_argument(
+        "--only",
+        choices=["pin", "track", "refine", "analyze", "full4k"],
+    )
     args = ap.parse_args()
 
     if args.only:
         {"pin": bench_pin_drag, "track": bench_tracking,
-         "refine": bench_refine}.get(args.only, lambda: None)()
+         "refine": bench_refine, "full4k": bench_4k_pipeline,
+         }.get(args.only, lambda: None)()
         if args.only == "analyze":
             import bench
             bench.main()
@@ -298,6 +374,7 @@ def main():
     bench_pin_drag()
     bench_tracking()
     bench_refine()
+    bench_4k_pipeline()
 
 
 if __name__ == "__main__":
