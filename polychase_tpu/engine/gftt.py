@@ -366,7 +366,7 @@ def _check_options(options: GFTTOptions) -> None:
 
 
 def gftt_dispatch(
-    image, mask=None, options: GFTTOptions = GFTTOptions(), k: int = 32768,
+    image, mask=None, options: GFTTOptions = GFTTOptions(), k: int = 0,
 ) -> GFTTDispatch:
     """Start GFTT for a frame; device work is queued, nothing blocks."""
     img = np.asarray(image)
@@ -376,6 +376,11 @@ def gftt_dispatch(
     is_8u = img.dtype == np.uint8
     imgf = jnp.asarray(img, jnp.float32)
     maskj = None if mask is None else jnp.asarray(np.asarray(mask) != 0)
+    if k <= 0:
+        # NMS candidates are at most ~1 per 3x3 neighborhood; budget 1/16
+        # of the pixels (4K frames would otherwise overflow a fixed 32k
+        # and fall back to transferring the full response map).
+        k = max(32768, img.size // 16)
     k = min(k, img.size)
     vals, idx, count = gftt_candidates_topk(
         imgf, maskj,
