@@ -250,22 +250,24 @@ def build_refiner_data(
 
 
 def traj_to_params(traj: CameraTrajectory) -> TrajParams:
-    qs, ts, fx, fy, cx, cy = [], [], [], [], [], []
-    for fid in range(traj.first_frame, traj.last_frame + 1):
-        s = traj.get(fid)
-        qs.append(np.asarray(s.pose.q))
-        ts.append(np.asarray(s.pose.t))
-        fx.append(float(s.intrinsics.fx))
-        fy.append(float(s.intrinsics.fy))
-        cx.append(float(s.intrinsics.cx))
-        cy.append(float(s.intrinsics.cy))
+    # One batched host gather — per-frame np.asarray would pay a device
+    # round trip per leaf when poses are device arrays.
+    states = [
+        traj.get(fid)
+        for fid in range(traj.first_frame, traj.last_frame + 1)
+    ]
+    states = jax.device_get(states)
     return TrajParams(
-        q=jnp.asarray(np.stack(qs), jnp.float32),
-        t=jnp.asarray(np.stack(ts), jnp.float32),
-        fx=jnp.asarray(fx, jnp.float32),
-        fy=jnp.asarray(fy, jnp.float32),
-        cx=jnp.asarray(cx, jnp.float32),
-        cy=jnp.asarray(cy, jnp.float32),
+        q=jnp.asarray(
+            np.stack([np.asarray(s.pose.q) for s in states]), jnp.float32
+        ),
+        t=jnp.asarray(
+            np.stack([np.asarray(s.pose.t) for s in states]), jnp.float32
+        ),
+        fx=jnp.asarray([float(s.intrinsics.fx) for s in states], jnp.float32),
+        fy=jnp.asarray([float(s.intrinsics.fy) for s in states], jnp.float32),
+        cx=jnp.asarray([float(s.intrinsics.cx) for s in states], jnp.float32),
+        cy=jnp.asarray([float(s.intrinsics.cy) for s in states], jnp.float32),
     )
 
 
@@ -275,12 +277,9 @@ def params_to_traj(
     """Write params back into a copy of ``traj`` (intrinsics metadata such
     as width/height/aspect are preserved per frame)."""
     out = CameraTrajectory(traj.first_frame, traj.count)
-    q = np.asarray(params.q)
-    t = np.asarray(params.t)
-    fx = np.asarray(params.fx)
-    fy = np.asarray(params.fy)
-    cx = np.asarray(params.cx)
-    cy = np.asarray(params.cy)
+    q, t, fx, fy, cx, cy = jax.device_get(
+        (params.q, params.t, params.fx, params.fy, params.cx, params.cy)
+    )
     for i, fid in enumerate(range(traj.first_frame, traj.last_frame + 1)):
         old = traj.get(fid)
         intr = old.intrinsics._replace(
