@@ -99,11 +99,13 @@ def _lane_scalar(vec, b):
 IMG_VMEM_LIMIT = 12 * (1 << 20)
 
 
-def _block_fetcher(img_ref, img_in_hbm: bool, rows: int):
+def _block_fetcher(img_ref, img_in_hbm: bool, rows: int, lead):
     """Returns (issue(b, yb, xc, buf, sems), grab(b, yb, xc, buf, sems))
     for fetching a (rows, 256) block at an aligned base.
 
-    VMEM images slice directly; HBM images DMA into a per-feature buffer
+    ``lead`` indexes the stacked leading axis: VMEM images arrive as a
+    (1, Hp, Wp) block (lead always 0); HBM images stay whole and ``lead``
+    is the grid's stack index.  HBM blocks DMA into a per-feature buffer
     slot — all GROUP DMAs are issued before the first wait so their
     latencies overlap (guide: Async DMA / double buffering)."""
     if not img_in_hbm:
@@ -112,31 +114,25 @@ def _block_fetcher(img_ref, img_in_hbm: bool, rows: int):
 
         def grab(b, yb, xc, buf, sems):
             return img_ref[
+                0,
                 pl.ds(pl.multiple_of(yb, 8), rows),
                 pl.ds(pl.multiple_of(xc, 128), 256),
             ]
 
         return issue, grab
 
+    def _src(yb, xc):
+        return img_ref.at[
+            lead,
+            pl.ds(pl.multiple_of(yb, 8), rows),
+            pl.ds(pl.multiple_of(xc, 128), 256),
+        ]
+
     def issue(b, yb, xc, buf, sems):
-        pltpu.make_async_copy(
-            img_ref.at[
-                pl.ds(pl.multiple_of(yb, 8), rows),
-                pl.ds(pl.multiple_of(xc, 128), 256),
-            ],
-            buf.at[b],
-            sems.at[b],
-        ).start()
+        pltpu.make_async_copy(_src(yb, xc), buf.at[b], sems.at[b]).start()
 
     def grab(b, yb, xc, buf, sems):
-        pltpu.make_async_copy(
-            img_ref.at[
-                pl.ds(pl.multiple_of(yb, 8), rows),
-                pl.ds(pl.multiple_of(xc, 128), 256),
-            ],
-            buf.at[b],
-            sems.at[b],
-        ).wait()
+        pltpu.make_async_copy(_src(yb, xc), buf.at[b], sems.at[b]).wait()
         return buf[b]
 
     return issue, grab
@@ -158,7 +154,9 @@ def _make_extract_kernel(win: int, Hp: int, Wp: int, img_in_hbm: bool):
         ryv = iyv - byv
         bxcv = jnp.minimum((ixv // 128) * 128, Wp - 256)
         rxv = ixv - bxcv
-        issue, grab = _block_fetcher(img_ref, img_in_hbm, BR)
+        issue, grab = _block_fetcher(
+            img_ref, img_in_hbm, BR, pl.program_id(0)
+        )
 
         if img_in_hbm:
             def start(b, _):
@@ -180,7 +178,7 @@ def _make_extract_kernel(win: int, Hp: int, Wp: int, img_in_hbm: bool):
             return 0
 
         jax.lax.fori_loop(0, GROUP, per_track, 0)
-        out_ref[:] = jnp.transpose(tmp[:], (1, 2, 0))
+        out_ref[0] = jnp.transpose(tmp[:], (1, 2, 0))
 
     return kernel, BR, INT
 
@@ -209,28 +207,35 @@ def lk_prepare_level(
 
     img_in_hbm = (not interpret) and Hp * Wp * 4 > IMG_VMEM_LIMIT
     kernel, BR, INT = _make_extract_kernel(win, Hp, Wp, img_in_hbm)
-    grid = n // GROUP
-    vec_in = lambda: pl.BlockSpec((1, GROUP), lambda g: (0, g), memory_space=pltpu.VMEM)
-    img_space = pltpu.ANY if img_in_hbm else pltpu.VMEM
-    img_in = lambda: pl.BlockSpec((Hp, Wp), lambda g: (0, 0), memory_space=img_space)
-    ints_out = lambda: pl.BlockSpec(
-        (INT, INT, GROUP), lambda g: (0, 0, g), memory_space=pltpu.VMEM
+    grid = (3, n // GROUP)   # stacked (img, dx, dy) x feature groups
+    vec_in = lambda: pl.BlockSpec(
+        (1, GROUP), lambda a, g: (0, g), memory_space=pltpu.VMEM
+    )
+    if img_in_hbm:
+        img_in = pl.BlockSpec(memory_space=pltpu.ANY)
+    else:
+        img_in = pl.BlockSpec(
+            (1, Hp, Wp), lambda a, g: (a, 0, 0), memory_space=pltpu.VMEM
+        )
+    ints_out = pl.BlockSpec(
+        (1, INT, INT, GROUP), lambda a, g: (a, 0, 0, g),
+        memory_space=pltpu.VMEM,
     )
 
-    def extract(image):
-        return pl.pallas_call(
-            kernel,
-            grid=(grid,),
-            in_specs=[vec_in(), vec_in(), img_in()],
-            out_specs=ints_out(),
-            out_shape=jax.ShapeDtypeStruct((INT, INT, n), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((GROUP, INT, INT), jnp.float32),
-                pltpu.VMEM((GROUP, BR, 256), jnp.float32),
-                pltpu.SemaphoreType.DMA((GROUP,)),
-            ],
-            interpret=interpret,
-        )(iyp, ixp, image)
+    stacked = jnp.stack([img_pad, dx_pad, dy_pad])
+    ints = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[vec_in(), vec_in(), img_in],
+        out_specs=ints_out,
+        out_shape=jax.ShapeDtypeStruct((3, INT, INT, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((GROUP, INT, INT), jnp.float32),
+            pltpu.VMEM((GROUP, BR, 256), jnp.float32),
+            pltpu.SemaphoreType.DMA((GROUP,)),
+        ],
+        interpret=interpret,
+    )(iyp, ixp, stacked)
 
     w00 = (1.0 - ax) * (1.0 - ay)
     w01 = ax * (1.0 - ay)
@@ -245,9 +250,9 @@ def lk_prepare_level(
             + w11 * p[1 : win + 1, 1 : win + 1, :]
         )
 
-    ip = bilerp(extract(img_pad))
-    dxi = bilerp(extract(dx_pad))
-    dyi = bilerp(extract(dy_pad))
+    ip = bilerp(ints[0])
+    dxi = bilerp(ints[1])
+    dyi = bilerp(ints[2])
     a11 = jnp.sum(dxi * dxi, axis=(0, 1)) * _FLT_SCALE
     a12 = jnp.sum(dxi * dyi, axis=(0, 1)) * _FLT_SCALE
     a22 = jnp.sum(dyi * dyi, axis=(0, 1)) * _FLT_SCALE
@@ -288,7 +293,9 @@ def _make_iter_kernel(
         xo_ref, yo_ref, st_ref, err_ref,
         tmp, patch, by_ref, bx_ref, buf, sems,
     ):
-        issue, grab = _block_fetcher(img_ref, img_in_hbm, PR)
+        issue, grab = _block_fetcher(
+            img_ref, img_in_hbm, PR, pl.program_id(0)
+        )
 
         def extract(pxv, pyv):
             oyf = pyv - half + PADY
@@ -351,8 +358,8 @@ def _make_iter_kernel(
         invD = invd_ref[:]
         ok = ok_ref[:] > 0.0
 
-        px0 = x0_ref[:]
-        py0 = y0_ref[:]
+        px0 = x0_ref[0]
+        py0 = y0_ref[0]
         extract(px0, py0)
 
         def cond(c):
@@ -420,53 +427,62 @@ def _make_iter_kernel(
         )
         _, px, py, _, _, _, status_f = jax.lax.while_loop(cond, body, init)
 
-        xo_ref[:] = px
-        yo_ref[:] = py
-        st_ref[:] = status_f
+        xo_ref[0] = px
+        yo_ref[0] = py
+        st_ref[0] = status_f
         if level_is_zero:
             extract(px, py)
             lyf, lxf = local_coords(px, py)
             jw = sample(lyf, lxf)
-            err_ref[:] = (
+            err_ref[0] = (
                 jnp.sum(jnp.abs(jw - ipatch), axis=(0, 1)) / float(win * win)
             ).reshape(1, GROUP)
         else:
-            err_ref[:] = jnp.zeros((1, GROUP), jnp.float32)
+            err_ref[0] = jnp.zeros((1, GROUP), jnp.float32)
 
     return kernel, PR, PC
 
 
-def lk_iterate_level(
-    img_pad, ipatch, dxi, dyi, a11, a12, a22, invd, ok, pts, *,
+def lk_iterate_level_multi(
+    imgs_pad, ipatch, dxi, dyi, a11, a12, a22, invd, ok, pts, *,
     win: int, H: int, W: int, max_iters: int, eps2: float,
     level_is_zero: bool, interpret: bool = False,
 ):
-    """Run the LK iteration loop for one level against one target image.
+    """Run the LK iteration loop for one level against T stacked targets.
 
-    ``pts`` is the (N, 2) current guess in level coordinates.  Returns
-    (new_pts (N,2), status (N,) bool, err (N,)).  ``status`` is only
-    meaningful when ``level_is_zero``.
+    ``imgs_pad`` is (T, Hp, Wp); ``pts`` is the (T, N, 2) current guess in
+    level coordinates (prep arrays are shared across targets).  One
+    pallas_call with grid (T, N/GROUP) replaces T separate dispatches —
+    per-call setup dominates at small frame sizes.  Returns
+    (new_pts (T,N,2), status (T,N) bool, err (T,N)).
     """
-    n = pts.shape[0]
+    T, Hp, Wp = imgs_pad.shape
+    n = pts.shape[1]
     assert n % GROUP == 0, n
-    Hp, Wp = img_pad.shape
     img_in_hbm = (not interpret) and Hp * Wp * 4 > IMG_VMEM_LIMIT
     kernel, PR, PC = _make_iter_kernel(
         win, Hp, Wp, H, W, max_iters, eps2, level_is_zero, img_in_hbm
     )
-    grid = n // GROUP
-    vec = lambda: pl.BlockSpec((1, GROUP), lambda g: (0, g), memory_space=pltpu.VMEM)
+    grid = (T, n // GROUP)
+    vec = lambda: pl.BlockSpec(
+        (1, GROUP), lambda t, g: (0, g), memory_space=pltpu.VMEM
+    )
+    tvec = lambda: pl.BlockSpec(
+        (1, 1, GROUP), lambda t, g: (t, 0, g), memory_space=pltpu.VMEM
+    )
     patch_in = lambda: pl.BlockSpec(
-        (win, win, GROUP), lambda g: (0, 0, g), memory_space=pltpu.VMEM
+        (win, win, GROUP), lambda t, g: (0, 0, g), memory_space=pltpu.VMEM
     )
-    img_in = pl.BlockSpec(
-        (Hp, Wp), lambda g: (0, 0),
-        memory_space=pltpu.ANY if img_in_hbm else pltpu.VMEM,
-    )
+    if img_in_hbm:
+        img_in = pl.BlockSpec(memory_space=pltpu.ANY)
+    else:
+        img_in = pl.BlockSpec(
+            (1, Hp, Wp), lambda t, g: (t, 0, 0), memory_space=pltpu.VMEM
+        )
 
     okf = jnp.where(ok, 1.0, 0.0).reshape(1, n)
-    x0 = pts[:, 0].reshape(1, n)
-    y0 = pts[:, 1].reshape(1, n)
+    x0 = pts[..., 0].reshape(T, 1, n)
+    y0 = pts[..., 1].reshape(T, 1, n)
     a11r = a11.reshape(1, n)
     a12r = a12.reshape(1, n)
     a22r = a22.reshape(1, n)
@@ -474,13 +490,14 @@ def lk_iterate_level(
 
     xo, yo, st, err = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=grid,
         in_specs=[patch_in() for _ in range(3)]
-        + [vec() for _ in range(7)]
+        + [vec() for _ in range(5)]
+        + [tvec(), tvec()]
         + [img_in],
-        out_specs=tuple(vec() for _ in range(4)),
+        out_specs=tuple(tvec() for _ in range(4)),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((1, n), jnp.float32) for _ in range(4)
+            jax.ShapeDtypeStruct((T, 1, n), jnp.float32) for _ in range(4)
         ),
         scratch_shapes=[
             pltpu.VMEM((GROUP, PR, PC), jnp.float32),
@@ -491,10 +508,11 @@ def lk_iterate_level(
             pltpu.SemaphoreType.DMA((GROUP,)),
         ],
         interpret=interpret,
-    )(ipatch, dxi, dyi, a11r, a12r, a22r, invdr, okf, x0, y0, img_pad)
+    )(ipatch, dxi, dyi, a11r, a12r, a22r, invdr, okf, x0, y0, imgs_pad)
 
-    new_pts = jnp.stack([xo.reshape(n), yo.reshape(n)], axis=-1)
-    return new_pts, st.reshape(n) > 0.0, err.reshape(n)
+    xo, yo, st, err = (a.reshape(T, n) for a in (xo, yo, st, err))
+    new_pts = jnp.stack([xo, yo], axis=-1)
+    return new_pts, st > 0.0, err
 
 
 # ---------------------------------------------------------------------------
@@ -521,35 +539,29 @@ def lk_all_levels_pallas(
     """
     levels = len(prev_levels)
     T = len(next_images[0])
-    n = pts.shape[0]
     top = levels - 1
-    cur = [pts * (1.0 / (1 << top)) for _ in range(T)]
-    status = [None] * T
-    err = [None] * T
+    cur = jnp.broadcast_to(
+        pts[None] * (1.0 / (1 << top)), (T,) + pts.shape
+    )
+    status = err = None
 
     for lvl in range(top, -1, -1):
         H, W = dims[lvl]
         prev_pts = pts * (1.0 / (1 << lvl))
         if lvl != top:
-            cur = [c * 2.0 for c in cur]
+            cur = cur * 2.0
         img_p, dx_p, dy_p = prev_levels[lvl]
         ip, dxi, dyi, a11, a12, a22, invd, ok = lk_prepare_level(
             img_p, dx_p, dy_p, prev_pts,
             win=win, H=H, W=W, min_eig_thr=min_eig_thr, interpret=interpret,
         )
-        for t in range(T):
-            cur[t], st_t, err_t = lk_iterate_level(
-                next_images[lvl][t], ip, dxi, dyi, a11, a12, a22, invd, ok,
-                cur[t],
-                win=win, H=H, W=W, max_iters=max_iters, eps2=eps2,
-                level_is_zero=(lvl == 0), interpret=interpret,
-            )
-            if lvl == 0:
-                status[t] = st_t
-                err[t] = err_t
+        cur, st, er = lk_iterate_level_multi(
+            jnp.stack(next_images[lvl]), ip, dxi, dyi, a11, a12, a22,
+            invd, ok, cur,
+            win=win, H=H, W=W, max_iters=max_iters, eps2=eps2,
+            level_is_zero=(lvl == 0), interpret=interpret,
+        )
+        if lvl == 0:
+            status, err = st, er
 
-    return (
-        jnp.stack(cur),
-        jnp.stack(status),
-        jnp.stack(err),
-    )
+    return cur, status, err
