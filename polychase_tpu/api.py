@@ -492,12 +492,26 @@ def ray_cast(
     """Cast a screen-space ray (cpp/ray_casting.cc:128-133).
 
     Uses the native host BVH when available (sub-ms picking latency);
-    falls back to the device-side batched cast otherwise.
+    falls back to the device-side batched cast otherwise.  Ray
+    construction is host numpy — this runs per mouse event.
     """
     scene = scene_transform._to_engine()
-    origin, direction = _raycast.get_ray_object_space(
-        scene, jnp.asarray(np.asarray(pos, np.float32))
+    mv = np.asarray(scene.view_matrix, np.float64) @ np.asarray(
+        scene.model_matrix, np.float64
     )
+    inv = np.linalg.inv(mv)
+    intr = scene.intrinsics
+    s = float(intr.sign)
+    px, py = (float(v) for v in np.asarray(pos, np.float64).reshape(2))
+    dir_cam = np.array(
+        [
+            s * (px - float(intr.cx)) / float(intr.fx),
+            s * (py - float(intr.cy)) / float(intr.fy),
+            s,
+        ]
+    )
+    origin = inv[:3, 3].astype(np.float32)
+    direction = (inv[:3, :3] @ dir_cam).astype(np.float32)
 
     bvh = accel_mesh._native_bvh()
     if bvh is not None:
