@@ -155,3 +155,22 @@ def test_prim_refresher_bvh_matches_device(tmp_path, rng, monkeypatch):
     agree = np.mean(np.asarray(prims_d) == np.asarray(prims_b))
     assert agree > 0.999, agree
     assert abs(float(cost_d) - float(cost_b)) < 1e-3 * max(1.0, float(cost_d))
+
+
+def test_refine_empty_database_is_graceful(tmp_path, rng):
+    """A segment with no flows must not crash or move the cameras."""
+    from polychase_tpu.io.database import Database as DB
+
+    mesh = make_sphere_mesh()
+    intr = make_intrinsics()
+    poses = [orbit_pose(0.05 * t) for t in range(5)]
+    db_path = str(tmp_path / "empty.db")
+    DB(db_path).close()  # schema only, no keypoints/flows
+
+    traj = perturbed_traj(poses, intr, rng)
+    before = [np.asarray(traj.get(i).pose.t).copy() for i in range(5)]
+    refine_trajectory(db_path, traj, np.eye(4, dtype=np.float32), mesh)
+    for i in range(5):
+        np.testing.assert_allclose(
+            np.asarray(traj.get(i).pose.t), before[i], atol=1e-6
+        )
