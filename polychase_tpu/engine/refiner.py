@@ -626,6 +626,28 @@ def build_normal_equations(
 
 
 @partial(jax.jit, static_argnames=("loss_type", "opt_f", "opt_pp", "ppc"))
+def rebuild_and_try_lm_step(
+    params, data: RefinerData, prims, tri_corners, model, model_inv,
+    loss_scale, lam, bounds: C.Bounds,
+    *, loss_type: int, opt_f: bool, opt_pp: bool, ppc: int,
+):
+    """Normal-equation rebuild + solve + step + candidate cost, fused into
+    one dispatch (accepted iterations otherwise pay two round trips).
+    Returns (JtJ, Jtr, params_new, vec) — JtJ/Jtr stay device-resident
+    for rejected-step retries at a new lambda."""
+    JtJ, Jtr = build_normal_equations(
+        params, data, prims, tri_corners, model, model_inv, loss_scale,
+        loss_type=loss_type, opt_f=opt_f, opt_pp=opt_pp, ppc=ppc,
+    )
+    params_new, vec = try_lm_step(
+        JtJ, Jtr, params, data, prims, tri_corners, model, model_inv,
+        loss_scale, lam, bounds,
+        loss_type=loss_type, opt_f=opt_f, opt_pp=opt_pp, ppc=ppc,
+    )
+    return JtJ, Jtr, params_new, vec
+
+
+@partial(jax.jit, static_argnames=("loss_type", "opt_f", "opt_pp", "ppc"))
 def try_lm_step(
     JtJ, Jtr, params, data: RefinerData, prims, tri_corners, model,
     model_inv, loss_scale, lam, bounds: C.Bounds,
@@ -869,18 +891,27 @@ def refine_trajectory(
             )
 
     while stats["iterations"] < bundle_opts.max_iterations:
-        if rebuild:
-            with profile_region("refiner.normal_equations"):
-                JtJ, Jtr = normal_equations(params, prims)
-
-        # One dispatch + one 5-scalar transfer per iteration: solve, step,
-        # candidate cost, gain-ratio terms all come back together.
+        # One dispatch + one 5-scalar transfer per iteration: the rebuild
+        # (when needed), solve, step, candidate cost and gain-ratio terms
+        # all come back together.
         with profile_region("refiner.try_step"):
-            params_new, vec = try_lm_step(
-                JtJ, Jtr, params, data, prims, tri_corners, model,
-                model_inv, loss_scale, jnp.float32(lam), bounds,
-                loss_type=loss_type, opt_f=opt_f, opt_pp=opt_pp, ppc=ppc,
-            )
+            if rebuild and mesh_obj is None:
+                JtJ, Jtr, params_new, vec = rebuild_and_try_lm_step(
+                    params, data, prims, tri_corners, model, model_inv,
+                    loss_scale, jnp.float32(lam), bounds,
+                    loss_type=loss_type, opt_f=opt_f, opt_pp=opt_pp,
+                    ppc=ppc,
+                )
+            else:
+                if rebuild:
+                    with profile_region("refiner.normal_equations"):
+                        JtJ, Jtr = normal_equations(params, prims)
+                params_new, vec = try_lm_step(
+                    JtJ, Jtr, params, data, prims, tri_corners, model,
+                    model_inv, loss_scale, jnp.float32(lam), bounds,
+                    loss_type=loss_type, opt_f=opt_f, opt_pp=opt_pp,
+                    ppc=ppc,
+                )
         grad_norm, solve_ok, step_norm, cost_new, expected = (
             float(x) for x in np.asarray(vec)
         )
