@@ -357,12 +357,12 @@ def _pad_level_asym(img, top, bottom, left, right, zero: bool):
 
 
 def pallas_enabled() -> bool:
-    """Use the Pallas LK kernels? (TPU default; POLYCHASE_LK_PALLAS=0/1)."""
+    """Use the Pallas LK kernels?  Default on for TPU backends;
+    POLYCHASE_LK_PALLAS=0 forces the XLA path.  (Compiled Mosaic kernels
+    only exist on TPU, so the flag cannot force them elsewhere.)"""
     env = os.environ.get("POLYCHASE_LK_PALLAS", "").strip().lower()
     if env in ("0", "false", "off"):
         return False
-    if env in ("1", "true", "on"):
-        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
