@@ -174,3 +174,30 @@ def test_refine_empty_database_is_graceful(tmp_path, rng):
         np.testing.assert_allclose(
             np.asarray(traj.get(i).pose.t), before[i], atol=1e-6
         )
+
+
+def test_refine_recovers_principal_point(tmp_path, rng):
+    mesh = make_sphere_mesh()
+    intr = make_intrinsics(f=600.0)
+    n = 8
+    poses = [orbit_pose(0.06 * t) for t in range(n)]
+    db_path = str(tmp_path / "flow.db")
+    build_flow_db(db_path, mesh, intr, poses, rng, n_points=500)
+
+    # Exact poses, wrong principal point on the middle frames
+    wrong = intr._replace(
+        cx=intr.cx + jnp.float32(12.0), cy=intr.cy - jnp.float32(9.0)
+    )
+    traj = CameraTrajectory(0, n)
+    for i, p in enumerate(poses):
+        traj.set(i, C.CameraState(intr if i in (0, n - 1) else wrong, p))
+
+    refine_trajectory(
+        db_path, traj, np.eye(4, dtype=np.float32), mesh,
+        optimize_principal_point=True,
+        bundle_opts=BundleOptions(loss_type=TRIVIAL, max_iterations=100),
+    )
+    for i in range(1, n - 1):
+        s = traj.get(i)
+        assert abs(float(s.intrinsics.cx) - float(intr.cx)) < 2.0, i
+        assert abs(float(s.intrinsics.cy) - float(intr.cy)) < 2.0, i
