@@ -48,10 +48,29 @@ __all__ = [
 
 class CppException(RuntimeError):
     """Engine-side failure (the reference binds std::exception with a
-    ``what()`` accessor, cpp/polychase_pybind.cc:311-312)."""
+    ``what()`` accessor, cpp/polychase_pybind.cc:311-312).  Engine
+    RuntimeErrors crossing the facade's free functions are re-raised as
+    this type so ``except CppException`` keeps the pybind contract."""
 
     def what(self) -> str:
         return str(self)
+
+
+def _engine_errors(fn):
+    """Re-raise engine RuntimeErrors as CppException (reference semantics:
+    any std::exception surfaces as the bound CppException)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except CppException:
+            raise
+        except RuntimeError as e:
+            raise CppException(str(e)) from e
+
+    return wrapper
 
 
 # ---------------------------------------------------------------------------
@@ -483,6 +502,7 @@ ImagePairFlow = _database.ImagePairFlow
 # ---------------------------------------------------------------------------
 
 
+@_engine_errors
 def ray_cast(
     accel_mesh: AcceleratedMesh,
     scene_transform: SceneTransformations,
@@ -545,6 +565,7 @@ def ray_cast(
     )
 
 
+@_engine_errors
 def find_transformation(
     object_points,
     initial_scene_transform: SceneTransformations,
@@ -576,6 +597,7 @@ def find_transformation(
     )
 
 
+@_engine_errors
 def generate_optical_flow_database(
     video_info: VideoInfo,
     frame_accessor_function: Callable[[int], Optional[np.ndarray]],
@@ -596,6 +618,7 @@ def generate_optical_flow_database(
     )
 
 
+@_engine_errors
 def track_sequence(
     database_path: str,
     frame_from: int,
@@ -637,6 +660,7 @@ def track_sequence(
     )
 
 
+@_engine_errors
 def refine_trajectory(
     database_path: str,
     camera_trajectory: CameraTrajectory,

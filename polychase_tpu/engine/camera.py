@@ -206,10 +206,15 @@ def proj_matrix_3x3(intr: Intrinsics) -> jax.Array:
     ).reshape(*jnp.shape(intr.fx), 3, 3)
 
 
+# The reference's fixed bogus near/far plane (cpp/pnp/types.h:31-49);
+# only rows 0, 1, 3 of the resulting matrix are meaningful.
+_BOGUS_FAR, _BOGUS_NEAR = 100.0, 10.0
+
+
 def proj_matrix_4x4(intr: Intrinsics) -> jax.Array:
     """4×4 projection with the reference's fixed bogus near/far plane
     (cpp/pnp/types.h:31-49): only row 0,1,3 are meaningful."""
-    f, n = 100.0, 10.0
+    f, n = _BOGUS_FAR, _BOGUS_NEAR
     p22 = -(f + n) / (f - n)
     p23 = -2.0 * f * n / (f - n)
     z = jnp.zeros_like(intr.fx)
@@ -238,3 +243,18 @@ class CameraState(NamedTuple):
 
     intrinsics: Intrinsics
     pose: "Pose"  # noqa: F821  (polychase_tpu.engine.pose.Pose)
+
+
+def proj_matrix_4x4_np(intr: Intrinsics) -> "np.ndarray":
+    """Host copy of :func:`proj_matrix_4x4` for orchestration code."""
+    i = jax.device_get(intr)
+    f, n = _BOGUS_FAR, _BOGUS_NEAR
+    return np.array(
+        [
+            [float(i.fx), 0, float(i.cx), 0],
+            [0, float(i.fy), float(i.cy), 0],
+            [0, 0, -(f + n) / (f - n), -2.0 * f * n / (f - n)],
+            [0, 0, 1.0, 0],
+        ],
+        np.float64,
+    )

@@ -363,10 +363,9 @@ def pallas_enabled() -> bool:
     env = os.environ.get("POLYCHASE_LK_PALLAS", "").strip().lower()
     if env in ("0", "false", "off"):
         return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    from polychase_tpu.kernels import lk_pallas as lkp
+
+    return lkp.pallas_supported()
 
 
 @partial(jax.jit, static_argnames=("levels",))

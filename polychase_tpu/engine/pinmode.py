@@ -142,37 +142,8 @@ def _find_transformation_2(
     )
 
 
-def _np_mat_to_quat(m):
-    """Host-side rotation matrix -> WXYZ quaternion (Shepperd)."""
-    t = np.trace(m)
-    if t > 0:
-        w = np.sqrt(1.0 + t) / 2.0
-        return np.array([
-            w,
-            (m[2, 1] - m[1, 2]) / (4 * w),
-            (m[0, 2] - m[2, 0]) / (4 * w),
-            (m[1, 0] - m[0, 1]) / (4 * w),
-        ])
-    i = int(np.argmax(np.diag(m)))
-    j, k = (i + 1) % 3, (i + 2) % 3
-    s = np.sqrt(1.0 + m[i, i] - m[j, j] - m[k, k]) * 2
-    q = np.empty(4)
-    q[i + 1] = s / 4
-    q[0] = (m[k, j] - m[j, k]) / s
-    q[j + 1] = (m[j, i] + m[i, j]) / s
-    q[k + 1] = (m[k, i] + m[i, k]) / s
-    return q / np.linalg.norm(q)
-
-
-def _np_quat_to_mat(q):
-    """Host-side WXYZ quaternion -> rotation matrix (keeps the pin-drag
-    epilogue free of device round trips)."""
-    w, x, y, z = q / np.linalg.norm(q)
-    return np.array([
-        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
-        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
-        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
-    ])
+_np_mat_to_quat = P.mat_to_quat_np
+_np_quat_to_mat = P.quat_to_mat_np
 
 
 def _find_transformation_n(

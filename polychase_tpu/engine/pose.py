@@ -22,6 +22,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Small 3x3 products must stay true float32 on TPU (default matmul precision
 # is bfloat16, which costs ~3 decimal digits on pose Jacobians).
@@ -274,3 +275,57 @@ def center_with_jac(R: jax.Array, t: jax.Array):
     Rt = jnp.swapaxes(R, -1, -2)
     c = -_einsum("...ij,...j->...i", Rt, t)
     return c, skew(c), -Rt
+
+
+# ---------------------------------------------------------------------------
+# Host (numpy) variants — orchestration code runs per UI event / per frame
+# and an eager device op costs a full round trip on a remote chip.
+# ---------------------------------------------------------------------------
+
+
+def quat_to_mat_np(q) -> np.ndarray:
+    """Host copy of :func:`quat_to_mat` (WXYZ, cpp/pose.h:20)."""
+    w, x, y, z = (float(v) for v in np.asarray(q).reshape(4))
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+             2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+             2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x),
+             1 - 2 * (x * x + y * y)],
+        ],
+        np.float64,
+    )
+
+
+def mat_to_quat_np(m) -> np.ndarray:
+    """Host rotation-matrix -> WXYZ quaternion (Shepperd)."""
+    m = np.asarray(m, np.float64)
+    t = np.trace(m)
+    if t > 0:
+        w = np.sqrt(1.0 + t) / 2.0
+        q = np.array([
+            w,
+            (m[2, 1] - m[1, 2]) / (4 * w),
+            (m[0, 2] - m[2, 0]) / (4 * w),
+            (m[1, 0] - m[0, 1]) / (4 * w),
+        ])
+    else:
+        i = int(np.argmax(np.diag(m)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        sdiag = np.sqrt(1.0 + m[i, i] - m[j, j] - m[k, k]) * 2
+        q = np.empty(4)
+        q[i + 1] = sdiag / 4
+        q[0] = (m[k, j] - m[j, k]) / sdiag
+        q[j + 1] = (m[j, i] + m[i, j]) / sdiag
+        q[k + 1] = (m[k, i] + m[i, k]) / sdiag
+    return q / np.linalg.norm(q)
+
+
+def pose_rt4x4_np(pose: "Pose") -> np.ndarray:
+    """Host [R t; 0 1] (cpp/pose.h:27-36)."""
+    m = np.eye(4)
+    m[:3, :3] = quat_to_mat_np(np.asarray(pose.q))
+    m[:3, 3] = np.asarray(pose.t, np.float64).reshape(3)
+    return m

@@ -120,22 +120,9 @@ def _compute_bbox(state: C.CameraState, mesh: Mesh, model_matrix) -> tuple:
     Pure host numpy: this runs once per frame while packing the problem,
     and eager device ops would cost a round trip each.
     """
-    from .tracker import pose_rt4x4_np
-
-    intr = jax.device_get(state.intrinsics)
-    f, n = 100.0, 10.0
-    proj = np.array(
-        [
-            [float(intr.fx), 0, float(intr.cx), 0],
-            [0, float(intr.fy), float(intr.cy), 0],
-            [0, 0, -(f + n) / (f - n), -2.0 * f * n / (f - n)],
-            [0, 0, 1.0, 0],
-        ],
-        np.float64,
-    )
     mvp = (
-        proj
-        @ pose_rt4x4_np(jax.device_get(state.pose))
+        C.proj_matrix_4x4_np(state.intrinsics)
+        @ P.pose_rt4x4_np(jax.device_get(state.pose))
         @ np.asarray(model_matrix, np.float64)
     )
     lo = np.asarray(mesh.bbox.pmin, np.float64)

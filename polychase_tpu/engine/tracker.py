@@ -54,30 +54,10 @@ class TrackingError(RuntimeError):
     pass
 
 
-def _np_quat_to_mat(q: np.ndarray) -> np.ndarray:
-    """Host copy of pose.quat_to_mat — the tracker gathers rays for up to
-    8 source frames per tracked frame, and an eager device op per source
-    costs a full round trip on a remote chip."""
-    w, x, y, z = (float(v) for v in np.asarray(q).reshape(4))
-    return np.array(
-        [
-            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
-             2 * (x * z + w * y)],
-            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
-             2 * (y * z - w * x)],
-            [2 * (x * z - w * y), 2 * (y * z + w * x),
-             1 - 2 * (x * x + y * y)],
-        ],
-        np.float64,
-    )
-
-
-def pose_rt4x4_np(pose: P.Pose) -> np.ndarray:
-    """Host [R t; 0 1] (cpp/pose.h:27-36)."""
-    m = np.eye(4)
-    m[:3, :3] = _np_quat_to_mat(np.asarray(pose.q))
-    m[:3, 3] = np.asarray(pose.t, np.float64).reshape(3)
-    return m
+# Host-side pose helpers live in engine.pose; keep these names for
+# existing importers.
+_np_quat_to_mat = P.quat_to_mat_np
+pose_rt4x4_np = P.pose_rt4x4_np
 
 
 def unproject_np(intrinsics: C.Intrinsics, pixels: np.ndarray) -> np.ndarray:
@@ -157,9 +137,10 @@ def gather_correspondences(
     from .pnp import bucket_size
 
     G = len(groups)
-    # The skip pattern bounds G at 8; pad the group axis too so every
-    # frame reuses one compiled shape per K bucket.
-    Gp = max(8, G)
+    # Pad the group axis to multiples of 8 so frames reuse compiled
+    # shapes (a frame can receive up to 16 flows when both directions of
+    # the +-{1,2,4,8} skip pattern are filled).
+    Gp = -(-max(8, G) // 8) * 8
     K = bucket_size(max(d.shape[0] for _, d, _ in groups))
     origins_arr = np.zeros((Gp, 3), np.float32)
     dirs_arr = np.zeros((Gp, K, 3), np.float32)

@@ -416,6 +416,14 @@ def _make_iter_kernel(
                 dx_, dy_, status_f,
             )
 
+        # At level 0 a failed eigenvalue/bounds/determinant gate finalizes
+        # status=False, exactly like the XLA path (engine/lk.py: status &=
+        # where(level_is_zero, ok, True)) and lkpyramid.cpp.
+        status0 = (
+            jnp.where(ok, 1.0, 0.0)
+            if level_is_zero
+            else jnp.ones((1, GROUP), jnp.float32)
+        )
         init = (
             jnp.int32(0),
             px0,
@@ -423,7 +431,7 @@ def _make_iter_kernel(
             jnp.where(ok, 1.0, 0.0),
             jnp.zeros((1, GROUP), jnp.float32),
             jnp.zeros((1, GROUP), jnp.float32),
-            jnp.ones((1, GROUP), jnp.float32),
+            status0,
         )
         _, px, py, _, _, _, status_f = jax.lax.while_loop(cond, body, init)
 

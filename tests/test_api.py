@@ -216,3 +216,24 @@ def test_pose_quaternion_convention():
 
     v = P.quat_rotate(engine.q, jnp.asarray([0.0, 0.0, 1.0]))
     np.testing.assert_allclose(np.asarray(v), [0, 0, -1], atol=1e-6)
+
+
+def test_engine_errors_surface_as_cpp_exception(tmp_path):
+    """The pybind contract: engine failures raise CppException
+    (cpp/polychase_pybind.cc:311-312)."""
+    db_path = str(tmp_path / "empty.db")
+    pc.Database(db_path).close()
+    st = pc.SceneTransformations(
+        model_matrix=np.eye(4, dtype=np.float32),
+        view_matrix=np.eye(4, dtype=np.float32),
+        intrinsics=pc.CameraIntrinsics(
+            100.0, 100.0, 50.0, 50.0, 1.0, 100, 100,
+            pc.CameraConvention.OpenCV,
+        ),
+    )
+    mesh = pc.AcceleratedMesh(
+        np.zeros((3, 3), np.float32), np.array([[0, 1, 2]], np.uint32)
+    )
+    with pytest.raises(pc.CppException):
+        # no flows in the database -> tracker raises
+        pc.track_sequence(db_path, 0, 3, st, mesh, lambda r: True)

@@ -96,3 +96,57 @@ def test_pad_level_dims_invariants():
         assert wp >= 256
         assert hp >= lkp.PADY + h + 16
         assert wp >= lkp.PADX + w + 48
+
+
+def test_pallas_marks_textureless_features_lost():
+    """A feature on a flat region must come back status=False, matching
+    the XLA path's level-0 ok gate (min-eigenvalue threshold)."""
+    opts = lk.LKOptions()
+    rng = np.random.default_rng(4)
+    img1, img2 = _make_pair()
+    # flatten a region: features there have a degenerate normal matrix
+    img1 = img1.copy()
+    img2 = img2.copy()
+    img1[30:70, 40:110] = 100.0
+    img2[30:70, 40:110] = 100.0
+
+    n = lkp.GROUP
+    pts = np.concatenate(
+        [
+            rng.uniform((50, 40), (100, 60), (n // 2, 2)),  # flat region
+            rng.uniform((12, 100), (148, 84 + 60), (n - n // 2, 2)),
+        ]
+    ).astype(np.float32)
+
+    pyr1 = lk._prepare_levels(
+        lk.build_pyramid(jnp.asarray(img1), 3),
+        win=opts.window_size, levels=3,
+    )
+    pyr2 = lk._prepare_levels(
+        lk.build_pyramid(jnp.asarray(img2), 3),
+        win=opts.window_size, levels=3,
+    )
+    _, ref_st, _ = lk._lk_all_levels(
+        pyr1, pyr2, jnp.asarray(pts),
+        jnp.float32(opts.term_epsilon**2),
+        jnp.float32(opts.min_eigen_threshold),
+        win=opts.window_size, max_iters=opts.term_max_iters, levels=3,
+    )
+
+    data1, dims, _ = _pallas_pyr(img1, opts)
+    data2, _, _ = _pallas_pyr(img2, opts)
+    _, st, _ = lkp.lk_all_levels_pallas(
+        tuple(data1[:3]),
+        tuple((data2[lvl][0],) for lvl in range(3)),
+        jnp.asarray(pts),
+        dims=dims[:3],
+        win=opts.window_size,
+        max_iters=opts.term_max_iters,
+        eps2=float(opts.term_epsilon**2),
+        min_eig_thr=float(opts.min_eigen_threshold),
+        interpret=True,
+    )
+    ref_st = np.asarray(ref_st)
+    st = np.asarray(st[0])
+    assert not ref_st[: n // 2].any()   # flat features fail in XLA
+    assert np.array_equal(st, ref_st)   # pallas agrees exactly
