@@ -194,6 +194,7 @@ class PinModeRenderer:
         self._mask_ubo = gpu.types.GPUUniformBuf(bits.tobytes())
 
     def update_pins(self, points: np.ndarray) -> None:
+        self._pin_points = points
         if points is None or len(points) == 0:
             self._pins_batch = None
             return
@@ -282,6 +283,19 @@ class PinModeRenderer:
         )
         shader.uniform_float("color", tuple(tracker_props.pin_color))
         self._pins_batch.draw(shader)
+
+        # Selected pin redrawn on top in its own color (reference
+        # rendering.py: per-pin default/selected colors).
+        sel = int(getattr(tracker_props, "selected_pin", -1))
+        pts = getattr(self, "_pin_points", None)
+        if pts is not None and 0 <= sel < len(pts):
+            batch = batch_for_shader(
+                shader, "POINTS", {"position": [tuple(pts[sel])]}
+            )
+            shader.uniform_float(
+                "color", tuple(tracker_props.selected_pin_color)
+            )
+            batch.draw(shader)
 
     def draw_selected_pin(self, tracker_props, point) -> None:
         shader = _pin_shader()
