@@ -41,7 +41,7 @@ from polychase_tpu.blender_addon import register, unregister  # noqa: E402,F401
 def want(path: pathlib.Path) -> bool:
     if any(part in SKIP_DIRS for part in path.parts):
         return False
-    return path.suffix in (".py", ".so", ".cc", ".md")
+    return path.suffix in (".py", ".so", ".cc", ".md", ".toml")
 
 
 def main() -> int:
@@ -49,6 +49,9 @@ def main() -> int:
                        else ROOT / "polychase_blender_addon.zip")
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
         zf.writestr("polychase/__init__.py", SHIM)
+        manifest = PKG / "blender_addon" / "blender_manifest.toml"
+        if manifest.exists():
+            zf.write(manifest, "polychase/blender_manifest.toml")
         for f in sorted(PKG.rglob("*")):
             if f.is_file() and want(f):
                 zf.write(
