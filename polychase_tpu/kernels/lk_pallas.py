@@ -14,10 +14,13 @@ Semantics mirror ``engine.lk._lk_level`` (itself validated against
 /root/reference/cpp/opticalflow.cc:119-125):
 
 - per level, the previous image/derivative windows and the 2x2 normal
-  matrix come from a fixed sub-pixel position (kernel ``_prep_kernel``);
+  matrix come from a fixed sub-pixel position (``lk_prepare_level``: one
+  extraction kernel over a stacked (img, dx, dy) grid axis, blend and
+  normal matrices in XLA);
 - the iteration loop samples the *next* image at the moving position,
   solves the 2x2 system, applies OpenCV's convergence / oscillation /
-  out-of-bounds rules (kernel ``_iter_kernel``), with early exit when
+  out-of-bounds rules (``lk_iterate_level_multi``: one kernel whose grid
+  covers all T skip-targets x feature groups), with early exit when
   every feature in the 128-lane group has converged;
 - a feature whose position drifts outside its staged patch triggers an
   in-loop re-extraction of the group's patches (rare: patches carry
