@@ -57,7 +57,7 @@ def bench_ours(frames):
             return time.perf_counter() - t0
 
     run()  # warmup: compiles every shape
-    dt = min(run() for _ in range(2))
+    dt = min(run() for _ in range(3))  # the shared chip is noisy
     return len(frames) / dt
 
 

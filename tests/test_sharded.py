@@ -144,3 +144,29 @@ def test_refine_trajectory_sharded_matches_single(tmp_path, rng):
     for i in range(1, n - 1):
         rot_err, t_err = pose_errors(traj_sharded.get(i).pose, poses[i])
         assert rot_err < 1e-3 and t_err < 2.5e-3, (i, rot_err, t_err)
+
+
+def test_sharded_normal_equations_match_ppc9(tmp_path, rng):
+    """Intrinsics-optimizing (9 params/camera) sharded build parity."""
+    mesh, data, params, prims, model = build_problem(tmp_path, rng)
+    tri = mesh.triangle_corners()
+    scale = jnp.float32(1.0)
+
+    JtJ_ref, Jtr_ref = build_normal_equations(
+        params, data, prims, tri, model, model,
+        scale, loss_type=CAUCHY, opt_f=True, opt_pp=True, ppc=9,
+    )
+    dev_mesh = make_edge_mesh(jax.devices()[:8])
+    JtJ_sh, Jtr_sh = sharded_normal_equations(
+        dev_mesh, params, data, prims, tri, model, model, scale,
+        loss_type=CAUCHY, opt_f=True, opt_pp=True, ppc=9,
+    )
+    JtJ_ref = np.asarray(JtJ_ref)
+    np.testing.assert_allclose(
+        np.asarray(JtJ_sh), JtJ_ref,
+        rtol=1e-3, atol=1e-5 * max(np.abs(JtJ_ref).max(), 1.0),
+    )
+    np.testing.assert_allclose(
+        np.asarray(Jtr_sh), np.asarray(Jtr_ref),
+        rtol=1e-3, atol=1e-5 * max(np.abs(np.asarray(Jtr_ref)).max(), 1.0),
+    )
