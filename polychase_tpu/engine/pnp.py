@@ -113,25 +113,17 @@ def _step(cam: C.CameraState, dp, bounds: C.Bounds, opt_f, opt_pp):
     return C.CameraState(intr, P.Pose(q, t))
 
 
-@partial(jax.jit, static_argnames=("opt_f", "opt_pp", "opts"))
-def _solve_padded(
-    packed,      # (m, 8) f32: X(3) | x(2) | weight | mask | unused
-    params,      # (16,) f32: q(4) t(3) fx fy cx cy aspect w h sign err
+def solve_arrays(
+    X, x, weights, mask, params,
     *, opt_f: bool, opt_pp: bool, opts: BundleOptions,
 ):
-    """One-dispatch PnP solve.
+    """Traced PnP core over already-device arrays.
 
-    Every dynamic input rides in two packed arrays and the result is one
-    flat vector — a host→device→host round trip costs ~26 ms each way on
-    a tunneled chip, so interactive solves (pin drags fire per mouse-move,
-    cpp/pin_mode.cc:219-246) must not scatter scalars across transfers.
-    ``opts`` is static: solver tolerances change at most per session.
-    """
-    X = packed[:, 0:3]
-    x = packed[:, 3:5]
-    weights = packed[:, 5]
-    mask = packed[:, 6] > 0.0
-
+    ``params`` is the 16-float vector [q(4) t(3) fx fy cx cy aspect w h
+    sign max_inlier_error].  Returns the 19-float result vector (pose,
+    intrinsics, stats, inlier ratio).  Shared by the packed host entry
+    below and fused device programs (e.g. the tracker's
+    raycast-and-solve)."""
     intr = C.Intrinsics(
         fx=params[7], fy=params[8], cx=params[9], cy=params[10],
         aspect_ratio=params[11], width=params[12], height=params[13],
@@ -145,8 +137,16 @@ def _solve_padded(
         res, valid, behind = _residuals(cam, X, x, mask)
         return res, valid, weights
 
+    # Intrinsics optimization requires > 3 valid points
+    # (cpp/pnp/pnp_problem.h:34-35); the count is dynamic in fused
+    # programs (it comes out of a ray cast), so gate the intrinsic
+    # Jacobian columns instead of a static flag.
+    int_gate = jnp.where(jnp.sum(mask) > 3, 1.0, 0.0)
+
     def residuals_jac(cam):
         res, J, valid = _residuals_jac(cam, X, x, mask, opt_f, opt_pp)
+        if opt_f or opt_pp:
+            J = J.at[:, :, 6:].multiply(int_gate)
         return res, J, valid, weights
 
     problem = LMProblem(
@@ -184,6 +184,27 @@ def _solve_padded(
             stats.step_norm, stats.grad_norm,
             ratio,
         ]
+    )
+
+
+@partial(jax.jit, static_argnames=("opt_f", "opt_pp", "opts"))
+def _solve_padded(
+    packed,      # (m, 8) f32: X(3) | x(2) | weight | mask | unused
+    params,      # (16,) f32: q(4) t(3) fx fy cx cy aspect w h sign err
+    *, opt_f: bool, opt_pp: bool, opts: BundleOptions,
+):
+    """One-dispatch PnP solve.
+
+    Every dynamic input rides in two packed arrays and the result is one
+    flat vector — a host→device→host round trip costs ~26 ms each way on
+    a tunneled chip, so interactive solves (pin drags fire per mouse-move,
+    cpp/pin_mode.cc:219-246) must not scatter scalars across transfers.
+    ``opts`` is static: solver tolerances change at most per session.
+    """
+    return solve_arrays(
+        packed[:, 0:3], packed[:, 3:5], packed[:, 5],
+        packed[:, 6] > 0.0, params,
+        opt_f=opt_f, opt_pp=opt_pp, opts=opts,
     )
 
 

@@ -26,7 +26,6 @@ from . import camera as C
 from . import pose as P
 from .geometry import Mesh, SceneTransformations
 from .levmarq import BundleOptions, BundleStats
-from .pnp import PnPOptions, solve_pnp
 from .raycast import raycast_grouped
 from .trajectory import CameraTrajectory
 
@@ -92,27 +91,19 @@ def rays_object_space(
     return origins, dirs
 
 
-def gather_correspondences(
+def pack_frame_rays(
     database: Database,
     camera_traj: CameraTrajectory,
     model_matrix: np.ndarray,
     frame_id: int,
-    mesh: Mesh,
 ):
-    """Collect 3D world ↔ 2D pixel matches for ``frame_id``.
+    """Host half of correspondence gathering: read flows, build padded
+    (Gp, K) ray groups + flowed target pixels (cpp/tracker.cc:43-62).
 
-    For every already-solved source frame with flow into ``frame_id``,
-    ray-cast the source keypoints through the source camera onto the mesh
-    (mask-aware) and pair the world-space hits with the flowed target
-    pixels (cpp/tracker.cc:36-97).  Returns (X (N,3), x (N,2)).
+    Returns (origins (Gp,3), dirs (Gp,K,3), tgt (Gp,K,2), mask (Gp,K))
+    or None when no usable flows exist.
     """
     model_matrix = np.asarray(model_matrix, np.float32)
-
-    # Collect all source flows first, then do ONE grouped (shared-origin
-    # per source frame) cast padded to bucket shapes — a cast per flow
-    # would compile a fresh program for every distinct match count and
-    # pay a device round trip each (cpp/tracker.cc:43-92 does this with
-    # per-keypoint Embree queries instead).
     groups = []
     for flow_frame_id in database.find_optical_flows_to_image(frame_id):
         if flow_frame_id == frame_id:
@@ -132,7 +123,7 @@ def gather_correspondences(
         groups.append((origins[0], dirs, flow.tgt_kps))
 
     if not groups:
-        return np.empty((0, 3), np.float32), np.empty((0, 2), np.float32)
+        return None
 
     from .pnp import bucket_size
 
@@ -144,35 +135,83 @@ def gather_correspondences(
     K = bucket_size(max(d.shape[0] for _, d, _ in groups))
     origins_arr = np.zeros((Gp, 3), np.float32)
     dirs_arr = np.zeros((Gp, K, 3), np.float32)
-    dirs_arr[..., 2] = 1.0  # padding rays: unit z, masked by count below
-    counts = np.zeros(Gp, np.int32)
-    for g, (o, d, _) in enumerate(groups):
+    dirs_arr[..., 2] = 1.0  # padding rays: unit z, masked off below
+    tgt_arr = np.zeros((Gp, K, 2), np.float32)
+    mask = np.zeros((Gp, K), bool)
+    for g, (o, d, tgt) in enumerate(groups):
+        n = d.shape[0]
         origins_arr[g] = o
-        dirs_arr[g, : d.shape[0]] = d
-        counts[g] = d.shape[0]
+        dirs_arr[g, :n] = d
+        tgt_arr[g, :n] = tgt
+        mask[g, :n] = True
+    return origins_arr, dirs_arr, tgt_arr, mask
+
+
+def gather_correspondences(
+    database: Database,
+    camera_traj: CameraTrajectory,
+    model_matrix: np.ndarray,
+    frame_id: int,
+    mesh: Mesh,
+):
+    """Collect 3D world ↔ 2D pixel matches for ``frame_id``.
+
+    For every already-solved source frame with flow into ``frame_id``,
+    ray-cast the source keypoints through the source camera onto the mesh
+    (mask-aware) and pair the world-space hits with the flowed target
+    pixels (cpp/tracker.cc:36-97).  Returns (X (N,3), x (N,2)).
+    """
+    model_matrix = np.asarray(model_matrix, np.float32)
+    packed = pack_frame_rays(database, camera_traj, model_matrix, frame_id)
+    if packed is None:
+        return np.empty((0, 3), np.float32), np.empty((0, 2), np.float32)
+    origins_arr, dirs_arr, tgt_arr, mask = packed
 
     hits = raycast_grouped(
         mesh, jnp.asarray(origins_arr), jnp.asarray(dirs_arr), True
     )
     valid_all, pos_all = jax.device_get((hits.valid, hits.pos))
-
-    obj_pts, img_pts = [], []
-    for g, (_, d, tgt_kps) in enumerate(groups):
-        n = counts[g]
-        valid = valid_all[g, :n]
-        if not valid.any():
-            continue
-        pos_obj = pos_all[g, :n][valid]
-        pos_world = pos_obj @ model_matrix[:3, :3].T + model_matrix[:3, 3]
-        obj_pts.append(pos_world)
-        img_pts.append(tgt_kps[valid])
-
-    if not obj_pts:
+    valid = valid_all & mask
+    if not valid.any():
         return np.empty((0, 3), np.float32), np.empty((0, 2), np.float32)
-    return (
-        np.concatenate(obj_pts).astype(np.float32),
-        np.concatenate(img_pts).astype(np.float32),
-    )
+    pos_obj = pos_all[valid]
+    pos_world = pos_obj @ model_matrix[:3, :3].T + model_matrix[:3, 3]
+    return pos_world.astype(np.float32), tgt_arr[valid].astype(np.float32)
+
+
+_CAST_SOLVE_CACHE = {}
+
+
+def _cast_and_solve_fn(opt_f: bool, opt_pp: bool, opts_key):
+    """Fused per-frame program: ray cast + world transform + PnP solve in
+    ONE dispatch (the tracker chain pays per-frame latency; two separate
+    round trips halve its frame rate on a remote chip)."""
+    from .pnp import solve_arrays
+    from functools import partial as _partial
+
+    key = (opt_f, opt_pp, opts_key)
+    fn = _CAST_SOLVE_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    opts = BundleOptions(*opts_key)
+
+    @_partial(jax.jit, static_argnames=())
+    def fused(mesh, origins, dirs, tgt, mask, model, params):
+        hits = raycast_grouped(mesh, origins, dirs, True)
+        valid = hits.valid & mask
+        X_obj = hits.pos.reshape(-1, 3)
+        X = X_obj @ model[:3, :3].T + model[:3, 3]
+        x = tgt.reshape(-1, 2)
+        m = valid.reshape(-1)
+        weights = jnp.where(m, 1.0, 0.0)
+        vec = solve_arrays(
+            X, x, weights, m, params, opt_f=opt_f, opt_pp=opt_pp, opts=opts
+        )
+        return vec, jnp.sum(m)
+
+    _CAST_SOLVE_CACHE[key] = fused
+    return fused
 
 
 def solve_frame(
@@ -189,17 +228,18 @@ def solve_frame(
 
     Returns a PnPResult or None when fewer than 3 correspondences exist.
     """
+    from .levmarq import BundleStats as _BS
+    from .pnp import PnPResult
+
     with profile_region("tracker.gather"):
-        X, x = gather_correspondences(
-            database, camera_traj, model_matrix, frame_id, mesh
+        packed = pack_frame_rays(
+            database, camera_traj, np.asarray(model_matrix, np.float32),
+            frame_id,
         )
-    if X.shape[0] < 3:
-        _log.info(
-            "frame %d: only %d correspondences, cannot solve",
-            frame_id, X.shape[0],
-        )
+    if packed is None:
+        _log.info("frame %d: no usable flows", frame_id)
         return None
-    _log.debug("frame %d: %d correspondences", frame_id, X.shape[0])
+    origins_arr, dirs_arr, tgt_arr, mask = packed
 
     # Warm start from current/prev/next pose (cpp/tracker.cc:112-119)
     cam0: Optional[C.CameraState] = None
@@ -210,18 +250,71 @@ def solve_frame(
     if cam0 is None:
         raise TrackingError(f"no warm-start pose near frame {frame_id}")
 
-    opts = PnPOptions(
-        bundle_opts=bundle_opts,
-        max_inlier_error=MAX_INLIER_ERROR,
-        optimize_focal_length=optimize_focal_length,
-        optimize_principal_point=optimize_principal_point,
+    c = jax.device_get(cam0)
+    ci = c.intrinsics
+    params = np.array(
+        [
+            *np.asarray(c.pose.q, np.float32).reshape(4),
+            *np.asarray(c.pose.t, np.float32).reshape(3),
+            float(ci.fx), float(ci.fy), float(ci.cx), float(ci.cy),
+            float(ci.aspect_ratio), float(ci.width), float(ci.height),
+            float(ci.sign), MAX_INLIER_ERROR,
+        ],
+        np.float32,
     )
-    with profile_region("tracker.pnp"):
-        result = solve_pnp(X, x, cam0, opts)
+    b = bundle_opts
+    opts_key = tuple(
+        BundleOptions(
+            max_iterations=int(b.max_iterations),
+            loss_type=int(b.loss_type),
+            loss_scale=float(b.loss_scale),
+            gradient_tol=float(b.gradient_tol),
+            step_tol=float(b.step_tol),
+            initial_lambda=float(b.initial_lambda),
+            min_lambda=float(b.min_lambda),
+            max_lambda=float(b.max_lambda),
+        )
+    )
+    fused = _cast_and_solve_fn(
+        bool(optimize_focal_length), bool(optimize_principal_point),
+        opts_key,
+    )
+    with profile_region("tracker.cast_and_solve"):
+        vec, count = jax.device_get(
+            fused(
+                mesh, jnp.asarray(origins_arr), jnp.asarray(dirs_arr),
+                jnp.asarray(tgt_arr), jnp.asarray(mask),
+                jnp.asarray(np.asarray(model_matrix, np.float32)),
+                params,
+            )
+        )
+    if int(count) < 3:
+        _log.info(
+            "frame %d: only %d correspondences, cannot solve",
+            frame_id, int(count),
+        )
+        return None
+
+    intr_out = C.Intrinsics(
+        fx=np.float32(vec[7]), fy=np.float32(vec[8]),
+        cx=np.float32(vec[9]), cy=np.float32(vec[10]),
+        aspect_ratio=ci.aspect_ratio, width=ci.width, height=ci.height,
+        sign=ci.sign,
+    )
+    camera = C.CameraState(intr_out, P.Pose(vec[0:4], vec[4:7]))
+    stats = _BS(
+        iterations=np.int32(vec[11]), initial_cost=np.float32(vec[12]),
+        cost=np.float32(vec[13]), lambda_=np.float32(vec[14]),
+        invalid_steps=np.int32(vec[15]), step_norm=np.float32(vec[16]),
+        grad_norm=np.float32(vec[17]),
+    )
+    result = PnPResult(
+        camera=camera, stats=stats, inlier_ratio=np.float32(vec[18])
+    )
     _log.debug(
-        "frame %d: inlier_ratio=%.3f cost=%.3f iters=%d",
-        frame_id, float(result.inlier_ratio), float(result.stats.cost),
-        int(result.stats.iterations),
+        "frame %d: n=%d inlier_ratio=%.3f cost=%.3f iters=%d",
+        frame_id, int(count), float(result.inlier_ratio),
+        float(result.stats.cost), int(result.stats.iterations),
     )
     return result
 
