@@ -92,6 +92,16 @@ def _lane_scalar(vec, b):
     return jnp.sum(jnp.where(_lane_iota() == b, vec, 0))
 
 
+def _to_smem(rows, vtmp, smem, sem):
+    """Stage per-feature scalar vectors in SMEM via one DMA: per-feature
+    extraction loops read GROUP x len(rows) scalars, and a cross-lane
+    reduction per read costs ~5 VPU ops while an SMEM read is free."""
+    vtmp[:] = jnp.concatenate(rows, axis=0)
+    copy = pltpu.make_async_copy(vtmp, smem, sem)
+    copy.start()
+    copy.wait()
+
+
 # ---------------------------------------------------------------------------
 # Kernel A: previous-image window + derivative patches + normal matrix
 # ---------------------------------------------------------------------------
@@ -150,30 +160,31 @@ def _make_extract_kernel(win: int, Hp: int, Wp: int, img_in_hbm: bool):
     INT = win + 2          # integer support incl. bilerp neighbor row/col
     BR = _prep_rows(win)
 
-    def kernel(iyp_ref, ixp_ref, img_ref, out_ref, tmp, buf, sems):
+    def kernel(iyp_ref, ixp_ref, img_ref, out_ref, tmp, buf, sems,
+               vtmp, smem, vsem):
         iyv = jnp.clip(iyp_ref[:], 0, Hp - INT)
         ixv = jnp.clip(ixp_ref[:], 0, Wp - INT)
         byv = jnp.minimum((iyv // 8) * 8, Hp - BR)
         ryv = iyv - byv
         bxcv = jnp.minimum((ixv // 128) * 128, Wp - 256)
         rxv = ixv - bxcv
+        _to_smem([byv, ryv, bxcv, rxv], vtmp, smem, vsem)
         issue, grab = _block_fetcher(
             img_ref, img_in_hbm, BR, pl.program_id(0)
         )
 
         if img_in_hbm:
             def start(b, _):
-                issue(b, _lane_scalar(byv, b), _lane_scalar(bxcv, b),
-                      buf, sems)
+                issue(b, smem[0, b], smem[2, b], buf, sems)
                 return 0
 
             jax.lax.fori_loop(0, GROUP, start, 0)
 
         def per_track(b, _):
-            yb = _lane_scalar(byv, b)
-            ry = _lane_scalar(ryv, b)
-            xc = _lane_scalar(bxcv, b)
-            rx = _lane_scalar(rxv, b)
+            yb = pl.multiple_of(smem[0, b], 8)
+            ry = smem[1, b]
+            xc = pl.multiple_of(smem[2, b], 128)
+            rx = smem[3, b]
             blk = grab(b, yb, xc, buf, sems)
             blk = pltpu.roll(blk, (256 - rx) % 256, 1)
             blk = pltpu.roll(blk, (BR - ry) % BR, 0)
@@ -236,6 +247,9 @@ def lk_prepare_level(
             pltpu.VMEM((GROUP, INT, INT), jnp.float32),
             pltpu.VMEM((GROUP, BR, 256), jnp.float32),
             pltpu.SemaphoreType.DMA((GROUP,)),
+            pltpu.VMEM((4, GROUP), jnp.int32),
+            pltpu.SMEM((4, GROUP), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(iyp, ixp, stacked)
@@ -294,7 +308,7 @@ def _make_iter_kernel(
         ok_ref, x0_ref, y0_ref,
         img_ref,
         xo_ref, yo_ref, st_ref, err_ref,
-        tmp, patch, by_ref, bx_ref, buf, sems,
+        tmp, patch, by_ref, bx_ref, buf, sems, vtmp, smem, vsem,
     ):
         issue, grab = _block_fetcher(
             img_ref, img_in_hbm, PR, pl.program_id(0)
@@ -312,18 +326,19 @@ def _make_iter_kernel(
             bxcv = jnp.minimum((bxv // 128) * 128, Wp - 256)
             rxv = bxv - bxcv
 
+            _to_smem([byv, bxcv, rxv], vtmp, smem, vsem)
+
             if img_in_hbm:
                 def start(b, _):
-                    issue(b, _lane_scalar(byv, b), _lane_scalar(bxcv, b),
-                          buf, sems)
+                    issue(b, smem[0, b], smem[1, b], buf, sems)
                     return 0
 
                 jax.lax.fori_loop(0, GROUP, start, 0)
 
             def per_track(b, _):
-                yb = _lane_scalar(byv, b)
-                xc = _lane_scalar(bxcv, b)
-                rx = _lane_scalar(rxv, b)
+                yb = pl.multiple_of(smem[0, b], 8)
+                xc = pl.multiple_of(smem[1, b], 128)
+                rx = smem[2, b]
                 blk = grab(b, yb, xc, buf, sems)
                 tmp[b] = pltpu.roll(blk, (256 - rx) % 256, 1)[:, :PC]
                 return 0
@@ -517,6 +532,9 @@ def lk_iterate_level_multi(
             pltpu.VMEM((1, GROUP), jnp.int32),
             pltpu.VMEM((GROUP, PR, 256), jnp.float32),
             pltpu.SemaphoreType.DMA((GROUP,)),
+            pltpu.VMEM((3, GROUP), jnp.int32),
+            pltpu.SMEM((3, GROUP), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(ipatch, dxi, dyi, a11r, a12r, a22r, invdr, okf, x0, y0, imgs_pad)
