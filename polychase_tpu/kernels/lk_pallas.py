@@ -457,7 +457,18 @@ def _make_iter_kernel(
         yo_ref[0] = py
         st_ref[0] = status_f
         if level_is_zero:
-            extract(px, py)
+            # Patches are only stale for features whose final position
+            # left the slack window; skip the re-extraction otherwise.
+            lyf0, lxf0 = local_coords(px, py)
+            stale = (
+                (lyf0 < 0.0) | (lyf0 > ly_max)
+                | (lxf0 < 0.0) | (lxf0 > lx_max)
+            )
+
+            @pl.when(jnp.any(stale))
+            def _():
+                extract(px, py)
+
             lyf, lxf = local_coords(px, py)
             jw = sample(lyf, lxf)
             err_ref[0] = (
