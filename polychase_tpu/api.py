@@ -25,7 +25,6 @@ from .engine import lk as _lk
 from .engine import levmarq as _levmarq
 from .engine import opticalflow as _opticalflow
 from .engine import pinmode as _pinmode
-from .engine import pnp as _pnp
 from .engine import raycast as _raycast
 from .engine import refiner as _refiner
 from .engine import tracker as _tracker
