@@ -462,6 +462,28 @@ def _lk_pallas_program(
 
 def _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels):
     eps = min(max(opts.term_epsilon, 0.0), 10.0)
+    T = len(next_pyrs)
+    mesh = _analyze_mesh()
+    if mesh is not None and T >= 2:
+        from ..parallel.analyze import shard_targets, sharded_lk_multi_pallas
+
+        D = int(mesh.devices.size)
+        Tp = -(-T // D) * D
+        pad_pyrs = list(next_pyrs) + [prev_pyr] * (Tp - T)
+        stacked = tuple(
+            jnp.stack([p.levels[lvl][0] for p in pad_pyrs])
+            for lvl in range(levels)
+        )
+        nxt, status, err = sharded_lk_multi_pallas(
+            mesh, tuple(prev_pyr.levels[:levels]),
+            shard_targets(mesh, stacked), jnp.asarray(pts_p),
+            dims=tuple(prev_pyr.dims[:levels]),
+            win=opts.window_size, max_iters=opts.term_max_iters,
+            eps2=float(eps * eps),
+            min_eig_thr=float(opts.min_eigen_threshold),
+        )
+        return nxt[:T], status[:T], err[:T]
+
     next_images = tuple(
         tuple(p.levels[lvl][0] for p in next_pyrs) for lvl in range(levels)
     )
@@ -475,7 +497,7 @@ def _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels):
         eps2=float(eps * eps),
         min_eig_thr=float(opts.min_eigen_threshold),
         levels=levels,
-        T=len(next_pyrs),
+        T=T,
     )
 
 

@@ -595,8 +595,11 @@ def lk_all_levels_pallas(
             img_p, dx_p, dy_p, prev_pts,
             win=win, H=H, W=W, min_eig_thr=min_eig_thr, interpret=interpret,
         )
+        imgs = next_images[lvl]
+        if not isinstance(imgs, jax.Array):
+            imgs = jnp.stack(imgs)
         cur, st, er = lk_iterate_level_multi(
-            jnp.stack(next_images[lvl]), ip, dxi, dyi, a11, a12, a22,
+            imgs, ip, dxi, dyi, a11, a12, a22,
             invd, ok, cur,
             win=win, H=H, W=W, max_iters=max_iters, eps2=eps2,
             level_is_zero=(lvl == 0), interpret=interpret,

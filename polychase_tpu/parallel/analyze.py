@@ -79,3 +79,43 @@ def shard_targets(mesh: Mesh, stacked) -> tuple:
     """device_put per-level stacked target images with the target sharding."""
     sh = NamedSharding(mesh, PSpec(TARGET_AXIS))
     return tuple(jax.device_put(s, sh) for s in stacked)
+
+
+def sharded_lk_multi_pallas(
+    mesh: Mesh,
+    prev_levels,            # per level: (img_pad, dx_pad, dy_pad)
+    next_images_stacked,    # per level: (T, Hp, Wp) — sharded on T
+    pts,
+    *,
+    dims,
+    win: int,
+    max_iters: int,
+    eps2: float,
+    min_eig_thr: float,
+    interpret: bool = False,
+):
+    """Target-sharded Analyze over the Pallas kernel path.
+
+    Each device runs the full coarse-to-fine Pallas program on its local
+    shard of the stacked target images (kernels/lk_pallas.py); the prep
+    kernel runs replicated per device.  ``T`` must divide the mesh size.
+    """
+    from ..kernels.lk_pallas import lk_all_levels_pallas
+
+    target = PSpec(TARGET_AXIS)
+
+    def body(next_images_local):
+        return lk_all_levels_pallas(
+            prev_levels, next_images_local, pts,
+            dims=dims, win=win, max_iters=max_iters, eps2=eps2,
+            min_eig_thr=min_eig_thr, interpret=interpret,
+        )
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(tuple(target for _ in next_images_stacked),),
+        out_specs=(target, target, target),
+        check_vma=False,
+    )
+    return fn(next_images_stacked)

@@ -65,3 +65,56 @@ def test_sharded_lk_multi_matches_single(rng):
     both = st_r
     np.testing.assert_allclose(nxt_s[both], nxt_r[both], atol=1e-5)
     np.testing.assert_allclose(err_s[both], err_r[both], atol=1e-4)
+
+
+def test_sharded_pallas_lk_matches_single(rng):
+    """The Pallas kernel path under shard_map (interpret mode) matches the
+    unsharded Pallas program per target."""
+    from polychase_tpu.kernels import lk_pallas as lkp
+    from polychase_tpu.parallel.analyze import sharded_lk_multi_pallas
+
+    frames = _clip(rng, n=9)
+    opts = lk.LKOptions()
+    levels = 2
+    pyrs = [
+        lk._prepare_levels_pallas(
+            lk.build_pyramid(jnp.asarray(f, jnp.float32), levels),
+            levels=levels,
+        )
+        for f in frames
+    ]
+    h, w = frames[0].shape
+    dims = ((h, w), ((h + 1) // 2, (w + 1) // 2))
+    pts = rng.uniform((12, 12), (w - 12, h - 12), (128, 2)).astype(
+        np.float32
+    )
+    prev = pyrs[4]
+    target_ids = [0, 1, 2, 3, 5, 6, 7, 8]
+
+    args = dict(
+        dims=dims, win=opts.window_size, max_iters=10,
+        eps2=float(opts.term_epsilon**2),
+        min_eig_thr=float(opts.min_eigen_threshold), interpret=True,
+    )
+    ref = lkp.lk_all_levels_pallas(
+        tuple(prev[:levels]),
+        tuple(
+            tuple(pyrs[t][lvl][0] for t in target_ids)
+            for lvl in range(levels)
+        ),
+        jnp.asarray(pts), **args,
+    )
+
+    mesh = make_target_mesh()
+    stacked = tuple(
+        jnp.stack([pyrs[t][lvl][0] for t in target_ids])
+        for lvl in range(levels)
+    )
+    sharded = sharded_lk_multi_pallas(
+        mesh, tuple(prev[:levels]), shard_targets(mesh, stacked),
+        jnp.asarray(pts), **args,
+    )
+    nxt_r, st_r, err_r = jax.device_get(ref)
+    nxt_s, st_s, err_s = jax.device_get(sharded)
+    assert np.array_equal(st_r, st_s)
+    np.testing.assert_allclose(nxt_s[st_r], nxt_r[st_r], atol=1e-5)
