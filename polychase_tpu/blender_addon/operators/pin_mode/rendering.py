@@ -285,17 +285,21 @@ class PinModeRenderer:
         self._pins_batch.draw(shader)
 
         # Selected pin redrawn on top in its own color (reference
-        # rendering.py: per-pin default/selected colors).
+        # rendering.py: per-pin default/selected colors).  The batch is
+        # cached: this runs on every viewport redraw.
         sel = int(getattr(tracker_props, "selected_pin", -1))
         pts = getattr(self, "_pin_points", None)
         if pts is not None and 0 <= sel < len(pts):
-            batch = batch_for_shader(
-                shader, "POINTS", {"position": [tuple(pts[sel])]}
-            )
+            key = (sel, id(pts))
+            if getattr(self, "_sel_key", None) != key:
+                self._sel_key = key
+                self._sel_batch = batch_for_shader(
+                    shader, "POINTS", {"position": [tuple(pts[sel])]}
+                )
             shader.uniform_float(
                 "color", tuple(tracker_props.selected_pin_color)
             )
-            batch.draw(shader)
+            self._sel_batch.draw(shader)
 
     def draw_selected_pin(self, tracker_props, point) -> None:
         shader = _pin_shader()

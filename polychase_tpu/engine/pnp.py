@@ -149,10 +149,22 @@ def solve_arrays(
             J = J.at[:, :, 6:].multiply(int_gate)
         return res, J, valid, weights
 
+    def step(cam, dp):
+        new = _step(cam, dp, bounds, opt_f, opt_pp)
+        if opt_f or opt_pp:
+            # With <=3 points the reference disables intrinsics entirely;
+            # _step's clamping must not silently rewrite fx/fy/cx/cy.
+            intr = jax.tree.map(
+                lambda a, b: jnp.where(int_gate > 0.0, a, b),
+                new.intrinsics, cam.intrinsics,
+            )
+            new = C.CameraState(intr, new.pose)
+        return new
+
     problem = LMProblem(
         residuals=residuals,
         residuals_jac=residuals_jac,
-        step=lambda cam, dp: _step(cam, dp, bounds, opt_f, opt_pp),
+        step=step,
         num_params=9,
         normalize=False,
         invalid_is_inf=False,
@@ -218,6 +230,36 @@ def bucket_size(n: int) -> int:
     return int(np.ceil(n / 8192) * 8192)
 
 
+def pack_camera_params(cam_host, max_inlier_error: float) -> np.ndarray:
+    """16-float camera/params vector shared by every one-dispatch solver:
+    [q(4) t(3) fx fy cx cy aspect w h sign max_inlier_error]."""
+    ci = cam_host.intrinsics
+    return np.array(
+        [
+            *np.asarray(cam_host.pose.q, np.float32).reshape(4),
+            *np.asarray(cam_host.pose.t, np.float32).reshape(3),
+            float(ci.fx), float(ci.fy), float(ci.cx), float(ci.cy),
+            float(ci.aspect_ratio), float(ci.width), float(ci.height),
+            float(ci.sign), float(max_inlier_error),
+        ],
+        np.float32,
+    )
+
+
+def normalize_bundle_opts(b: BundleOptions) -> BundleOptions:
+    """Coerce fields to hashable python scalars (static jit arg)."""
+    return BundleOptions(
+        max_iterations=int(b.max_iterations),
+        loss_type=int(b.loss_type),
+        loss_scale=float(b.loss_scale),
+        gradient_tol=float(b.gradient_tol),
+        step_tol=float(b.step_tol),
+        initial_lambda=float(b.initial_lambda),
+        min_lambda=float(b.min_lambda),
+        max_lambda=float(b.max_lambda),
+    )
+
+
 def solve_pnp(
     object_points,
     image_points,
@@ -260,28 +302,8 @@ def solve_pnp(
     # scalars from a previous solve), one packed upload, one download.
     c = jax.device_get(cam0)
     ci = c.intrinsics
-    params = np.array(
-        [
-            *np.asarray(c.pose.q, np.float32).reshape(4),
-            *np.asarray(c.pose.t, np.float32).reshape(3),
-            float(ci.fx), float(ci.fy), float(ci.cx), float(ci.cy),
-            float(ci.aspect_ratio), float(ci.width), float(ci.height),
-            float(ci.sign), float(opts.max_inlier_error),
-        ],
-        np.float32,
-    )
-
-    b = opts.bundle_opts
-    static_opts = BundleOptions(
-        max_iterations=int(b.max_iterations),
-        loss_type=int(b.loss_type),
-        loss_scale=float(b.loss_scale),
-        gradient_tol=float(b.gradient_tol),
-        step_tol=float(b.step_tol),
-        initial_lambda=float(b.initial_lambda),
-        min_lambda=float(b.min_lambda),
-        max_lambda=float(b.max_lambda),
-    )
+    params = pack_camera_params(c, opts.max_inlier_error)
+    static_opts = normalize_bundle_opts(opts.bundle_opts)
     out = np.asarray(
         _solve_padded(
             packed, params, opt_f=opt_f, opt_pp=opt_pp, opts=static_opts

@@ -147,38 +147,6 @@ def pack_frame_rays(
     return origins_arr, dirs_arr, tgt_arr, mask
 
 
-def gather_correspondences(
-    database: Database,
-    camera_traj: CameraTrajectory,
-    model_matrix: np.ndarray,
-    frame_id: int,
-    mesh: Mesh,
-):
-    """Collect 3D world ↔ 2D pixel matches for ``frame_id``.
-
-    For every already-solved source frame with flow into ``frame_id``,
-    ray-cast the source keypoints through the source camera onto the mesh
-    (mask-aware) and pair the world-space hits with the flowed target
-    pixels (cpp/tracker.cc:36-97).  Returns (X (N,3), x (N,2)).
-    """
-    model_matrix = np.asarray(model_matrix, np.float32)
-    packed = pack_frame_rays(database, camera_traj, model_matrix, frame_id)
-    if packed is None:
-        return np.empty((0, 3), np.float32), np.empty((0, 2), np.float32)
-    origins_arr, dirs_arr, tgt_arr, mask = packed
-
-    hits = raycast_grouped(
-        mesh, jnp.asarray(origins_arr), jnp.asarray(dirs_arr), True
-    )
-    valid_all, pos_all = jax.device_get((hits.valid, hits.pos))
-    valid = valid_all & mask
-    if not valid.any():
-        return np.empty((0, 3), np.float32), np.empty((0, 2), np.float32)
-    pos_obj = pos_all[valid]
-    pos_world = pos_obj @ model_matrix[:3, :3].T + model_matrix[:3, 3]
-    return pos_world.astype(np.float32), tgt_arr[valid].astype(np.float32)
-
-
 _CAST_SOLVE_CACHE = {}
 
 
@@ -250,31 +218,12 @@ def solve_frame(
     if cam0 is None:
         raise TrackingError(f"no warm-start pose near frame {frame_id}")
 
+    from .pnp import normalize_bundle_opts, pack_camera_params
+
     c = jax.device_get(cam0)
     ci = c.intrinsics
-    params = np.array(
-        [
-            *np.asarray(c.pose.q, np.float32).reshape(4),
-            *np.asarray(c.pose.t, np.float32).reshape(3),
-            float(ci.fx), float(ci.fy), float(ci.cx), float(ci.cy),
-            float(ci.aspect_ratio), float(ci.width), float(ci.height),
-            float(ci.sign), MAX_INLIER_ERROR,
-        ],
-        np.float32,
-    )
-    b = bundle_opts
-    opts_key = tuple(
-        BundleOptions(
-            max_iterations=int(b.max_iterations),
-            loss_type=int(b.loss_type),
-            loss_scale=float(b.loss_scale),
-            gradient_tol=float(b.gradient_tol),
-            step_tol=float(b.step_tol),
-            initial_lambda=float(b.initial_lambda),
-            min_lambda=float(b.min_lambda),
-            max_lambda=float(b.max_lambda),
-        )
-    )
+    params = pack_camera_params(c, MAX_INLIER_ERROR)
+    opts_key = tuple(normalize_bundle_opts(bundle_opts))
     fused = _cast_and_solve_fn(
         bool(optimize_focal_length), bool(optimize_principal_point),
         opts_key,

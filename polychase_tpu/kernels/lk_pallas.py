@@ -83,15 +83,6 @@ def pad_level_dims(h: int, w: int) -> Tuple[int, int]:
     return hp, wp
 
 
-def _lane_iota():
-    return jax.lax.broadcasted_iota(jnp.int32, (1, GROUP), 1)
-
-
-def _lane_scalar(vec, b):
-    """Extract lane ``b`` of an int32 (1, GROUP) vector as a scalar."""
-    return jnp.sum(jnp.where(_lane_iota() == b, vec, 0))
-
-
 def _to_smem(rows, vtmp, smem, sem):
     """Stage per-feature scalar vectors in SMEM via one DMA: per-feature
     extraction loops read GROUP x len(rows) scalars, and a cross-lane

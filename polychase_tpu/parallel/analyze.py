@@ -81,7 +81,7 @@ def shard_targets(mesh: Mesh, stacked) -> tuple:
     return tuple(jax.device_put(s, sh) for s in stacked)
 
 
-def sharded_lk_multi_pallas(
+def _sharded_lk_multi_pallas(
     mesh: Mesh,
     prev_levels,            # per level: (img_pad, dx_pad, dy_pad)
     next_images_stacked,    # per level: (T, Hp, Wp) — sharded on T
@@ -119,3 +119,23 @@ def sharded_lk_multi_pallas(
         check_vma=False,
     )
     return fn(next_images_stacked)
+
+
+_sharded_lk_multi_pallas_jit = partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "dims", "win", "max_iters", "eps2", "min_eig_thr",
+        "interpret",
+    ),
+)(_sharded_lk_multi_pallas)
+
+
+def sharded_lk_multi_pallas(mesh, prev_levels, next_images_stacked, pts,
+                            **kw):
+    """Jitted on real backends; interpret mode (CPU tests) stays eager —
+    jit-of-shard_map-of-interpreted-pallas miscomputes."""
+    fn = (
+        _sharded_lk_multi_pallas
+        if kw.get("interpret") else _sharded_lk_multi_pallas_jit
+    )
+    return fn(mesh, prev_levels, next_images_stacked, pts, **kw)

@@ -12,9 +12,10 @@ def test_addon_zip_importable(tmp_path):
         check=True, capture_output=True,
     )
     names = zipfile.ZipFile(out).namelist()
-    assert "polychase/__init__.py" in names
-    assert "polychase/polychase_tpu/api.py" in names
-    assert "polychase/polychase_tpu/blender_addon/addon.py" in names
+    assert "__init__.py" in names
+    assert "blender_manifest.toml" in names   # extension spec: at the root
+    assert "polychase_tpu/api.py" in names
+    assert "polychase_tpu/blender_addon/addon.py" in names
     assert any(n.endswith("native/bvh.cc") for n in names)
 
     extract = tmp_path / "x"
@@ -32,9 +33,13 @@ for name in mods:
     m.types.Panel = type("Pl", (), {{}})
     m.types.UIList = type("UL", (), {{}})
     sys.modules[name] = m
-sys.path.insert(0, {str(extract)!r})
+extract_dir = {str(extract)!r}
+import os, importlib.util
+spec = importlib.util.spec_from_file_location(
+    "polychase", os.path.join(extract_dir, "__init__.py"))
 import jax; jax.config.update("jax_platforms", "cpu")
-import polychase
+polychase = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(polychase)
 assert polychase.bl_info["name"]
 assert callable(polychase.register)
 print("OK")
