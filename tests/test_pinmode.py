@@ -154,3 +154,41 @@ def test_pin_idx_out_of_range(scene):
             np.zeros((2, 3), np.float32), scene, scene,
             PinUpdate(5, np.zeros(2, np.float32)), TRANSFORM_MODEL,
         )
+
+
+def test_intrinsics_gate_with_three_points():
+    """<=3 valid points must leave intrinsics untouched even with
+    optimization flags on (cpp/pnp/pnp_problem.h:34-35) — the gate is
+    dynamic on the fused tracker path."""
+    import jax.numpy as jnp
+
+    from polychase_tpu.engine import camera as C, pose as P
+    from polychase_tpu.engine.levmarq import BundleOptions
+    from polychase_tpu.engine.pnp import (
+        normalize_bundle_opts, pack_camera_params, solve_arrays,
+    )
+
+    rng = np.random.default_rng(0)
+    intr = C.Intrinsics.create(
+        600.0, 600.0, 320.0, 240.0, 1.0, 640.0, 480.0, C.OPENCV
+    )
+    q = jnp.asarray([1.0, 0, 0, 0])
+    t = jnp.asarray([0.0, 0, 3.0])
+    cam = C.CameraState(intr, P.Pose(q, t))
+    X = rng.normal(0, 0.5, (8, 3)).astype(np.float32)
+    X[:, 2] = 0.0
+    proj = np.asarray(C.project(intr, P.pose_apply(P.Pose(q, t),
+                                                   jnp.asarray(X))))
+    x = proj + rng.normal(0, 0.5, proj.shape).astype(np.float32)
+    mask = np.zeros(8, bool)
+    mask[:3] = True
+    vec = np.asarray(
+        solve_arrays(
+            jnp.asarray(X), jnp.asarray(x),
+            jnp.asarray(mask.astype(np.float32)), jnp.asarray(mask),
+            jnp.asarray(pack_camera_params(cam, 12.0)),
+            opt_f=True, opt_pp=True,
+            opts=normalize_bundle_opts(BundleOptions()),
+        )
+    )
+    np.testing.assert_allclose(vec[7:11], [600.0, 600.0, 320.0, 240.0])
