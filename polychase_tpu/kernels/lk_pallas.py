@@ -99,8 +99,10 @@ def _to_smem(rows, vtmp, smem, sem):
 
 
 # Keep a whole padded level in VMEM only below this size; larger images
-# (4K frames) stay in HBM and patches arrive via per-feature DMA.
-IMG_VMEM_LIMIT = 12 * (1 << 20)
+# (1080p/4K frames) stay in HBM and patches arrive via per-feature DMA.
+# Pallas double-buffers the image block across grid steps (it changes
+# per stack/target index), so the budget is ~(16 MB - ~8 MB scratch)/2.
+IMG_VMEM_LIMIT = 3 * (1 << 20)
 
 
 def _block_fetcher(img_ref, img_in_hbm: bool, rows: int, lead):
@@ -236,7 +238,10 @@ def lk_prepare_level(
         out_shape=jax.ShapeDtypeStruct((3, INT, INT, n), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((GROUP, INT, INT), jnp.float32),
-            pltpu.VMEM((GROUP, BR, 256), jnp.float32),
+            pltpu.VMEM(
+                (GROUP, BR, 256) if img_in_hbm else (1, 8, 128),
+                jnp.float32,
+            ),
             pltpu.SemaphoreType.DMA((GROUP,)),
             pltpu.VMEM((4, GROUP), jnp.int32),
             pltpu.SMEM((4, GROUP), jnp.int32),
@@ -532,7 +537,10 @@ def lk_iterate_level_multi(
             pltpu.VMEM((PR, PC, GROUP), jnp.float32),
             pltpu.VMEM((1, GROUP), jnp.int32),
             pltpu.VMEM((1, GROUP), jnp.int32),
-            pltpu.VMEM((GROUP, PR, 256), jnp.float32),
+            pltpu.VMEM(
+                (GROUP, PR, 256) if img_in_hbm else (1, 8, 128),
+                jnp.float32,
+            ),
             pltpu.SemaphoreType.DMA((GROUP,)),
             pltpu.VMEM((3, GROUP), jnp.int32),
             pltpu.SMEM((3, GROUP), jnp.int32),
