@@ -9,6 +9,7 @@ This package re-implements every component TPU-first:
 - ``engine/``   pure-JAX math & solvers (pose, camera, raycast, GFTT, LK,
                 LM, PnP, bundle adjustment, pin solving)
 - ``kernels/``  Pallas TPU kernels for the hot paths
+- ``parallel/`` multi-chip sharding (BA edges, LK targets, raycast rays)
 - ``io/``       sqlite3 flow database (schema-compatible with the reference)
 - ``native/``   C++ BVH ray caster for latency-critical host paths
 - ``runtime/``  worker-thread facades matching the reference's async job layer

@@ -393,6 +393,15 @@ def gftt_dispatch(
         grid_cols=max(1, int(options.grid_cols)),
         is_8u=is_8u,
     )
+    # Start the device→host copies as soon as the compute finishes so the
+    # transfer overlaps later dispatches (a blocking device_get in
+    # gftt_finish would otherwise serialize ~30 ms of link time per frame
+    # on a remote chip).
+    for arr in (vals, idx, count):
+        try:
+            arr.copy_to_host_async()
+        except Exception:  # pragma: no cover - backend without support
+            break
     return GFTTDispatch(vals, idx, count, img.shape, options, (img, maskj))
 
 

@@ -50,6 +50,7 @@ class GridAccel(NamedTuple):
 
     cell_start: jax.Array  # (prod(res) + 1,) int32
     items: jax.Array  # (max(n_items, 1),) int32 triangle ids
+    item_data: jax.Array  # (max(n_items, 1), 12) f32 [p1, e1, e2, id, 0, 0]
     lo: jax.Array  # (3,) f32 grid origin
     h: jax.Array  # (3,) f32 cell size
     res: jax.Array  # (3,) int32 cells per axis
@@ -76,6 +77,7 @@ def build_grid_accel(
         return GridAccel(
             cell_start=jnp.zeros(2, jnp.int32),
             items=jnp.zeros(1, jnp.int32),
+            item_data=jnp.zeros((1, 12), jnp.float32),
             lo=jnp.zeros(3, jnp.float32),
             h=jnp.ones(3, jnp.float32),
             res=jnp.ones(3, jnp.int32),
@@ -130,9 +132,23 @@ def build_grid_accel(
     np.add.at(cell_start, flat_sorted + 1, 1)
     cell_start = np.cumsum(cell_start)
 
+    if n_items == 0:
+        items = np.zeros(1, np.int32)
+    # Pre-gathered per-item triangle data so the traversal loop does ONE
+    # wide gather per candidate instead of four narrow ones (TPU gathers
+    # are row-granular; width is nearly free, count is not).
+    pf = p.astype(np.float32)
+    item_data = np.zeros((items.shape[0], 12), np.float32)
+    ids = items if n_items else np.zeros(1, np.int64)
+    item_data[:, 0:3] = pf[ids, 0]
+    item_data[:, 3:6] = pf[ids, 1] - pf[ids, 0]
+    item_data[:, 6:9] = pf[ids, 2] - pf[ids, 0]
+    item_data[:, 9] = items.view(np.float32)  # bit-stored triangle id
+
     return GridAccel(
         cell_start=jnp.asarray(cell_start.astype(np.int32)),
-        items=jnp.asarray(items if n_items else np.zeros(1, np.int32)),
+        items=jnp.asarray(items),
+        item_data=jnp.asarray(item_data),
         lo=jnp.asarray(lo.astype(np.float32)),
         h=jnp.asarray(h.astype(np.float32)),
         res=jnp.asarray(res.astype(np.int32)),
@@ -160,14 +176,12 @@ def _slab_entry(lo, hi, origins, dirs):
     return t0, t1
 
 
-def _moller_block(o, d, p1, p2, p3):
+def _moller_block(o, d, p1, e1, e2):
     """Möller–Trumbore on (N, B, 3) candidate blocks; o/d are (N, 1, 3).
 
-    Same formulation and epsilon as engine/raycast.py so grid results
-    bit-match the brute-force sweep."""
+    Takes precomputed edges (p2-p1, p3-p1); same formulation and epsilon
+    as engine/raycast.py so grid results bit-match the brute sweep."""
     eps = 1e-10
-    e1 = p2 - p1
-    e2 = p3 - p1
     rce2 = jnp.cross(d, e2)
     det = jnp.sum(e1 * rce2, axis=-1)
     ok = jnp.abs(det) > eps
@@ -274,9 +288,12 @@ def grid_raycast(
         # --- candidate phase: test a block of the current cell's list ---
         idx = ptr[:, None] + barange[None, :]  # (N, B)
         cval = do_cand[:, None] & (idx < end[:, None])
-        ids = accel.items[jnp.clip(idx, 0, ni - 1)]  # (N, B)
+        blob = accel.item_data[jnp.clip(idx, 0, ni - 1)]  # (N, B, 12)
+        ids = jax.lax.bitcast_convert_type(blob[..., 9], jnp.int32)
         ids = jnp.where(cval, ids, 0)
-        t, u, v, hit = _moller_block(o_b, d_b, p1[ids], p2[ids], p3[ids])
+        t, u, v, hit = _moller_block(
+            o_b, d_b, blob[..., 0:3], blob[..., 3:6], blob[..., 6:9]
+        )
         hit = hit & cval
         t = jnp.where(hit, t, _BIG)
         j = jnp.argmin(t, axis=-1)

@@ -318,24 +318,40 @@ def _all_rays(params: TrajParams, data: RefinerData, model_inv):
 
 _all_rays_jit = jax.jit(_all_rays)
 
-# Measured on a v5e chip, 100k-triangle mesh, 64x512 rays: device grouped
-# Moller-Trumbore = 1.30 s, brute = 2.0 s, host binned-SAH BVH = 38 ms
-# (+~70 ms tunnel transfers).  The device path wins below ~8k triangles
-# where it fuses into the surrounding program with zero transfers.
-BVH_TRIANGLE_THRESHOLD = 8192
+# Measured on a v5e chip, 64x512 rays (benchmarks/bench_raycast_grid.py):
+#   T=30k:  brute 115 ms | grid-DDA 352 ms | host BVH 62 ms (+~110 ms
+#           tunnel transfers + a second dispatch)
+#   T=100k: brute 266 ms | grid-DDA 755 ms | host BVH 126 ms (+transfers)
+#   T=400k: brute 1.00 s | grid-DDA 4.5 s  | host BVH 333 ms (+transfers)
+# The fused single-dispatch brute sweep wins below ~130k triangles once
+# the host path's transfers are charged; the uniform-grid DDA
+# (engine/gridcast.py) is exact but gather/lockstep-bound and never wins
+# on this hardware — it stays opt-in via POLYCHASE_GRID_RAYCAST=1.
+BVH_TRIANGLE_THRESHOLD = 131072
 
 
 def _make_prim_refresher(data: RefinerData, mesh: Mesh, model, model_inv,
-                         tri_corners, loss_scale, loss_type: int):
-    """Choose the prim-cache refresh path by mesh size.
+                         tri_corners, loss_scale, loss_type: int,
+                         grid_accel=None, device_mesh=None):
+    """Choose the prim-cache refresh path by measured crossover.
 
-    Small meshes: one fused device program (raycast sweep + cost).  Large
-    meshes: rays are pulled to the host and cast through the native C++
-    BVH (polychase_tpu/native), then the cost is a second dispatch —
-    the reference's Embree role (cpp/ray_casting.cc:21-121).
+    Default is the fused single-dispatch device sweep (raycast + cost in
+    one program, zero transfers); above BVH_TRIANGLE_THRESHOLD the rays
+    are pulled to the host and cast through the native C++ BVH — the
+    reference's Embree role (cpp/ray_casting.cc:21-121).  Set
+    ``POLYCHASE_GRID_RAYCAST=1`` (or pass ``grid_accel``) to route the
+    device sweep through the exact uniform-grid DDA traversal instead of
+    the brute sweep — measured slower on TPU (see the table above), kept
+    as the all-on-device option for meshes past the brute path's reach.
     """
+    import os as _os
+
     use_bvh = False
-    if mesh.num_triangles >= BVH_TRIANGLE_THRESHOLD:
+    if (
+        mesh.num_triangles >= BVH_TRIANGLE_THRESHOLD
+        and grid_accel is None
+        and _os.environ.get("POLYCHASE_GRID_RAYCAST") != "1"
+    ):
         try:
             from .. import native
 
@@ -344,10 +360,47 @@ def _make_prim_refresher(data: RefinerData, mesh: Mesh, model, model_inv,
             use_bvh = False
 
     if not use_bvh:
+        if grid_accel is None and (
+            _os.environ.get("POLYCHASE_GRID_RAYCAST") == "1"
+        ):
+            from .gridcast import build_grid_accel
+
+            grid_accel = build_grid_accel(mesh.vertices, mesh.triangles)
+
+        if device_mesh is not None and grid_accel is None:
+            # Multi-chip: shard the F·K-ray sweep over the mesh — the
+            # raycast is the refresh's dominant cost and embarrassingly
+            # parallel over rays (SURVEY §2.4).
+            from ..parallel.raycast import sharded_raycast_flat
+
+            F, K = data.kps.shape[:2]
+
+            def refresh(params):
+                origin_o, dir_o = _all_rays_jit(params, data, model_inv)
+                o_flat = jnp.broadcast_to(
+                    origin_o[:, None, :], (F, K, 3)
+                ).reshape(-1, 3)
+                hits = sharded_raycast_flat(
+                    device_mesh, mesh, o_flat, dir_o.reshape(-1, 3),
+                    check_mask=True,
+                )
+                prims = jnp.where(
+                    hits.valid.reshape(F, K) & data.kp_valid,
+                    hits.prim_id.reshape(F, K).astype(jnp.int32),
+                    _INVALID,
+                )
+                cost = total_cost(
+                    params, data, prims, tri_corners, model, model_inv,
+                    loss_scale, loss_type=loss_type,
+                )
+                return prims, cost
+
+            return refresh
+
         def refresh(params):
             return refresh_prims_and_cost(
                 params, data, mesh, model, model_inv, tri_corners,
-                loss_scale, loss_type=loss_type,
+                loss_scale, loss_type=loss_type, grid_accel=grid_accel,
             )
 
         return refresh
@@ -388,19 +441,28 @@ def _make_prim_refresher(data: RefinerData, mesh: Mesh, model, model_inv,
     return refresh
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=())
 def refresh_prims(
-    params: TrajParams, data: RefinerData, mesh: Mesh, model_inv
+    params: TrajParams, data: RefinerData, mesh: Mesh, model_inv,
+    grid_accel=None,
 ) -> jax.Array:
     """Batched ray-cast of every (frame, keypoint) ray → prim ids (F, K).
 
     The TPU equivalent of the reference's lazily-filled intersection
-    cache (cpp/refiner.cc:320-349): one masked brute-force sweep instead
-    of per-miss Embree queries.
+    cache (cpp/refiner.cc:320-349): one masked sweep instead of per-miss
+    Embree queries — brute-force below BVH_TRIANGLE_THRESHOLD, the
+    uniform-grid DDA traversal when ``grid_accel`` is given.
     """
     F, K = data.kps.shape[:2]
     origin_o, dir_o = _all_rays(params, data, model_inv)
-    hits = raycast_grouped(mesh, origin_o, dir_o, check_mask=True)
+    if grid_accel is not None:
+        from .gridcast import grid_raycast_grouped
+
+        hits = grid_raycast_grouped(
+            mesh, grid_accel, origin_o, dir_o, check_mask=True
+        )
+    else:
+        hits = raycast_grouped(mesh, origin_o, dir_o, check_mask=True)
     prim = jnp.where(
         hits.valid & data.kp_valid,
         hits.prim_id.astype(jnp.int32),
@@ -536,12 +598,12 @@ def _edge_eval(
 @partial(jax.jit, static_argnames=("loss_type",))
 def refresh_prims_and_cost(
     params, data: RefinerData, mesh: Mesh, model, model_inv,
-    tri_corners, loss_scale, *, loss_type: int,
+    tri_corners, loss_scale, *, loss_type: int, grid_accel=None,
 ):
     """Fused accepted-step update: one dispatch for the prim-cache sweep
     and the post-refresh cost (the host loop otherwise pays two device
     round-trips per accepted LM step)."""
-    prims = refresh_prims(params, data, mesh, model_inv)
+    prims = refresh_prims(params, data, mesh, model_inv, grid_accel)
     cost = total_cost(
         params, data, prims, tri_corners, model, model_inv, loss_scale,
         loss_type=loss_type,
@@ -739,6 +801,7 @@ def refine_trajectory(
     callback: Optional[RefineTrajectoryCallback] = None,
     bundle_opts: BundleOptions = BundleOptions(),
     device_mesh=None,
+    grid_accel=None,
 ) -> CameraTrajectory:
     """Refine a fully-filled trajectory segment in place; returns the
     refined trajectory (cpp/refiner.cc:649-725).
@@ -812,7 +875,8 @@ def refine_trajectory(
     )
     params = traj_to_params(traj)
     refresh = _make_prim_refresher(
-        data, mesh, model, model_inv, tri_corners, loss_scale, loss_type
+        data, mesh, model, model_inv, tri_corners, loss_scale, loss_type,
+        grid_accel=grid_accel, device_mesh=mesh_obj,
     )
     prims, cost0 = refresh(params)
 
