@@ -268,6 +268,305 @@ def solve_frame(
     return result
 
 
+# --------------------------------------------------------------------------
+# Device-resident tracking chain
+#
+# The reference's chain is inherently sequential (each frame warm-starts
+# from its neighbor, cpp/tracker.cc:133-192), which on a remote
+# accelerator costs one host↔device round trip per frame.  The TPU-native
+# answer: the chain itself becomes a device program — a ``lax.scan`` over
+# a chunk of frames carries the trajectory (poses + intrinsics) on
+# device, and each scan step builds the source-camera rays from the
+# *carried* poses, ray-casts, and runs the full PnP LM solve.  Only the
+# per-frame result vectors come back to the host, once per chunk.
+# --------------------------------------------------------------------------
+
+SCAN_CHUNK = 8
+
+_SCAN_TRACK_CACHE = {}
+
+
+def _scan_track_fn(opt_f: bool, opt_pp: bool, opts_key):
+    from .pnp import solve_arrays
+    from functools import partial as _partial
+
+    key = (opt_f, opt_pp, opts_key)
+    fn = _SCAN_TRACK_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    opts = BundleOptions(*opts_key)
+
+    @_partial(jax.jit, static_argnames=())
+    def run(mesh, model, model_inv, q0, t0, in0, const5, xs):
+        """Scan a chunk of frames.  Carry: (F,4) quats, (F,3) translations,
+        (F,4) [fx,fy,cx,cy].  ``const5`` = [aspect, width, height, sign,
+        max_inlier_error] shared by every frame of the clip."""
+
+        def step(carry, x):
+            q_all, t_all, in_all = carry
+            src_idx, kp, tgt, val, tgt_i, warm_i = x
+
+            qs = q_all[src_idx]  # (Gp, 4)
+            ts = t_all[src_idx]
+            ins = in_all[src_idx]  # (Gp, 4)
+            intr_b = C.Intrinsics(
+                fx=ins[:, 0, None], fy=ins[:, 1, None],
+                cx=ins[:, 2, None], cy=ins[:, 3, None],
+                aspect_ratio=const5[0], width=const5[1],
+                height=const5[2], sign=const5[3],
+            )
+            dir_cam = C.unproject(intr_b, kp)  # (Gp, K, 3)
+            dir_w = P.quat_rotate(P.quat_conj(qs)[:, None, :], dir_cam)
+            origin_w = P.pose_center(P.Pose(qs, ts))  # (Gp, 3)
+            origin_o = origin_w @ model_inv[:3, :3].T + model_inv[:3, 3]
+            dir_o = dir_w @ model_inv[:3, :3].T
+
+            hits = raycast_grouped(mesh, origin_o, dir_o, True)
+            m = (hits.valid & val).reshape(-1)
+            X = hits.pos.reshape(-1, 3) @ model[:3, :3].T + model[:3, 3]
+            weights = jnp.where(m, 1.0, 0.0)
+
+            params = jnp.concatenate(
+                [q_all[warm_i], t_all[warm_i], in_all[warm_i], const5]
+            )  # the 16-float solve_arrays layout
+            vec = solve_arrays(
+                X, tgt.reshape(-1, 2), weights, m, params,
+                opt_f=opt_f, opt_pp=opt_pp, opts=opts,
+            )
+            count = jnp.sum(m)
+            ok = count >= 3
+            q_new = jnp.where(ok, vec[0:4], q_all[tgt_i])
+            t_new = jnp.where(ok, vec[4:7], t_all[tgt_i])
+            in_new = jnp.where(ok, vec[7:11], in_all[tgt_i])
+            q_all = q_all.at[tgt_i].set(q_new)
+            t_all = t_all.at[tgt_i].set(t_new)
+            in_all = in_all.at[tgt_i].set(in_new)
+            return (q_all, t_all, in_all), (vec, count)
+
+        carry, (vecs, counts) = jax.lax.scan(step, (q0, t0, in0), xs)
+        return carry, vecs, counts
+
+    _SCAN_TRACK_CACHE[key] = run
+    return run
+
+
+def _frame_groups(database: Database, frame_id: int, available) :
+    """Host half of the gather for one frame: flows into ``frame_id``
+    from frames in ``available`` (cpp/tracker.cc:43-62), as
+    (src_frame_id, src_px, tgt_px) triples — no pose math, so it can run
+    before the sources are actually solved."""
+    groups = []
+    for flow_frame_id in database.find_optical_flows_to_image(frame_id):
+        if flow_frame_id == frame_id:
+            raise TrackingError("self-flow in database")
+        if flow_frame_id not in available:
+            continue
+        flow = database.read_image_pair_flow(flow_frame_id, frame_id)
+        if flow.src_kps_indices.size == 0:
+            continue
+        keypoints = database.read_keypoints(flow_frame_id)
+        groups.append(
+            (flow_frame_id, keypoints[flow.src_kps_indices], flow.tgt_kps)
+        )
+    return groups
+
+
+def _track_chunked_scan(
+    database: Database,
+    camera_traj: CameraTrajectory,
+    frames,
+    direction: int,
+    model_matrix: np.ndarray,
+    mesh: Mesh,
+    callback: Optional[TrackingCallback],
+    optimize_focal_length: bool,
+    optimize_principal_point: bool,
+    bundle_opts: BundleOptions,
+) -> None:
+    """Drive the device-resident chain over ``frames`` in chunks."""
+    from .levmarq import BundleStats as _BS
+    from .pnp import bucket_size, normalize_bundle_opts
+
+    first_abs = camera_traj.first_frame
+    F = camera_traj.count
+
+    # Deterministic availability: initially-filled frames plus every
+    # earlier frame of this run (they will be solved by the time the
+    # scan reaches their dependents).
+    available = {
+        fid
+        for fid in range(first_abs, first_abs + F)
+        if camera_traj.is_frame_filled(fid)
+    }
+
+    cam_ref = camera_traj.get(frames[0] - direction)
+    ci = jax.device_get(cam_ref.intrinsics)
+    const5 = np.array(
+        [
+            float(ci.aspect_ratio), float(ci.width), float(ci.height),
+            float(ci.sign), MAX_INLIER_ERROR,
+        ],
+        np.float32,
+    )
+
+    # Initial device carry from the host trajectory.
+    q0 = np.zeros((F, 4), np.float32)
+    q0[:, 0] = 1.0
+    t0 = np.zeros((F, 3), np.float32)
+    in0 = np.zeros((F, 4), np.float32)
+    in0[:] = [float(ci.fx), float(ci.fy), float(ci.cx), float(ci.cy)]
+    for fid in sorted(available):
+        c = jax.device_get(camera_traj.get(fid))
+        i = fid - first_abs
+        q0[i] = np.asarray(c.pose.q)
+        t0[i] = np.asarray(c.pose.t)
+        in0[i] = [
+            float(c.intrinsics.fx), float(c.intrinsics.fy),
+            float(c.intrinsics.cx), float(c.intrinsics.cy),
+        ]
+
+    opts_key = tuple(normalize_bundle_opts(bundle_opts))
+    run = _scan_track_fn(
+        bool(optimize_focal_length), bool(optimize_principal_point),
+        opts_key,
+    )
+
+    # Pack every chunk up front (host DB reads are cheap), then pipeline
+    # the chunk dispatches: chunk c+1 is dispatched before chunk c's
+    # results are pulled, keeping the device busy across the link.
+    chunk_frames = [
+        frames[i : i + SCAN_CHUNK] for i in range(0, len(frames), SCAN_CHUNK)
+    ]
+    all_per_frame = []
+    for chunk in chunk_frames:
+        per_frame = []
+        for frame_id in chunk:
+            groups = _frame_groups(database, frame_id, available)
+            # Warm-start preference order (cpp/tracker.cc:112-119).
+            for cand in (frame_id, frame_id - 1, frame_id + 1):
+                if cand in available:
+                    warm = cand
+                    break
+            else:
+                warm = frame_id - direction
+            per_frame.append((frame_id, warm, groups))
+            available.add(frame_id)
+        all_per_frame.append(per_frame)
+    # One compiled shape for the whole run: size the group/keypoint axes
+    # over every chunk (each distinct shape is a fresh remote compile).
+    G = max(
+        [len(gs) for pf in all_per_frame for _, _, gs in pf] + [1]
+    )
+    Gp = -(-max(8, G) // 8) * 8
+    K = bucket_size(
+        max(
+            [g[1].shape[0] for pf in all_per_frame
+             for _, _, gs in pf for g in gs] + [1]
+        )
+    )
+    packed_chunks = []
+    for chunk, per_frame in zip(chunk_frames, all_per_frame):
+        CH = len(chunk)
+        src_idx = np.zeros((SCAN_CHUNK, Gp), np.int32)
+        kp_px = np.zeros((SCAN_CHUNK, Gp, K, 2), np.float32)
+        tgt_px = np.zeros((SCAN_CHUNK, Gp, K, 2), np.float32)
+        val = np.zeros((SCAN_CHUNK, Gp, K), bool)
+        tgt_i = np.zeros((SCAN_CHUNK,), np.int32)
+        warm_i = np.zeros((SCAN_CHUNK,), np.int32)
+        for r, (frame_id, warm, groups) in enumerate(per_frame):
+            tgt_i[r] = frame_id - first_abs
+            warm_i[r] = warm - first_abs
+            for g, (src_f, src_px, tpx) in enumerate(groups):
+                n = src_px.shape[0]
+                src_idx[r, g] = src_f - first_abs
+                kp_px[r, g, :n] = src_px
+                tgt_px[r, g, :n] = tpx
+                val[r, g, :n] = True
+        for r in range(CH, SCAN_CHUNK):  # padding rows: masked no-ops
+            tgt_i[r] = tgt_i[CH - 1]
+            warm_i[r] = warm_i[CH - 1]
+        packed_chunks.append(
+            (chunk, (src_idx, kp_px, tgt_px, val, tgt_i, warm_i))
+        )
+
+    model = jnp.asarray(np.asarray(model_matrix, np.float32))
+    model_inv = jnp.asarray(
+        np.linalg.inv(np.asarray(model_matrix, np.float64)).astype(
+            np.float32
+        )
+    )
+    carry = (jnp.asarray(q0), jnp.asarray(t0), jnp.asarray(in0))
+    const5_j = jnp.asarray(const5)
+
+    pending = []  # (chunk_frames, vecs, counts) with async copies running
+
+    def flush_one() -> bool:
+        chunk, vecs_d, counts_d = pending.pop(0)
+        vecs, counts = jax.device_get((vecs_d, counts_d))
+        for r, frame_id in enumerate(chunk):
+            vec, count = vecs[r], int(counts[r])
+            if count < 3:
+                _log.info(
+                    "frame %d: only %d correspondences, cannot solve",
+                    frame_id, count,
+                )
+                raise TrackingError(
+                    f"Could not track to frame: {frame_id}. "
+                    "Not enough features."
+                )
+            intr_out = C.Intrinsics(
+                fx=np.float32(vec[7]), fy=np.float32(vec[8]),
+                cx=np.float32(vec[9]), cy=np.float32(vec[10]),
+                aspect_ratio=ci.aspect_ratio, width=ci.width,
+                height=ci.height, sign=ci.sign,
+            )
+            camera = C.CameraState(
+                intr_out, P.Pose(vec[0:4].copy(), vec[4:7].copy())
+            )
+            stats = _BS(
+                iterations=np.int32(vec[11]),
+                initial_cost=np.float32(vec[12]),
+                cost=np.float32(vec[13]), lambda_=np.float32(vec[14]),
+                invalid_steps=np.int32(vec[15]),
+                step_norm=np.float32(vec[16]),
+                grad_norm=np.float32(vec[17]),
+            )
+            if callback is not None:
+                ok = callback(
+                    FrameTrackingResult(
+                        frame=frame_id,
+                        pose=camera.pose,
+                        intrinsics=camera.intrinsics,
+                        bundle_stats=stats,
+                        inlier_ratio=float(vec[18]),
+                    )
+                )
+                if not ok:
+                    return False
+            camera_traj.set(frame_id, camera)
+        return True
+
+    with profile_region("tracker.scan_chain"):
+        for chunk, xs_np in packed_chunks:
+            xs = tuple(jnp.asarray(a) for a in xs_np)
+            carry, vecs, counts = run(
+                mesh, model, model_inv, *carry, const5_j, xs
+            )
+            for arr in (vecs, counts):
+                try:
+                    arr.copy_to_host_async()
+                except Exception:  # pragma: no cover
+                    pass
+            pending.append((chunk, vecs, counts))
+            while len(pending) > 1:
+                if not flush_one():
+                    return
+        while pending:
+            if not flush_one():
+                return
+
+
 def track_camera_trajectory(
     database: Database,
     camera_traj: CameraTrajectory,
@@ -283,8 +582,12 @@ def track_camera_trajectory(
     """Chain solves frame by frame (cpp/tracker.cc:133-192).
 
     The callback may return False to stop; solved poses are written into
-    ``camera_traj`` as they are produced.
+    ``camera_traj`` as they are produced.  Segments of 4+ frames run the
+    device-resident scan chain (one dispatch per SCAN_CHUNK frames);
+    shorter runs and ``POLYCHASE_SCAN_TRACK=0`` use the per-frame path.
     """
+    import os as _os
+
     first = min(frame_from, frame_to_inclusive)
     last = max(frame_from, frame_to_inclusive)
     direction = 1 if frame_from < frame_to_inclusive else -1
@@ -296,8 +599,22 @@ def track_camera_trajectory(
     if not camera_traj.is_frame_filled(frame_from):
         raise TrackingError("start frame has no pose")
 
-    frame_id = frame_from + direction
-    while frame_id != frame_to_inclusive + direction:
+    frames = list(
+        range(frame_from + direction, frame_to_inclusive + direction,
+              direction)
+    )
+    if (
+        len(frames) >= 4
+        and _os.environ.get("POLYCHASE_SCAN_TRACK", "1") != "0"
+    ):
+        _track_chunked_scan(
+            database, camera_traj, frames, direction, model_matrix, mesh,
+            callback, optimize_focal_length, optimize_principal_point,
+            bundle_opts,
+        )
+        return
+
+    for frame_id in frames:
         result = solve_frame(
             database, camera_traj, model_matrix, frame_id, mesh,
             optimize_focal_length, optimize_principal_point, bundle_opts,
@@ -321,7 +638,6 @@ def track_camera_trajectory(
                 return
 
         camera_traj.set(frame_id, result.camera)
-        frame_id += direction
 
 
 def track_sequence(

@@ -12,9 +12,11 @@ from polychase_tpu.engine.levmarq import BundleOptions, CAUCHY
 from polychase_tpu.engine.tracker import (
     FrameTrackingResult,
     TrackingError,
+    track_camera_trajectory,
     track_sequence,
 )
 from polychase_tpu.io.database import Database
+from polychase_tpu.engine.trajectory import CameraTrajectory
 
 from synthetic import (
     make_intrinsics,
@@ -193,3 +195,64 @@ def test_track_callback_cancel(tmp_path, rng):
         callback=lambda r: seen.append(r.frame) or len(seen) < 3,
     )
     assert seen == [1, 2, 3]
+
+
+def test_scan_chain_matches_per_frame(tmp_path, rng, monkeypatch):
+    """The device-resident scan chain must produce the same trajectory as
+    the per-frame dispatch path (same warm starts, same solves)."""
+    mesh = make_sphere_mesh()
+    intr = make_intrinsics()
+    poses = [orbit_pose(0.04 * t) for t in range(10)]
+    db_path = str(tmp_path / "flow.db")
+    build_flow_db(db_path, mesh, intr, poses, rng)
+
+    def run():
+        traj = CameraTrajectory(0, len(poses))
+        traj.set(0, C.CameraState(intr, poses[0]))
+        track_camera_trajectory(
+            Database(db_path), traj, 0, len(poses) - 1,
+            np.eye(4, dtype=np.float32), mesh,
+        )
+        return traj
+
+    monkeypatch.setenv("POLYCHASE_SCAN_TRACK", "0")
+    ref = run()
+    monkeypatch.setenv("POLYCHASE_SCAN_TRACK", "1")
+    got = run()
+    for i in range(1, len(poses)):
+        np.testing.assert_allclose(
+            np.asarray(got.get(i).pose.q), np.asarray(ref.get(i).pose.q),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.get(i).pose.t), np.asarray(ref.get(i).pose.t),
+            atol=1e-4,
+        )
+
+
+def test_scan_chain_callback_cancel(tmp_path, rng):
+    """Cancelling from the callback stops the scan path mid-run."""
+    mesh = make_sphere_mesh()
+    intr = make_intrinsics()
+    poses = [orbit_pose(0.04 * t) for t in range(10)]
+    db_path = str(tmp_path / "flow.db")
+    build_flow_db(db_path, mesh, intr, poses, rng)
+
+    traj = CameraTrajectory(0, len(poses))
+    traj.set(0, C.CameraState(intr, poses[0]))
+    seen = []
+
+    def cb(res):
+        seen.append(res.frame)
+        return res.frame < 4
+
+    track_camera_trajectory(
+        Database(db_path), traj, 0, len(poses) - 1,
+        np.eye(4, dtype=np.float32), mesh, callback=cb,
+    )
+    assert seen == [1, 2, 3, 4]
+    # The frame whose callback returned False is reported but not
+    # committed, matching the per-frame path's ordering.
+    assert traj.is_frame_filled(3)
+    assert not traj.is_frame_filled(4)
+    assert not traj.is_frame_filled(5)
