@@ -24,10 +24,13 @@ problem is arrays:
   segment end) and per-edge cost normalization (``kShouldNormalize``)
   match cpp/refiner.cc:250-257 and cpp/pnp/lev_marq.h:705-710.
 
-The LM outer loop runs on host, dispatching the few jitted device
-programs per iteration; this keeps the reference's per-iteration
-progress callback and cancellation semantics (cpp/refiner.cc:670-678)
-without host↔device ping-pong inside a ``while_loop``.
+The LM schedule has two equivalent drivers: a host loop (one dispatch +
+a 5-scalar transfer per iteration — used for the host-BVH and sharded
+paths) and a device-resident chunk program (``lm_chunk_device``, the
+default on a single device) that runs several complete LM iterations
+per dispatch and returns a stat matrix the host replays, preserving the
+reference's per-iteration progress callback and cancellation semantics
+(cpp/refiner.cc:670-678).
 """
 
 from __future__ import annotations
@@ -754,6 +757,170 @@ def apply_step(
 
 
 # ---------------------------------------------------------------------------
+# Device-resident LM schedule
+#
+# The host LM driver below costs one round trip per iteration (plus one
+# per accepted refresh) — ~50–100 ms each on a remote chip.  This chunk
+# program runs several full LM iterations per dispatch with the entire
+# Nielsen schedule (λ updates, accept/reject, invalid-step counting,
+# tolerance breaks, prim refresh on acceptance) in traced control flow;
+# params/prims/JᵀJ stay device-resident across chunks and only a small
+# per-iteration stat matrix returns to the host, which replays it to
+# drive callbacks/stats identically to the host driver.
+# ---------------------------------------------------------------------------
+
+# Per-iteration replay row:
+# [counted, emit, applied, was_rebuild, invalid, grad_norm, step_norm,
+#  cost_after, lam_after, invalid_inc, done, stepped]
+# ("stepped" = the iteration got past the invalid-solve check, so the
+# host driver would have recorded step_norm; inactive rows have
+# counted = -1.)
+_LM_ROW = 12
+
+
+@partial(
+    jax.jit,
+    static_argnames=("loss_type", "opt_f", "opt_pp", "ppc", "n_iters"),
+)
+def lm_chunk_device(
+    params, prims, JtJ, Jtr, scal,
+    data: RefinerData, mesh: Mesh, model, model_inv, tri_corners,
+    loss_scale, bounds: C.Bounds, tol4, grid_accel=None,
+    *, loss_type: int, opt_f: bool, opt_pp: bool, ppc: int, n_iters: int,
+):
+    """Run up to ``n_iters`` LM iterations on device.
+
+    ``scal`` = [cost, lam, v, rebuild, done, invalid_steps, iters_done,
+    budget]; ``tol4`` = [gradient_tol, step_tol, min_lambda, max_lambda].
+    Mirrors LevMarqSparseSolver::Solve (cpp/pnp/lev_marq.h:492-588) with
+    the refiner's accepted-step prim refresh (cpp/refiner.cc:320-349).
+    """
+
+    def body(i, st):
+        params, prims, JtJ, Jtr, scal, rows = st
+        cost, lam, v, rebuild, done = (
+            scal[0], scal[1], scal[2], scal[3], scal[4]
+        )
+        inval, iters_done, budget = scal[5], scal[6], scal[7]
+
+        def inactive(_):
+            row = (
+                jnp.zeros((_LM_ROW,), jnp.float32)
+                .at[0].set(-1.0)
+                .at[10].set(1.0)
+            )
+            return params, prims, JtJ, Jtr, scal, row
+
+        def active(_):
+            JtJ2, Jtr2 = jax.lax.cond(
+                rebuild > 0,
+                lambda: build_normal_equations(
+                    params, data, prims, tri_corners, model, model_inv,
+                    loss_scale, loss_type=loss_type, opt_f=opt_f,
+                    opt_pp=opt_pp, ppc=ppc,
+                ),
+                lambda: (JtJ, Jtr),
+            )
+            params_new, vec = try_lm_step(
+                JtJ2, Jtr2, params, data, prims, tri_corners, model,
+                model_inv, loss_scale, lam, bounds,
+                loss_type=loss_type, opt_f=opt_f, opt_pp=opt_pp, ppc=ppc,
+            )
+            grad_norm, ok, step_norm = vec[0], vec[1], vec[2]
+            cost_new, expected = vec[3], vec[4]
+
+            was_rebuild = rebuild > 0
+            grad_break = was_rebuild & (grad_norm < tol4[0])
+            invalid = (ok == 0.0) & ~grad_break
+            step_break = ~grad_break & ~invalid & (step_norm < tol4[1])
+            improved = (
+                ~grad_break & ~invalid & ~step_break & (cost_new < cost)
+            )
+            reject = ~grad_break & ~invalid & ~step_break & ~improved
+            bad = invalid | reject
+            lam_break = bad & (lam >= tol4[3])
+
+            rho = jnp.where(
+                expected != 0.0, (cost_new - cost) / expected, -1.0
+            )
+            factor = jnp.maximum(
+                1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3
+            )
+            lam_accept = jnp.where(
+                rho > 0.0, jnp.clip(lam * factor, tol4[2], tol4[3]), lam
+            )
+            lam_bad = jnp.minimum(tol4[3], lam * v)
+            bad_cont = bad & ~lam_break
+
+            prims2, cost2 = jax.lax.cond(
+                improved,
+                lambda p: refresh_prims_and_cost(
+                    p, data, mesh, model, model_inv, tri_corners,
+                    loss_scale, loss_type=loss_type, grid_accel=grid_accel,
+                ),
+                lambda p: (prims, cost),
+                params_new,
+            )
+
+            params_out = jax.tree.map(
+                lambda a, b: jnp.where(improved, a, b), params_new, params
+            )
+            cost_out = jnp.where(improved, cost2, cost)
+            lam_out = jnp.where(
+                improved, lam_accept, jnp.where(bad_cont, lam_bad, lam)
+            )
+            v_out = jnp.where(
+                improved, 2.0, jnp.where(bad_cont, v * 2.0, v)
+            )
+            rebuild_out = jnp.where(
+                improved, 1.0, jnp.where(bad_cont, 0.0, rebuild)
+            )
+            counted = improved | ((reject | invalid) & ~lam_break)
+            iters_out = iters_done + jnp.where(counted, 1.0, 0.0)
+            done_out = jnp.where(
+                grad_break | step_break | lam_break
+                | (iters_out >= budget),
+                1.0, 0.0,
+            )
+            inval_out = inval + jnp.where(bad, 1.0, 0.0)
+            emit = improved | (reject & ~lam_break)
+
+            row = jnp.stack(
+                [
+                    jnp.where(counted, 1.0, 0.0),
+                    jnp.where(emit, 1.0, 0.0),
+                    jnp.where(improved, 1.0, 0.0),
+                    jnp.where(was_rebuild, 1.0, 0.0),
+                    jnp.where(invalid, 1.0, 0.0),
+                    grad_norm, step_norm, cost_out, lam_out,
+                    jnp.where(bad, 1.0, 0.0),
+                    done_out,
+                    jnp.where(~grad_break & ~invalid, 1.0, 0.0),
+                ]
+            )
+            scal_out = jnp.stack(
+                [
+                    cost_out, lam_out, v_out, rebuild_out, done_out,
+                    inval_out, iters_out, budget,
+                ]
+            )
+            return params_out, prims2, JtJ2, Jtr2, scal_out, row
+
+        params, prims, JtJ, Jtr, scal, row = jax.lax.cond(
+            done > 0, inactive, active, None
+        )
+        rows = rows.at[i].set(row)
+        return params, prims, JtJ, Jtr, scal, rows
+
+    rows0 = jnp.zeros((n_iters, _LM_ROW), jnp.float32)
+    state = (params, prims, JtJ, Jtr, scal, rows0)
+    params, prims, JtJ, Jtr, scal, rows = jax.lax.fori_loop(
+        0, n_iters, body, state
+    )
+    return params, prims, JtJ, Jtr, scal, rows
+
+
+# ---------------------------------------------------------------------------
 # Host LM driver (mirrors LevMarqSparseSolver::Solve, lev_marq.h:492-588)
 # ---------------------------------------------------------------------------
 
@@ -874,9 +1041,32 @@ def refine_trajectory(
         int(data.src_frame.shape[0]), int(data.kps.shape[1]),
     )
     params = traj_to_params(traj)
+    import os as _os
+
+    ga = grid_accel
+    if ga is None and _os.environ.get("POLYCHASE_GRID_RAYCAST") == "1":
+        from .gridcast import build_grid_accel
+
+        ga = build_grid_accel(mesh.vertices, mesh.triangles)
+    wants_bvh = ga is None and mesh.num_triangles >= BVH_TRIANGLE_THRESHOLD
+    if wants_bvh:
+        try:
+            from .. import native
+
+            wants_bvh = native.available()
+        except Exception:  # pragma: no cover
+            wants_bvh = False
+    # The fully device-resident LM schedule needs the prim refresh on
+    # device too (fused brute sweep or grid); the host-BVH and sharded
+    # paths keep the per-iteration host driver.
+    use_device_lm = (
+        mesh_obj is None
+        and not wants_bvh
+        and _os.environ.get("POLYCHASE_DEVICE_LM", "1") != "0"
+    )
     refresh = _make_prim_refresher(
         data, mesh, model, model_inv, tri_corners, loss_scale, loss_type,
-        grid_accel=grid_accel, device_mesh=mesh_obj,
+        grid_accel=ga, device_mesh=mesh_obj,
     )
     prims, cost0 = refresh(params)
 
@@ -941,7 +1131,70 @@ def refine_trajectory(
                 ppc=ppc,
             )
 
-    while stats["iterations"] < bundle_opts.max_iterations:
+    if use_device_lm:
+        # Device-resident schedule: several LM iterations per dispatch,
+        # state (params/prims/JtJ) never leaves the device; the returned
+        # stat rows are replayed to drive stats/callbacks exactly like
+        # the host driver below.
+        tol4 = jnp.asarray(
+            [
+                float(bundle_opts.gradient_tol),
+                float(bundle_opts.step_tol),
+                float(bundle_opts.min_lambda),
+                float(bundle_opts.max_lambda),
+            ],
+            jnp.float32,
+        )
+        Pn = params.q.shape[0] * ppc
+        JtJ_d = jnp.zeros((Pn, Pn), jnp.float32)
+        Jtr_d = jnp.zeros((Pn,), jnp.float32)
+        scal = jnp.asarray(
+            [
+                cost, lam, 2.0, 1.0, 0.0, 0.0, 0.0,
+                float(bundle_opts.max_iterations),
+            ],
+            jnp.float32,
+        )
+        params_d, prims_d = params, prims
+        stop = False
+        while not stop:
+            with profile_region("refiner.lm_chunk"):
+                params_d, prims_d, JtJ_d, Jtr_d, scal, rows = (
+                    lm_chunk_device(
+                        params_d, prims_d, JtJ_d, Jtr_d, scal, data, mesh,
+                        model, model_inv, tri_corners, loss_scale, bounds,
+                        tol4, ga, loss_type=loss_type, opt_f=opt_f,
+                        opt_pp=opt_pp, ppc=ppc, n_iters=4,
+                    )
+                )
+            for row in np.asarray(jax.device_get(rows)):
+                (counted, emit_f, applied, was_rebuild, invalid, grad_n,
+                 step_n, cost_a, lam_a, inval_inc, done_f, stepped) = row
+                if counted < 0:  # inactive padding row
+                    stop = True
+                    break
+                if was_rebuild > 0:
+                    stats["grad_norm"] = float(grad_n)
+                if stepped > 0:
+                    stats["step_norm"] = float(step_n)
+                stats["invalid_steps"] += int(inval_inc)
+                if counted > 0:
+                    stats["iterations"] += 1
+                    stats["lambda_"] = float(lam_a)
+                if applied > 0:
+                    stats["cost"] = float(cost_a)
+                if emit_f > 0 and not emit():
+                    stop = True
+                    break
+                if done_f > 0:
+                    stop = True
+                    break
+            else:
+                stop = stats["iterations"] >= bundle_opts.max_iterations
+        params = params_d
+        lam = stats["lambda_"]
+
+    while (not use_device_lm) and stats["iterations"] < bundle_opts.max_iterations:
         # One dispatch + one 5-scalar transfer per iteration: the rebuild
         # (when needed), solve, step, candidate cost and gain-ratio terms
         # all come back together.

@@ -206,3 +206,48 @@ def test_refine_recovers_principal_point(tmp_path, rng):
         s = traj.get(i)
         assert abs(float(s.intrinsics.cx) - float(intr.cx)) < 2.0, i
         assert abs(float(s.intrinsics.cy) - float(intr.cy)) < 2.0, i
+
+
+def test_device_lm_matches_host_driver(tmp_path, rng, monkeypatch):
+    """The chunked on-device LM schedule must reproduce the host driver:
+    same trajectory, same iteration/cost/lambda bookkeeping."""
+    mesh = make_sphere_mesh()
+    intr = make_intrinsics()
+    poses = [orbit_pose(0.05 * t) for t in range(7)]
+    db_path = str(tmp_path / "flow.db")
+    build_flow_db(db_path, mesh, intr, poses, rng)
+
+    def run():
+        traj = perturbed_traj(poses, intr, np.random.default_rng(7))
+        updates = []
+        # device_mesh=False: the sharded path would mask the device-LM
+        # schedule on the 8-device CPU test mesh.
+        refine_trajectory(
+            db_path, traj, np.eye(4, dtype=np.float32), mesh,
+            callback=lambda u: updates.append(u) or True,
+            device_mesh=False,
+        )
+        return traj, updates
+
+    monkeypatch.setenv("POLYCHASE_DEVICE_LM", "0")
+    ref_traj, ref_updates = run()
+    monkeypatch.setenv("POLYCHASE_DEVICE_LM", "1")
+    dev_traj, dev_updates = run()
+
+    for i in range(len(poses)):
+        np.testing.assert_allclose(
+            np.asarray(dev_traj.get(i).pose.t),
+            np.asarray(ref_traj.get(i).pose.t), atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dev_traj.get(i).pose.q),
+            np.asarray(ref_traj.get(i).pose.q), atol=1e-5,
+        )
+    assert len(dev_updates) == len(ref_updates)
+    a, b = dev_updates[-1].stats, ref_updates[-1].stats
+    assert int(a.iterations) == int(b.iterations)
+    assert int(a.invalid_steps) == int(b.invalid_steps)
+    np.testing.assert_allclose(float(a.cost), float(b.cost), rtol=1e-4)
+    np.testing.assert_allclose(
+        float(a.lambda_), float(b.lambda_), rtol=1e-4
+    )
