@@ -151,6 +151,42 @@ def build_synth_db(db_path, mesh, intr, poses, rng, kp_per_frame=256):
     db.close()
 
 
+def bench_analyze_1080p():
+    """Config 1b: Analyze throughput at 1080p (~25k corners/frame)."""
+    import time as _time
+
+    import cv2
+
+    from polychase_tpu.engine.opticalflow import (
+        VideoInfo,
+        generate_optical_flow_database,
+    )
+
+    W, H, n = 1920, 1080, 8
+    rng = np.random.default_rng(0)
+    big = rng.integers(0, 255, (H + 60, W + 90)).astype(np.float32)
+    big = cv2.GaussianBlur(big, (0, 0), 1.5)
+    big = (255 * (big - big.min()) / np.ptp(big)).astype(np.uint8)
+    frames = [
+        np.ascontiguousarray(big[4 * t : 4 * t + H, 7 * t : 7 * t + W])
+        for t in range(n)
+    ]
+    info = VideoInfo(W, H, 0, n)
+
+    def run():
+        with tempfile.TemporaryDirectory() as td:
+            t0 = _time.perf_counter()
+            generate_optical_flow_database(
+                info, lambda fid: frames[fid], None,
+                os.path.join(td, "flow.db"),
+            )
+            return _time.perf_counter() - t0
+
+    run()
+    dt = min(run() for _ in range(2))
+    emit("analyze_fps_1080p", n / dt, "frames/sec")
+
+
 def bench_pin_drag():
     """Config 2: 8-pin PnP solve per mouse-move (api.find_transformation)."""
     import jax
@@ -355,13 +391,15 @@ def main():
     ap.add_argument("--skip-analyze", action="store_true")
     ap.add_argument(
         "--only",
-        choices=["pin", "track", "refine", "analyze", "full4k"],
+        choices=["pin", "track", "refine", "analyze", "analyze1080",
+                 "full4k"],
     )
     args = ap.parse_args()
 
     if args.only:
         {"pin": bench_pin_drag, "track": bench_tracking,
          "refine": bench_refine, "full4k": bench_4k_pipeline,
+         "analyze1080": bench_analyze_1080p,
          }.get(args.only, lambda: None)()
         if args.only == "analyze":
             import bench

@@ -117,19 +117,20 @@ def _round_up(n, m):
     return ((max(n, 1) + m - 1) // m) * m
 
 
-def _compute_bbox(state: C.CameraState, mesh: Mesh, model_matrix) -> tuple:
+def _compute_bbox(state: C.CameraState, mesh_bbox_h, model_matrix) -> tuple:
     """Image-space mesh bbox + 20px pad (cpp/refiner.cc:53-69).
 
-    Pure host numpy: this runs once per frame while packing the problem,
-    and eager device ops would cost a round trip each.
+    Pure host numpy on pre-fetched values: this runs once per frame while
+    packing the problem, and eager device ops would cost a round trip
+    each.  ``state`` and ``mesh_bbox_h`` must already be host arrays.
     """
     mvp = (
         C.proj_matrix_4x4_np(state.intrinsics)
-        @ P.pose_rt4x4_np(jax.device_get(state.pose))
+        @ P.pose_rt4x4_np(state.pose)
         @ np.asarray(model_matrix, np.float64)
     )
-    lo = np.asarray(mesh.bbox.pmin, np.float64)
-    hi = np.asarray(mesh.bbox.pmax, np.float64)
+    lo = np.asarray(mesh_bbox_h[0], np.float64)
+    hi = np.asarray(mesh_bbox_h[1], np.float64)
     corners = np.array(
         [
             [x, y, z]
@@ -155,11 +156,19 @@ def build_refiner_data(
     first, last = traj.first_frame, traj.last_frame
     F = traj.count
 
+    # One batched transfer for every frame's camera state: per-frame
+    # device_get inside _compute_bbox would pay a device round trip per
+    # frame (~26 ms each on a tunneled chip — seconds per segment).
+    states_h = jax.device_get(
+        [traj.get(fid) for fid in range(first, last + 1)]
+    )
+    mesh_bbox_h = jax.device_get((mesh.bbox.pmin, mesh.bbox.pmax))
+
     kps_list, remaps = [], []
     for frame_id in range(first, last + 1):
         kps = database.read_keypoints(frame_id)
-        state = traj.get(frame_id)
-        pmin, pmax = _compute_bbox(state, mesh, model_matrix)
+        state = states_h[frame_id - first]
+        pmin, pmax = _compute_bbox(state, mesh_bbox_h, model_matrix)
         inside = (
             (kps[:, 0] > pmin[0]) & (kps[:, 0] < pmax[0])
             & (kps[:, 1] > pmin[1]) & (kps[:, 1] < pmax[1])

@@ -104,7 +104,7 @@ def pack_frame_rays(
     or None when no usable flows exist.
     """
     model_matrix = np.asarray(model_matrix, np.float32)
-    groups = []
+    raw = []
     for flow_frame_id in database.find_optical_flows_to_image(frame_id):
         if flow_frame_id == frame_id:
             raise TrackingError("self-flow in database")
@@ -114,13 +114,24 @@ def pack_frame_rays(
         flow = database.read_image_pair_flow(flow_frame_id, frame_id)
         if flow.src_kps_indices.size == 0:
             continue
-        cam = camera_traj.get(flow_frame_id)
-        src_px = keypoints[flow.src_kps_indices]
-        view = pose_rt4x4_np(jax.device_get(cam.pose)).astype(np.float32)
+        raw.append(
+            (
+                camera_traj.get(flow_frame_id),
+                keypoints[flow.src_kps_indices],
+                flow.tgt_kps,
+            )
+        )
+    # One batched transfer for all source cameras (a per-group
+    # device_get costs a round trip each on a remote chip).
+    cams_h = jax.device_get([cam for cam, _, _ in raw])
+    groups = []
+    for cam, src_px, tgt_kps in zip(cams_h, (r[1] for r in raw),
+                                    (r[2] for r in raw)):
+        view = pose_rt4x4_np(cam.pose).astype(np.float32)
         origins, dirs = rays_object_space(
             model_matrix, view, cam.intrinsics, src_px
         )
-        groups.append((origins[0], dirs, flow.tgt_kps))
+        groups.append((origins[0], dirs, tgt_kps))
 
     if not groups:
         return None
@@ -416,8 +427,9 @@ def _track_chunked_scan(
     t0 = np.zeros((F, 3), np.float32)
     in0 = np.zeros((F, 4), np.float32)
     in0[:] = [float(ci.fx), float(ci.fy), float(ci.cx), float(ci.cy)]
-    for fid in sorted(available):
-        c = jax.device_get(camera_traj.get(fid))
+    filled = sorted(available)
+    filled_h = jax.device_get([camera_traj.get(fid) for fid in filled])
+    for fid, c in zip(filled, filled_h):
         i = fid - first_abs
         q0[i] = np.asarray(c.pose.q)
         t0[i] = np.asarray(c.pose.t)
