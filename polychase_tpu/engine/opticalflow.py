@@ -264,12 +264,14 @@ def _run(
         pyr1 = get_pyramid(frame_id1)
         pyrs2 = [get_pyramid(f2) for f2 in targets]
         if pyr1.flavor == "pallas":
-            # Pad the target fan-out to a single compiled shape: clip-edge
-            # frames would otherwise each compile their own T, and every
-            # compile is minutes over a remote-compile TPU link.  Padding
-            # targets are the source frame itself (zero-flow, converges in
-            # one iteration) and their outputs are dropped.
-            while len(pyrs2) < len(IMAGE_SKIPS):
+            # Pad the target fan-out to one of two compiled shapes (4 or
+            # 8): clip-edge frames would otherwise each compile their own
+            # T (minutes each over a remote-compile TPU link), while
+            # padding everything to 8 wastes ~30% of the kernel time on a
+            # short clip.  Padding targets are the source frame itself
+            # (zero flow, converges in one iteration); outputs dropped.
+            bucket = 4 if len(pyrs2) <= 4 else len(IMAGE_SKIPS)
+            while len(pyrs2) < bucket:
                 pyrs2.append(pyr1)
         _log.debug(
             "frame %d: tracking %d features into %s",
