@@ -96,6 +96,10 @@ def build_grid_accel(
     total = float(min(max_cells, max(8, 2 * T)))
     scale = (total / float(extent.prod())) ** (1.0 / 3.0)
     res = np.maximum(1, np.floor(extent * scale).astype(np.int64))
+    # Degenerate axes clamp to 1 cell, which can inflate the product far
+    # past the budget on thin meshes — enforce it explicitly.
+    while res.prod() > max_cells:
+        res = np.maximum(1, res // 2)
 
     while True:
         h = extent / res
@@ -165,10 +169,11 @@ def _slab_entry(lo, hi, origins, dirs):
                      (lo - origins) * inv)
     far = jnp.where(d0, jnp.where(origins <= hi, _BIG, -_BIG),
                     (hi - origins) * inv)
-    # d==0 outside the slab: force an impossible interval on this axis.
+    # d==0 outside the slab: force rejection via t0 = +inf (setting
+    # far = -inf instead would re-sort into an unconstrained interval).
     bad = d0 & ((origins < lo) | (origins > hi))
     near = jnp.where(bad, _BIG, near)
-    far = jnp.where(bad, -_BIG, far)
+    far = jnp.where(bad, _BIG, far)
     a = jnp.minimum(near, far)
     b = jnp.maximum(near, far)
     t0 = jnp.max(a, axis=-1)

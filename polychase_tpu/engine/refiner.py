@@ -342,9 +342,42 @@ _all_rays_jit = jax.jit(_all_rays)
 BVH_TRIANGLE_THRESHOLD = 131072
 
 
+def _refresh_routing(mesh: Mesh, grid_accel=None):
+    """The prim-refresh backend decision, shared by the refresher factory
+    and refine_trajectory's LM-driver selection.
+
+    Returns ``(use_bvh, grid_accel)``: host C++ BVH above the measured
+    BVH_TRIANGLE_THRESHOLD crossover, else the fused device sweep —
+    through the uniform-grid DDA when ``POLYCHASE_GRID_RAYCAST=1`` (or an
+    explicit ``grid_accel``), brute otherwise.
+    """
+    import os as _os
+
+    if grid_accel is None and (
+        _os.environ.get("POLYCHASE_GRID_RAYCAST") == "1"
+    ):
+        from .gridcast import build_grid_accel
+
+        grid_accel = build_grid_accel(mesh.vertices, mesh.triangles)
+
+    use_bvh = False
+    if (
+        grid_accel is None
+        and mesh.num_triangles >= BVH_TRIANGLE_THRESHOLD
+    ):
+        try:
+            from .. import native
+
+            use_bvh = native.available()
+        except Exception:  # pragma: no cover
+            use_bvh = False
+    return use_bvh, grid_accel
+
+
 def _make_prim_refresher(data: RefinerData, mesh: Mesh, model, model_inv,
                          tri_corners, loss_scale, loss_type: int,
-                         grid_accel=None, device_mesh=None):
+                         grid_accel=None, device_mesh=None,
+                         routing=None):
     """Choose the prim-cache refresh path by measured crossover.
 
     Default is the fused single-dispatch device sweep (raycast + cost in
@@ -356,28 +389,11 @@ def _make_prim_refresher(data: RefinerData, mesh: Mesh, model, model_inv,
     the brute sweep — measured slower on TPU (see the table above), kept
     as the all-on-device option for meshes past the brute path's reach.
     """
-    import os as _os
-
-    use_bvh = False
-    if (
-        mesh.num_triangles >= BVH_TRIANGLE_THRESHOLD
-        and grid_accel is None
-        and _os.environ.get("POLYCHASE_GRID_RAYCAST") != "1"
-    ):
-        try:
-            from .. import native
-
-            use_bvh = native.available()
-        except Exception:  # pragma: no cover
-            use_bvh = False
+    if routing is None:
+        routing = _refresh_routing(mesh, grid_accel)
+    use_bvh, grid_accel = routing
 
     if not use_bvh:
-        if grid_accel is None and (
-            _os.environ.get("POLYCHASE_GRID_RAYCAST") == "1"
-        ):
-            from .gridcast import build_grid_accel
-
-            grid_accel = build_grid_accel(mesh.vertices, mesh.triangles)
 
         if device_mesh is not None and grid_accel is None:
             # Multi-chip: shard the F·K-ray sweep over the mesh — the
@@ -806,7 +822,7 @@ def lm_chunk_device(
     """
 
     def body(i, st):
-        params, prims, JtJ, Jtr, scal, rows = st
+        params, prims, JtJ, Jtr, scal, rows, hist = st
         cost, lam, v, rebuild, done = (
             scal[0], scal[1], scal[2], scal[3], scal[4]
         )
@@ -818,7 +834,7 @@ def lm_chunk_device(
                 .at[0].set(-1.0)
                 .at[10].set(1.0)
             )
-            return params, prims, JtJ, Jtr, scal, row
+            return params, prims, JtJ, Jtr, scal, row, params
 
         def active(_):
             JtJ2, Jtr2 = jax.lax.cond(
@@ -913,20 +929,29 @@ def lm_chunk_device(
                     inval_out, iters_out, budget,
                 ]
             )
-            return params_out, prims2, JtJ2, Jtr2, scal_out, row
+            return params_out, prims2, JtJ2, Jtr2, scal_out, row, params_out
 
-        params, prims, JtJ, Jtr, scal, row = jax.lax.cond(
+        params, prims, JtJ, Jtr, scal, row, params_snap = jax.lax.cond(
             done > 0, inactive, active, None
         )
         rows = rows.at[i].set(row)
-        return params, prims, JtJ, Jtr, scal, rows
+        # Per-iteration parameter snapshot so a host-side cancel at row i
+        # returns exactly iteration i's trajectory (the chunk may run a
+        # few iterations past the cancel point).
+        hist = jax.tree.map(
+            lambda h, p: h.at[i].set(p), hist, params_snap
+        )
+        return params, prims, JtJ, Jtr, scal, rows, hist
 
     rows0 = jnp.zeros((n_iters, _LM_ROW), jnp.float32)
-    state = (params, prims, JtJ, Jtr, scal, rows0)
-    params, prims, JtJ, Jtr, scal, rows = jax.lax.fori_loop(
+    hist0 = jax.tree.map(
+        lambda a: jnp.zeros((n_iters,) + a.shape, a.dtype), params
+    )
+    state = (params, prims, JtJ, Jtr, scal, rows0, hist0)
+    params, prims, JtJ, Jtr, scal, rows, hist = jax.lax.fori_loop(
         0, n_iters, body, state
     )
-    return params, prims, JtJ, Jtr, scal, rows
+    return params, prims, JtJ, Jtr, scal, rows, hist
 
 
 # ---------------------------------------------------------------------------
@@ -1052,19 +1077,8 @@ def refine_trajectory(
     params = traj_to_params(traj)
     import os as _os
 
-    ga = grid_accel
-    if ga is None and _os.environ.get("POLYCHASE_GRID_RAYCAST") == "1":
-        from .gridcast import build_grid_accel
-
-        ga = build_grid_accel(mesh.vertices, mesh.triangles)
-    wants_bvh = ga is None and mesh.num_triangles >= BVH_TRIANGLE_THRESHOLD
-    if wants_bvh:
-        try:
-            from .. import native
-
-            wants_bvh = native.available()
-        except Exception:  # pragma: no cover
-            wants_bvh = False
+    routing = _refresh_routing(mesh, grid_accel)
+    wants_bvh, ga = routing
     # The fully device-resident LM schedule needs the prim refresh on
     # device too (fused brute sweep or grid); the host-BVH and sharded
     # paths keep the per-iteration host driver.
@@ -1075,7 +1089,7 @@ def refine_trajectory(
     )
     refresh = _make_prim_refresher(
         data, mesh, model, model_inv, tri_corners, loss_scale, loss_type,
-        grid_accel=ga, device_mesh=mesh_obj,
+        device_mesh=mesh_obj, routing=routing,
     )
     prims, cost0 = refresh(params)
 
@@ -1168,7 +1182,7 @@ def refine_trajectory(
         stop = False
         while not stop:
             with profile_region("refiner.lm_chunk"):
-                params_d, prims_d, JtJ_d, Jtr_d, scal, rows = (
+                params_d, prims_d, JtJ_d, Jtr_d, scal, rows, hist = (
                     lm_chunk_device(
                         params_d, prims_d, JtJ_d, Jtr_d, scal, data, mesh,
                         model, model_inv, tri_corners, loss_scale, bounds,
@@ -1176,7 +1190,7 @@ def refine_trajectory(
                         opt_pp=opt_pp, ppc=ppc, n_iters=4,
                     )
                 )
-            for row in np.asarray(jax.device_get(rows)):
+            for r, row in enumerate(np.asarray(jax.device_get(rows))):
                 (counted, emit_f, applied, was_rebuild, invalid, grad_n,
                  step_n, cost_a, lam_a, inval_inc, done_f, stepped) = row
                 if counted < 0:  # inactive padding row
@@ -1193,6 +1207,10 @@ def refine_trajectory(
                 if applied > 0:
                     stats["cost"] = float(cost_a)
                 if emit_f > 0 and not emit():
+                    # Cancelled at iteration r: the chunk ran ahead on
+                    # device, so roll back to this row's snapshot — same
+                    # trajectory the host driver would have returned.
+                    params_d = jax.tree.map(lambda h: h[r], hist)
                     stop = True
                     break
                 if done_f > 0:

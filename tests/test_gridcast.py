@@ -174,3 +174,40 @@ def test_grid_empty_mesh():
     got = grid_raycast(mesh, accel, jnp.asarray(o), jnp.asarray(d))
     assert not np.asarray(got.valid).any()
     assert (np.asarray(got.prim_id) == np.uint32(INVALID_ID)).all()
+
+
+def test_grid_build_respects_cell_budget_on_thin_mesh():
+    """A flat (nearly 2-D) mesh must not explode the cell count via the
+    degenerate axis clamping to one cell."""
+    rng = np.random.default_rng(5)
+    n_tri = 20000
+    centers = rng.uniform(-1, 1, (n_tri, 1, 2))
+    v2 = (centers + rng.normal(0, 0.004, (n_tri, 3, 2))).reshape(-1, 2)
+    verts = np.concatenate(
+        [v2, np.zeros((len(v2), 1), np.float32)], axis=1
+    ).astype(np.float32)
+    tris = np.arange(3 * n_tri, dtype=np.uint32).reshape(-1, 3)
+    accel = build_grid_accel(verts, tris, max_cells=1 << 18)
+    n_cells = int(np.prod(np.asarray(accel.res)))
+    assert n_cells <= (1 << 18), n_cells
+
+    mesh = Mesh.create(verts, tris)
+    o = np.array([[0.2, -0.1, 2.0], [5.0, 5.0, 5.0]], np.float32)
+    d = np.array([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]], np.float32)
+    got = grid_raycast(mesh, accel, jnp.asarray(o), jnp.asarray(d))
+    want = raycast(mesh, jnp.asarray(o), jnp.asarray(d))
+    _assert_hits_match(got, want)
+
+
+def test_grid_degenerate_axis_ray_outside_slab():
+    """d==0 on an axis with the origin outside that slab must reject
+    immediately (regression: the override used to re-sort into an
+    unconstrained interval)."""
+    mesh = make_sphere_mesh(8, 12)
+    accel = build_grid_accel(
+        np.asarray(mesh.vertices), np.asarray(mesh.triangles)
+    )
+    o = np.array([[0.0, 2.5, 0.0]], np.float32)  # outside the y slab
+    d = np.array([[1.0, 0.0, 0.0]], np.float32)  # parallel to it
+    got = grid_raycast(mesh, accel, jnp.asarray(o), jnp.asarray(d))
+    assert not bool(np.asarray(got.valid)[0])

@@ -251,3 +251,39 @@ def test_device_lm_matches_host_driver(tmp_path, rng, monkeypatch):
     np.testing.assert_allclose(
         float(a.lambda_), float(b.lambda_), rtol=1e-4
     )
+
+
+def test_device_lm_cancel_matches_host_driver(tmp_path, rng, monkeypatch):
+    """Cancelling mid-refine must return the same trajectory on both LM
+    drivers — the device chunks run ahead and must roll back."""
+    mesh = make_sphere_mesh()
+    intr = make_intrinsics()
+    poses = [orbit_pose(0.05 * t) for t in range(7)]
+    db_path = str(tmp_path / "flow.db")
+    build_flow_db(db_path, mesh, intr, poses, rng)
+
+    def run(cancel_after):
+        traj = perturbed_traj(poses, intr, np.random.default_rng(7))
+        n = [0]
+
+        def cb(u):
+            n[0] += 1
+            return n[0] < cancel_after
+
+        refine_trajectory(
+            db_path, traj, np.eye(4, dtype=np.float32), mesh,
+            callback=cb, device_mesh=False,
+        )
+        return traj
+
+    for cancel_after in (1, 2, 3, 6):
+        monkeypatch.setenv("POLYCHASE_DEVICE_LM", "0")
+        ref = run(cancel_after)
+        monkeypatch.setenv("POLYCHASE_DEVICE_LM", "1")
+        dev = run(cancel_after)
+        for i in range(len(poses)):
+            np.testing.assert_allclose(
+                np.asarray(dev.get(i).pose.t),
+                np.asarray(ref.get(i).pose.t),
+                atol=1e-6, err_msg=f"cancel_after={cancel_after} frame={i}",
+            )
