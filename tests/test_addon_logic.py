@@ -177,3 +177,58 @@ def test_compute_segments_needs_two_user_keyframes(patched_fcurves):
     addon = patched_fcurves
     tracker = _fake_tracker([(10, "KEYFRAME"), (30, "GENERATED")])
     assert addon.refiner.compute_segments(tracker, 15, True) == []
+
+
+# -- keyframe layer (reference keyframes.py:322-336, typed KEYFRAME vs
+#    GENERATED; query + clear helpers) --------------------------------------
+
+
+class _KPList(list):
+    def remove(self, kp, fast=False):
+        list.remove(self, kp)
+
+
+def _fc(frames_types):
+    kps = _KPList(
+        SimpleNamespace(co=(float(f), 0.0), type=t) for f, t in frames_types
+    )
+    return SimpleNamespace(keyframe_points=kps, update=lambda: None)
+
+
+def test_keyframe_queries(addon):
+    kf = addon.keyframes
+    fcurves = [_fc([(1, kf.USER_KEYFRAME), (5, kf.GENERATED_KEYFRAME),
+                    (9, kf.USER_KEYFRAME), (12, kf.GENERATED_KEYFRAME)])]
+    assert kf.keyframes_of_type(fcurves) == {1, 5, 9, 12}
+    assert kf.keyframes_of_type(fcurves, kf.USER_KEYFRAME) == {1, 9}
+    assert kf.find_prev_keyframe(fcurves, 9, kf.USER_KEYFRAME) == 1
+    assert kf.find_next_keyframe(fcurves, 5, kf.USER_KEYFRAME) == 9
+    assert kf.find_next_keyframe(fcurves, 12) is None
+    assert kf.find_last_keyframe(fcurves) == 12
+    assert kf.find_last_keyframe(fcurves, kf.USER_KEYFRAME) == 9
+    assert kf.has_keyframe_at(fcurves, 5)
+    assert not kf.has_keyframe_at(fcurves, 5, kf.USER_KEYFRAME)
+
+
+def test_keyframe_clearing(addon):
+    kf = addon.keyframes
+
+    def build():
+        return [
+            _fc([(1, kf.USER_KEYFRAME), (2, kf.GENERATED_KEYFRAME),
+                 (3, kf.GENERATED_KEYFRAME), (4, kf.USER_KEYFRAME),
+                 (6, kf.GENERATED_KEYFRAME)]),
+            _fc([(2, kf.GENERATED_KEYFRAME), (4, kf.USER_KEYFRAME)]),
+        ]
+
+    fcurves = build()
+    n = kf.clear_generated_in_range(fcurves, 2, 3)
+    assert n == 3  # frames 2,3 in fc0 and frame 2 in fc1
+    assert kf.keyframes_of_type(fcurves) == {1, 4, 6}
+
+    fcurves = build()
+    n = kf.clear_all_generated(fcurves)
+    assert n == 4
+    assert kf.keyframes_of_type(fcurves) == {1, 4}
+    # user keyframes are never touched
+    assert kf.keyframes_of_type(fcurves, kf.USER_KEYFRAME) == {1, 4}
