@@ -118,3 +118,57 @@ def test_sharded_pallas_lk_matches_single(rng):
     nxt_s, st_s, err_s = jax.device_get(sharded)
     assert np.array_equal(st_r, st_s)
     np.testing.assert_allclose(nxt_s[st_r], nxt_r[st_r], atol=1e-5)
+
+
+def test_pipeline_env_gated_sharding_matches_default(tmp_path, monkeypatch):
+    """generate_optical_flow_database with POLYCHASE_SHARD_ANALYZE=1 must
+    produce the same keypoints and (nearly) the same flows as the
+    single-device path, end-to-end through the SQLite database."""
+    import os
+
+    import numpy as np
+
+    from polychase_tpu.engine.opticalflow import (
+        VideoInfo,
+        generate_optical_flow_database,
+    )
+    from polychase_tpu.io.database import Database
+
+    rng = np.random.default_rng(0)
+    W, H, n = 160, 120, 5
+    big = np.cumsum(rng.uniform(0, 4, (H + 20, W + 30)), axis=1)
+    big = (255 * (big - big.min()) / np.ptp(big)).astype(np.uint8)
+    frames = [
+        np.ascontiguousarray(big[2 * t : 2 * t + H, 3 * t : 3 * t + W])
+        for t in range(n)
+    ]
+    info = VideoInfo(W, H, 0, n)
+
+    def run(shard):
+        monkeypatch.setenv("POLYCHASE_SHARD_ANALYZE", "1" if shard else "0")
+        path = str(tmp_path / f"flow_{int(shard)}.db")
+        generate_optical_flow_database(
+            info, lambda fid: frames[fid], None, path
+        )
+        db = Database(path)
+        kps = {i: db.read_keypoints(i) for i in range(n)}
+        flows = {}
+        for i in range(n):
+            for j in db.find_optical_flows_from_image(i):
+                flows[(i, j)] = db.read_image_pair_flow(i, j)
+        db.close()
+        return kps, flows
+
+    kps_a, flows_a = run(False)
+    kps_b, flows_b = run(True)
+    for i in range(n):
+        np.testing.assert_array_equal(kps_a[i], kps_b[i])
+    assert set(flows_a) == set(flows_b)
+    agree = 0
+    total = 0
+    for key in flows_a:
+        fa, fb = flows_a[key], flows_b[key]
+        common = np.intersect1d(fa.src_kps_indices, fb.src_kps_indices)
+        total += max(len(fa.src_kps_indices), 1)
+        agree += len(common)
+    assert agree / total > 0.99, agree / total
