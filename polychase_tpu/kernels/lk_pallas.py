@@ -55,7 +55,14 @@ def _round8(n: int) -> int:
 
 
 def _patch_rows(win: int) -> int:
-    """Iteration patch rows: window + drift slack, 8-aligned."""
+    """Iteration patch rows: window + drift slack, 8-aligned.
+
+    Slack trades per-iteration sample cost (the bilinear blend spans
+    every possible offset of the slack range) against re-extraction
+    frequency.  Measured at 640p/win=10: win+12 slack is ~20% SLOWER
+    end-to-end than win+22 — the grouped re-extraction (per-track DMA +
+    rolls, triggered when any track of the group escapes) costs far more
+    than the wider blend, so the generous slack stays."""
     return _round8(win + 22)
 
 
