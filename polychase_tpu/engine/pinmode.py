@@ -11,13 +11,18 @@ TPU-native rebuild of cpp/pin_mode.{h,cc}.  Dispatch on pin count:
   iterative PnP (Trivial loss) in camera space, then recompose into a
   model- or view-matrix update (cpp/pin_mode.cc:16-108).
 
-The n≥3 path reuses the jitted, bucket-padded PnP solve, so repeated
-drag events hit the same compiled executable — the latency budget is one
-device dispatch per mouse move (SURVEY.md §3.4).
+The n≥3 path solves on the **host** for small pin counts: a pin drag is
+one solve per mouse move (cpp/pin_mode.cc:219-246) and on a tunneled chip
+even a perfectly packed device dispatch pays two ~26 ms link crossings,
+while an 8-pin 9-parameter LM is microseconds of numpy
+(`engine.pnp_host`).  Above ``POLYCHASE_HOST_PIN_MAX`` points (default
+4096) it falls back to the jitted, bucket-padded device solve;
+``POLYCHASE_HOST_PIN_MAX=0`` forces the device path everywhere.
 """
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -195,7 +200,15 @@ def _find_transformation_n(
         optimize_focal_length=optimize_focal_length,
         optimize_principal_point=optimize_principal_point,
     )
-    result = solve_pnp(X_cam.astype(np.float32), image_points, cam0, opts)
+    host_max = int(os.environ.get("POLYCHASE_HOST_PIN_MAX", "4096"))
+    if len(X_cam) <= host_max:
+        from .pnp_host import solve_pnp_host
+
+        result = solve_pnp_host(
+            X_cam.astype(np.float32), image_points, cam0, opts
+        )
+    else:
+        result = solve_pnp(X_cam.astype(np.float32), image_points, cam0, opts)
 
     R = _np_quat_to_mat(np.asarray(result.camera.pose.q, np.float64))
     t = np.asarray(result.camera.pose.t, np.float64)
