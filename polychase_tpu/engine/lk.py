@@ -629,11 +629,14 @@ def _lk_all_levels_multi(
 
 
 def _analyze_mesh():
-    """Target-sharding mesh for Analyze (opt-in: POLYCHASE_SHARD_ANALYZE=1,
-    SURVEY §2.4 row 1)."""
-    if os.environ.get("POLYCHASE_SHARD_ANALYZE", "").strip().lower() not in (
-        "1", "true", "on"
-    ):
+    """Target-sharding mesh for Analyze (SURVEY §2.4 row 1).
+
+    Auto-routes whenever more than one device is visible — mirroring
+    ``refine_trajectory``'s auto-shard — so a pod never silently runs the
+    flagship pipeline on one chip.  ``POLYCHASE_SHARD_ANALYZE=0`` forces
+    the single-device program; ``=1`` keeps the old explicit opt-in."""
+    flag = os.environ.get("POLYCHASE_SHARD_ANALYZE", "").strip().lower()
+    if flag in ("0", "false", "off"):
         return None
     if jax.device_count() < 2:
         return None

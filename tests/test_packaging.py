@@ -1,4 +1,6 @@
-"""Packaging: the Blender addon zip is self-contained and importable."""
+"""Packaging: release artifacts (wheel + Blender addon zip) are
+self-contained and importable (release path analogue of the reference's
+build_wheel.sh + docker/Dockerfile.linux)."""
 
 import subprocess
 import sys
@@ -50,3 +52,38 @@ print("OK")
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "OK" in r.stdout
+
+
+def test_wheel_build_importable(tmp_path):
+    """scripts/build_release.sh's wheel step: build, inspect, import."""
+    out = tmp_path / "dist"
+    r = subprocess.run(
+        [sys.executable, "-m", "build", "--wheel", "--no-isolation",
+         "--outdir", str(out), "."],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    wheels = list(out.glob("polychase_tpu-*.whl"))
+    assert len(wheels) == 1
+    names = zipfile.ZipFile(wheels[0]).namelist()
+    assert "polychase_tpu/api.py" in names
+    assert "polychase_tpu/native/bvh.cc" in names
+    assert any("entry_points.txt" in n for n in names)
+
+    # A pure-python wheel is importable straight off sys.path.
+    extract = tmp_path / "site"
+    zipfile.ZipFile(wheels[0]).extractall(extract)
+    code = f"""
+import sys
+sys.path.insert(0, {str(extract)!r})
+import jax; jax.config.update("jax_platforms", "cpu")
+import polychase_tpu.polychase_core as pc
+assert hasattr(pc, "Database") and hasattr(pc, "find_transformation")
+print("WHEEL_OK")
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300, cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "WHEEL_OK" in r.stdout
