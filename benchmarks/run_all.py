@@ -9,10 +9,13 @@ Configs (BASELINE.md "Targets for this rebuild"):
      estimation (wall seconds)
 
 The reference publishes no numbers and its prebuilt wheels in this image
-are git-lfs pointers, so configs 2-4 report absolute device numbers
-(vs_baseline null); config 1 compares against OpenCV on CPU.
+are git-lfs pointers, so baselines are *measured* from faithful CPU
+reimplementations of its hot paths: config 1 runs OpenCV GFTT+LK (the
+reference's actual kernels), configs 3-5 run benchmarks/baseline_cpu.py
+(numpy + native-BVH tracker and sparse-LM refiner, RMSE-parity-tested
+against the device path in tests/test_baseline_parity.py).
 
-Run: python benchmarks/run_all.py [--skip-analyze]
+Run: python benchmarks/run_all.py [--skip-analyze] [--no-baseline]
 """
 
 import argparse
@@ -27,11 +30,31 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def emit(metric, value, unit, vs_baseline=None):
-    print(json.dumps({
+MEASURE_BASELINE = True
+
+
+def emit(metric, value, unit, vs_baseline=None, baseline_value=None):
+    rec = {
         "metric": metric, "value": round(value, 4), "unit": unit,
         "vs_baseline": vs_baseline,
-    }), flush=True)
+    }
+    if baseline_value is not None:
+        rec["baseline_value"] = round(baseline_value, 4)
+    print(json.dumps(rec), flush=True)
+
+
+def _host_scene_arrays(mesh, intr):
+    """Host copies + native BVH for the CPU baselines (one transfer)."""
+    import jax
+
+    from polychase_tpu.native import BvhRaycaster, available
+
+    if not available():
+        return None
+    verts, tris = jax.device_get((mesh.vertices, mesh.triangles))
+    verts = np.asarray(verts, np.float32)
+    tris = np.asarray(tris, np.uint32)
+    return BvhRaycaster(verts, tris), verts, tris
 
 
 def make_scene(n_frames, width=1920, height=1080, focal=1800.0):
@@ -269,7 +292,51 @@ def bench_tracking():
         dt_w, _ = run()  # warm
         print(f"# warm run: {dt_w:.1f}s", file=sys.stderr)
         dt, traj = run()
-        emit("tracking_fps_120f_1080p", (n - 1) / dt, "frames/sec")
+        fps = (n - 1) / dt
+
+        base_fps = None
+        if MEASURE_BASELINE:
+            base_fps = _baseline_track_fps(db_path, mesh, intr, poses, n)
+        emit(
+            "tracking_fps_120f_1080p", fps, "frames/sec",
+            vs_baseline=(round(fps / base_fps, 3) if base_fps else None),
+            baseline_value=base_fps,
+        )
+
+
+def _baseline_track_fps(db_path, mesh, intr, poses, n, masked_bits=None,
+                        opt_f=False, opt_pp=False):
+    """Measured CPU baseline: the reference tracker's data flow in numpy
+    + native BVH (benchmarks/baseline_cpu.py)."""
+    import jax
+
+    import baseline_cpu as bc
+    from polychase_tpu.engine.levmarq import BundleOptions, CAUCHY
+    from polychase_tpu.io.database import Database
+
+    host = _host_scene_arrays(mesh, intr)
+    if host is None:
+        return None
+    bvh, _verts, _tris = host
+    p0 = jax.device_get(poses[0])
+
+    def run():
+        traj = {0: (np.asarray(p0.q, np.float64),
+                    np.asarray(p0.t, np.float64))}
+        db = Database(db_path)
+        t0 = time.perf_counter()
+        bc.cpu_track_trajectory(
+            db, traj, 0, n - 1, np.eye(4), bvh, intr,
+            masked_triangles=masked_bits,
+            optimize_focal_length=opt_f, optimize_principal_point=opt_pp,
+            bundle_opts=BundleOptions(loss_type=CAUCHY, loss_scale=1.0),
+        )
+        dt = time.perf_counter() - t0
+        db.close()
+        return dt
+
+    run()  # warm numpy/sqlite caches
+    return (n - 1) / min(run() for _ in range(2))
 
 
 def bench_refine():
@@ -311,7 +378,47 @@ def bench_refine():
             db_path, make_traj(), np.eye(4, dtype=np.float32), mesh,
             optimize_focal_length=True, bundle_opts=opts,
         )
-        emit("refine_250f_walltime_s", time.perf_counter() - t0, "seconds")
+        wall = time.perf_counter() - t0
+
+        base_wall = None
+        if MEASURE_BASELINE:
+            base_wall = _baseline_refine_wall(
+                db_path, mesh, intr, make_traj(), n, opts
+            )
+        emit(
+            "refine_250f_walltime_s", wall, "seconds",
+            vs_baseline=(round(base_wall / wall, 3) if base_wall else None),
+            baseline_value=base_wall,
+        )
+
+
+def _baseline_refine_wall(db_path, mesh, intr, traj, n, opts):
+    """Measured CPU baseline: sparse-LM BA in numpy/scipy
+    (benchmarks/baseline_cpu.py)."""
+    import jax
+
+    import baseline_cpu as bc
+    from polychase_tpu.io.database import Database
+
+    host = _host_scene_arrays(mesh, intr)
+    if host is None:
+        return None
+    bvh, verts, tris = host
+    states = jax.device_get([traj.get(i) for i in range(n)])
+    tdict = {
+        i: (np.asarray(s.pose.q, np.float64),
+            np.asarray(s.pose.t, np.float64))
+        for i, s in enumerate(states)
+    }
+    db = Database(db_path)
+    t0 = time.perf_counter()
+    bc.cpu_refine_trajectory(
+        db, tdict, 0, n - 1, np.eye(4), bvh, intr, verts, tris,
+        optimize_focal_length=True, bundle_opts=opts,
+    )
+    dt = time.perf_counter() - t0
+    db.close()
+    return dt
 
 
 def bench_4k_pipeline():
@@ -380,21 +487,35 @@ def bench_4k_pipeline():
             return time.perf_counter() - t0
 
         run_track()
+        fps = (n - 1) / run_track()
+        base_fps = None
+        if MEASURE_BASELINE:
+            base_fps = _baseline_track_fps(
+                db_path, mesh, intr, poses, n,
+                masked_bits=bits, opt_f=True, opt_pp=True,
+            )
         emit(
-            "object_tracking_fps_4k_masked_varintr",
-            (n - 1) / run_track(), "frames/sec",
+            "object_tracking_fps_4k_masked_varintr", fps, "frames/sec",
+            vs_baseline=(round(fps / base_fps, 3) if base_fps else None),
+            baseline_value=base_fps,
         )
 
 
 def main():
+    global MEASURE_BASELINE
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-analyze", action="store_true")
+    ap.add_argument(
+        "--no-baseline", action="store_true",
+        help="skip the CPU-baseline measurements",
+    )
     ap.add_argument(
         "--only",
         choices=["pin", "track", "refine", "analyze", "analyze1080",
                  "full4k"],
     )
     args = ap.parse_args()
+    MEASURE_BASELINE = not args.no_baseline
 
     if args.only:
         {"pin": bench_pin_drag, "track": bench_tracking,
