@@ -694,3 +694,52 @@ def refine_trajectory(
         cb,
         (bundle_opts or BundleOptions())._to_engine(),
     )
+
+
+# ---------------------------------------------------------------------------
+# Polychase-TPU extensions (beyond the reference pybind surface)
+# ---------------------------------------------------------------------------
+
+
+def device_count() -> int:
+    """Number of visible accelerator devices (extension)."""
+    import jax
+
+    return int(jax.device_count())
+
+
+@_engine_errors
+def refine_segments(
+    database_path: str,
+    camera_trajectories,
+    model_matrix,
+    mesh: AcceleratedMesh,
+    optimize_focal_length: bool,
+    optimize_principal_point: bool,
+    bundle_opts: BundleOptions = None,
+) -> None:
+    """Refine independent keyframe segments in parallel (extension).
+
+    The reference runs refine-all segments sequentially
+    (/root/reference/blender_addon/operators/refiner.py:99-136); on a
+    multi-chip mesh the segments are independent BA problems and solve
+    concurrently, one chip per segment shard, in a single dispatch
+    (parallel/segments.py).  Each trajectory is refined in place.
+    """
+    from .parallel.segments import refine_segments as _rs
+
+    refined = _rs(
+        database_path,
+        [ct._traj for ct in camera_trajectories],
+        np.asarray(model_matrix, np.float32).reshape(4, 4),
+        mesh._to_engine(),
+        optimize_focal_length,
+        optimize_principal_point,
+        (bundle_opts or BundleOptions())._to_engine(),
+    )
+    for ct, new in zip(camera_trajectories, refined):
+        for fid in range(new.first_frame, new.last_frame + 1):
+            ct._traj.set(fid, new.get(fid))
+
+
+__all__ += ["device_count", "refine_segments"]

@@ -137,6 +137,7 @@ class PC_OT_RefineSequence(bpy.types.Operator):
     _segments = None
     _segment_idx = 0
     _current_traj = None
+    _parallel_trajs = None  # multi-chip refine-all: all segments at once
 
     @classmethod
     def poll(cls, context):
@@ -177,7 +178,20 @@ class PC_OT_RefineSequence(bpy.types.Operator):
         transient.progress = 0.0
         transient.progress_message = "Refining..."
 
-        if not self._start_segment(context, tracker, engine_tracker):
+        # Refine-all on a multi-chip mesh: segments are independent BA
+        # problems, so solve them ALL in one parallel dispatch (the
+        # reference — and the single-chip path below — runs them
+        # sequentially, reference refiner.py:99-136).
+        self._parallel_trajs = None
+        if (
+            self.all_segments
+            and len(self._segments) > 1
+            and pc.device_count() > 1
+        ):
+            if not self._start_parallel(context, tracker, engine_tracker):
+                transient.is_refining = False
+                return {"CANCELLED"}
+        elif not self._start_segment(context, tracker, engine_tracker):
             transient.is_refining = False
             return {"CANCELLED"}
 
@@ -185,6 +199,36 @@ class PC_OT_RefineSequence(bpy.types.Operator):
         self._timer = wm.event_timer_add(0.05, window=context.window)
         wm.modal_handler_add(self)
         return {"RUNNING_MODAL"}
+
+    def _start_parallel(self, context, tracker, engine_tracker) -> bool:
+        clip = tracker.clip
+        width, height = utils.clip_size(clip)
+        trajs = [
+            build_trajectory(
+                tracker, start, end, width, height, context.scene
+            )
+            for start, end in self._segments
+        ]
+        self._parallel_trajs = trajs
+        model = np.array(
+            mathutils.Matrix.Diagonal(
+                tracker.geometry.matrix_world.to_scale().to_4d()
+            ),
+            np.float32,
+        )
+        opts = pc.BundleOptions()
+        opts.loss_type = pc.LossType.Cauchy
+        opts.loss_scale = 1.0
+        self._thread = pc.RefineSegmentsThread(
+            bpy.path.abspath(tracker.database_path), trajs, model,
+            engine_tracker.accel_mesh,
+            tracker.optimize_focal_length,
+            tracker.optimize_principal_point,
+            opts,
+        )
+        transient = properties.transient_state(tracker)
+        transient.active_thread = self._thread
+        return True
 
     def _start_segment(self, context, tracker, engine_tracker) -> bool:
         start, end = self._segments[self._segment_idx]
@@ -239,6 +283,16 @@ class PC_OT_RefineSequence(bpy.types.Operator):
             if msg is None:
                 break
             if isinstance(msg, bool):
+                if self._parallel_trajs is not None:
+                    # Parallel refine-all: one done message for the whole
+                    # batch; apply every segment.
+                    for traj, (start, end) in zip(
+                        self._parallel_trajs, self._segments
+                    ):
+                        apply_refined_trajectory(
+                            tracker, traj, start, end, context.scene
+                        )
+                    return self._finish(context, tracker, success=True)
                 # Segment done: apply results (partials applied on cancel
                 # as well, reference refiner.py:560-568)
                 traj, start, end = self._current_traj

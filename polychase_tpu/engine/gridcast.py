@@ -147,7 +147,15 @@ def build_grid_accel(
     item_data[:, 0:3] = pf[ids, 0]
     item_data[:, 3:6] = pf[ids, 1] - pf[ids, 0]
     item_data[:, 6:9] = pf[ids, 2] - pf[ids, 0]
-    item_data[:, 9] = items.view(np.float32)  # bit-stored triangle id
+    # Triangle id stored as the ordinary float value (id + 2^23): exact
+    # in float32 for id < 2^23 and never denormal, so canonicalizing /
+    # flush-to-zero ops on item_data cannot corrupt it (a raw bitcast of
+    # small ids would be a denormal bit pattern).
+    if T >= (1 << 23):
+        raise ValueError("grid accel supports < 2^23 triangles")
+    item_data[:, 9] = (ids.astype(np.float64) + float(1 << 23)).astype(
+        np.float32
+    )
 
     return GridAccel(
         cell_start=jnp.asarray(cell_start.astype(np.int32)),
@@ -294,7 +302,7 @@ def grid_raycast(
         idx = ptr[:, None] + barange[None, :]  # (N, B)
         cval = do_cand[:, None] & (idx < end[:, None])
         blob = accel.item_data[jnp.clip(idx, 0, ni - 1)]  # (N, B, 12)
-        ids = jax.lax.bitcast_convert_type(blob[..., 9], jnp.int32)
+        ids = blob[..., 9].astype(jnp.int32) - (1 << 23)
         ids = jnp.where(cval, ids, 0)
         t, u, v, hit = _moller_block(
             o_b, d_b, blob[..., 0:3], blob[..., 3:6], blob[..., 6:9]

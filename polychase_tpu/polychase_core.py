@@ -15,6 +15,7 @@ from .runtime.threads import (  # noqa: F401
     OpticalFlowRequest,
     OpticalFlowThread,
     RefinerThread,
+    RefineSegmentsThread,
     TrackerThread,
 )
 
@@ -23,5 +24,6 @@ __all__ = list(_api_all) + [
     "OpticalFlowRequest",
     "OpticalFlowThread",
     "RefinerThread",
+    "RefineSegmentsThread",
     "TrackerThread",
 ]

@@ -261,3 +261,47 @@ class RefinerThread(_WorkerBase):
             database_path, traj, model_matrix, mesh, opt_f, opt_pp, cb,
             bundle_opts,
         )
+
+
+class RefineSegmentsThread(_WorkerBase):
+    """Extension worker: refine MANY independent segments in one parallel
+    dispatch across the device mesh (api.refine_segments).
+
+    Messages: ``RefineTrajectoryUpdate`` (coarse progress) then ``True``.
+    All trajectories are refined in place; read them after the done
+    message.  Cooperative stop is coarse — the single dispatch either
+    completes or its results are discarded by the caller.
+    """
+
+    def __init__(
+        self,
+        database_path: str,
+        camera_trajectories,
+        model_matrix,
+        mesh: "api.AcceleratedMesh",
+        optimize_focal_length: bool,
+        optimize_principal_point: bool,
+        bundle_opts: "api.BundleOptions",
+    ):
+        super().__init__()
+        self._args = (
+            database_path, camera_trajectories, model_matrix, mesh,
+            optimize_focal_length, optimize_principal_point, bundle_opts,
+        )
+        self._start()
+
+    def _work(self):
+        (
+            database_path, trajs, model_matrix, mesh, opt_f, opt_pp,
+            bundle_opts,
+        ) = self._args
+        self._queue.put(
+            api.RefineTrajectoryUpdate(
+                progress=0.0,
+                message=f"Refining {len(trajs)} segments in parallel",
+            )
+        )
+        api.refine_segments(
+            database_path, trajs, model_matrix, mesh, opt_f, opt_pp,
+            bundle_opts,
+        )
