@@ -701,6 +701,7 @@ def calc_optical_flow_multi_async(
     if n == 0 or T == 0:
         return ("empty", T, n)
     levels = min([prev_pyr.num_levels] + [p.num_levels for p in next_pyrs])
+    pts, inv = _spatial_sort(pts)
     m = _bucket(n)
     pts_p = np.zeros((m, 2), np.float32)
     pts_p[:n] = pts
@@ -708,7 +709,7 @@ def calc_optical_flow_multi_async(
     if prev_pyr.flavor == "pallas":
         out = _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels)
         _start_host_copies(out)
-        return ("dev", n, out)
+        return ("dev", n, out, inv)
 
     stacked = tuple(
         jnp.stack([p.levels[lvl][0] for p in next_pyrs])
@@ -717,7 +718,7 @@ def calc_optical_flow_multi_async(
     eps = min(max(opts.term_epsilon, 0.0), 10.0)
     out = _dispatch_multi_xla(prev_pyr, stacked, pts_p, eps, opts, levels, T)
     _start_host_copies(out)
-    return ("dev", n, out)
+    return ("dev", n, out, inv)
 
 
 def _start_host_copies(out) -> None:
@@ -740,9 +741,37 @@ def calc_optical_flow_multi_finish(handle):
             np.empty((T, 0), bool),
             np.empty((T, 0), np.float32),
         )
-    _, n, out = handle
+    _, n, out, inv = handle
     nxt, status, err = jax.device_get(out)
-    return nxt[:, :n], status[:, :n], err[:, :n]
+    if inv is None:
+        return nxt[:, :n], status[:, :n], err[:, :n]
+    return nxt[:, inv], status[:, inv], err[:, inv]
+
+
+def _spatial_sort(pts: np.ndarray):
+    """Row-major spatial ordering of features for the LK dispatch.
+
+    Per-feature solves are independent, so any ordering is
+    semantics-free — but the kernel's convergence early-exit and its
+    image-block fetches are per 128-lane GROUP, so spatially coherent
+    groups converge together (stragglers cluster instead of pinning a
+    whole group) and touch adjacent image blocks.  Keypoints arrive
+    quality-sorted (scattered across the image); re-sort by (y, x) and
+    return the inverse permutation for the finish path.
+    ``POLYCHASE_LK_SORT=0`` keeps the caller's order.
+    """
+    n = pts.shape[0]
+    if n <= GROUP_SORT_MIN or os.environ.get(
+        "POLYCHASE_LK_SORT", "1"
+    ) == "0":
+        return pts, None
+    order = np.lexsort((pts[:, 0], pts[:, 1]))
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)
+    return pts[order], inv
+
+
+GROUP_SORT_MIN = 128  # below one lane group the order cannot matter
 
 
 def calc_optical_flow_multi(
@@ -764,25 +793,6 @@ def calc_optical_flow_multi(
             np.empty((T, 0), bool),
             np.empty((T, 0), np.float32),
         )
-    levels = min([prev_pyr.num_levels] + [p.num_levels for p in next_pyrs])
-
-    m = _bucket(n)
-    pts_p = np.zeros((m, 2), np.float32)
-    pts_p[:n] = pts
-
-    if prev_pyr.flavor == "pallas":
-        nxt, status, err = _run_pallas(prev_pyr, next_pyrs, pts_p, opts,
-                                       levels)
-        nxt, status, err = jax.device_get((nxt, status, err))
-        return nxt[:, :n], status[:, :n], err[:, :n]
-
-    stacked = tuple(
-        jnp.stack([p.levels[lvl][0] for p in next_pyrs])
-        for lvl in range(levels)
+    return calc_optical_flow_multi_finish(
+        calc_optical_flow_multi_async(prev_pyr, next_pyrs, prev_pts, opts)
     )
-    eps = min(max(opts.term_epsilon, 0.0), 10.0)
-    nxt, status, err = _dispatch_multi_xla(
-        prev_pyr, stacked, pts_p, eps, opts, levels, T
-    )
-    nxt, status, err = jax.device_get((nxt, status, err))
-    return nxt[:, :n], status[:, :n], err[:, :n]
