@@ -345,6 +345,118 @@ def gftt_candidates_topk(
     return vals, idx.astype(jnp.int32), jnp.sum(cand)
 
 
+def _circle_offsets(min_distance: float) -> Tuple[Tuple[int, int], ...]:
+    """Integer pixel offsets with dx²+dy² < d² (strict, like the
+    reference's distance test, cpp/feature_detection/gftt.cc:139-148)."""
+    r = int(np.ceil(min_distance)) - 1
+    out = []
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            if dx * dx + dy * dy < min_distance * min_distance:
+                out.append((dy, dx))
+    return tuple(out)
+
+
+@partial(jax.jit, static_argnames=("offsets", "max_rounds"))
+def _suppress_device(qmap, *, offsets, max_rounds: int = 128):
+    """Exact greedy min-distance suppression as a device fixed point.
+
+    The host algorithm visits candidates in (quality desc, later
+    row-major position first) order and keeps a point iff no
+    previously-kept point lies within the radius.  Parallel equivalence:
+    a point whose priority beats every *undecided* point within the
+    radius has all its higher-priority neighbors decided, so it can be
+    decided NOW — and two same-round winners can never conflict (the
+    higher-priority one would have disqualified the other).  Each round
+    decides at least the priority-local-maxima, so random quality fields
+    converge in a few dozen rounds; ``converged`` is False if the round
+    cap was hit (caller falls back to the host path).
+
+    Returns ``(kept (H, W) bool, converged () bool)``.
+    """
+    H, W = qmap.shape
+    lin = (
+        jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
+        + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    )
+    r = max(max(abs(dy), abs(dx)) for dy, dx in offsets) if offsets else 0
+
+    def pad(x, value):
+        return jnp.pad(x, r, constant_values=value)
+
+    def shifted(p, dy, dx, shape):
+        return jax.lax.dynamic_slice(p, (r + dy, r + dx), shape)
+
+    def body(state):
+        und, kept, rounds = state
+        qu = jnp.where(und, qmap, -jnp.inf)
+        lu = jnp.where(und, lin, -1)
+        qp, lp, kp = pad(qu, -jnp.inf), pad(lu, -1), pad(kept, False)
+
+        best_q = qu
+        best_l = lu
+        conflict = jnp.zeros_like(kept)
+        for dy, dx in offsets:
+            if dy == 0 and dx == 0:
+                continue
+            qs = shifted(qp, dy, dx, (H, W))
+            ls = shifted(lp, dy, dx, (H, W))
+            take = (qs > best_q) | ((qs == best_q) & (ls > best_l))
+            best_q = jnp.where(take, qs, best_q)
+            best_l = jnp.where(take, ls, best_l)
+            conflict = conflict | shifted(kp, dy, dx, (H, W))
+
+        # Tie-break matches the host sort: later row-major position wins.
+        selfmax = und & (qmap == best_q) & (lin == best_l)
+        kept = kept | (selfmax & ~conflict)
+        und = und & ~selfmax
+        return und, kept, rounds + 1
+
+    def cond(state):
+        und, _, rounds = state
+        return jnp.any(und) & (rounds < max_rounds)
+
+    und0 = qmap > 0.0
+    kept0 = jnp.zeros_like(und0)
+    und, kept, _ = jax.lax.while_loop(
+        cond, body, (und0, kept0, jnp.int32(0))
+    )
+    return kept, ~jnp.any(und)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "block_size", "ksize", "use_harris", "grid_rows", "grid_cols",
+        "is_8u", "offsets",
+    ),
+)
+def gftt_suppressed_topk(
+    image, mask, quality_level, harris_k, *, k, offsets,
+    block_size=3, ksize=3, use_harris=False, grid_rows=4, grid_cols=4,
+    is_8u=True,
+):
+    """Full GFTT tail on device: response → NMS → min-distance
+    suppression → top-k of the KEPT set.
+
+    At 4K a noise frame yields ~200k NMS candidates; transferring and
+    greedily suppressing them on the host dominates the frame budget
+    (BENCHMARKS.md row 5b).  Here only the suppressed survivors cross
+    the link.  ``converged`` False (round cap) or count > k (overflow)
+    → the host falls back to the exact sequential path.
+    """
+    eig, cand = gftt_response(
+        image, mask, quality_level, harris_k,
+        block_size=block_size, ksize=ksize, use_harris=use_harris,
+        grid_rows=grid_rows, grid_cols=grid_cols, is_8u=is_8u,
+    )
+    qmap = jnp.where(cand, eig, 0.0)
+    kept, converged = _suppress_device(qmap, offsets=offsets)
+    flat = jnp.where(kept, qmap, 0.0).reshape(-1)
+    vals, idx = jax.lax.top_k(flat, k)
+    return vals, idx.astype(jnp.int32), jnp.sum(kept), converged
+
+
 class GFTTDispatch(NamedTuple):
     """In-flight device-side GFTT for one frame (async pipeline stage)."""
 
@@ -354,6 +466,10 @@ class GFTTDispatch(NamedTuple):
     shape: Tuple[int, int]
     options: "GFTTOptions"
     fallback: object      # image (host) for the rare top-k overflow
+    # Device-suppressed route: count/vals cover the KEPT set and the
+    # host skips greedy suppression; ``converged`` False → fall back.
+    suppressed: bool = False
+    converged: object = None
 
 
 def _check_options(options: GFTTOptions) -> None:
@@ -367,6 +483,7 @@ def _check_options(options: GFTTOptions) -> None:
 
 def gftt_dispatch(
     image, mask=None, options: GFTTOptions = GFTTOptions(), k: int = 0,
+    *, _host_suppress: bool = False,
 ) -> GFTTDispatch:
     """Start GFTT for a frame; device work is queued, nothing blocks."""
     img = np.asarray(image)
@@ -376,16 +493,8 @@ def gftt_dispatch(
     is_8u = img.dtype == np.uint8
     imgf = jnp.asarray(img, jnp.float32)
     maskj = None if mask is None else jnp.asarray(np.asarray(mask) != 0)
-    if k <= 0:
-        # NMS candidates are at most ~1 per 3x3 neighborhood; budget 1/16
-        # of the pixels (4K frames would otherwise overflow a fixed 32k
-        # and fall back to transferring the full response map).
-        k = max(32768, img.size // 16)
-    k = min(k, img.size)
-    vals, idx, count = gftt_candidates_topk(
-        imgf, maskj,
-        jnp.float32(options.quality_level), jnp.float32(options.harris_k),
-        k=k,
+
+    kw = dict(
         block_size=int(options.block_size),
         ksize=int(options.gradient_size),
         use_harris=bool(options.use_harris),
@@ -393,21 +502,98 @@ def gftt_dispatch(
         grid_cols=max(1, int(options.grid_cols)),
         is_8u=is_8u,
     )
+    import os as _os
+
+    # Big frames run the min-distance suppression ON DEVICE (exact — see
+    # _suppress_device): at 4K a noise frame has ~200k NMS candidates
+    # and the top-k transfer + host greedy pass dominate the frame
+    # budget.  Small frames keep the proven transfer-then-host path.
+    dev_suppress = (
+        not _host_suppress
+        and options.min_distance >= 1
+        and img.size
+        >= int(_os.environ.get("POLYCHASE_GFTT_DEV_SUPPRESS_MIN",
+                               str(2_000_000)))
+        and _os.environ.get("POLYCHASE_GFTT_DEV_SUPPRESS", "1") != "0"
+    )
+    converged = None
+    if dev_suppress:
+        k2 = min(max(32768, img.size // 64), img.size)
+        vals, idx, count, converged = gftt_suppressed_topk(
+            imgf, maskj,
+            jnp.float32(options.quality_level),
+            jnp.float32(options.harris_k),
+            k=k2, offsets=_circle_offsets(float(options.min_distance)),
+            **kw,
+        )
+    else:
+        if k <= 0:
+            # NMS candidates are at most ~1 per 3x3 neighborhood; budget
+            # 1/16 of the pixels (4K frames would otherwise overflow a
+            # fixed 32k and fall back to the full response map).
+            k = max(32768, img.size // 16)
+        k = min(k, img.size)
+        vals, idx, count = gftt_candidates_topk(
+            imgf, maskj,
+            jnp.float32(options.quality_level),
+            jnp.float32(options.harris_k),
+            k=k, **kw,
+        )
     # Start the device→host copies as soon as the compute finishes so the
     # transfer overlaps later dispatches (a blocking device_get in
     # gftt_finish would otherwise serialize ~30 ms of link time per frame
     # on a remote chip).
-    for arr in (vals, idx, count):
+    arrs = (vals, idx, count) + (
+        (converged,) if converged is not None else ()
+    )
+    for arr in arrs:
         try:
             arr.copy_to_host_async()
         except Exception:  # pragma: no cover - backend without support
             break
-    return GFTTDispatch(vals, idx, count, img.shape, options, (img, maskj))
+    return GFTTDispatch(
+        vals, idx, count, img.shape, options, (img, maskj),
+        suppressed=dev_suppress, converged=converged,
+    )
 
 
 def gftt_finish(d: GFTTDispatch) -> Tuple[np.ndarray, np.ndarray]:
     """Blocking host half: sort + greedy min-distance suppression."""
     import jax as _jax
+
+    if d.suppressed:
+        vals, idx, count, converged = _jax.device_get(
+            (d.vals, d.idx, d.count, d.converged)
+        )
+        if bool(converged) and int(count) <= vals.shape[0]:
+            keep = vals > 0.0
+            vals = vals[keep]
+            lin = idx[keep].astype(np.int64)
+            ys = lin // d.shape[1]
+            xs = lin % d.shape[1]
+            if xs.size == 0:
+                return (
+                    np.empty((0, 2), np.float32),
+                    np.empty((0,), np.float32),
+                )
+            order = np.lexsort((-lin, -vals))
+            xs, ys, vals = xs[order], ys[order], vals[order]
+            n = xs.size
+            if d.options.max_corners > 0:
+                # Greedy-with-cap == unlimited greedy truncated to the
+                # first max_corners acceptances (same visiting order).
+                n = min(n, int(d.options.max_corners))
+            return (
+                np.stack(
+                    [xs[:n].astype(np.float32), ys[:n].astype(np.float32)],
+                    axis=-1,
+                ),
+                vals[:n].astype(np.float32),
+            )
+        # Round cap hit or top-k overflow: exact sequential fallback.
+        return good_features_to_track_host(
+            d.fallback[0], d.fallback[1], d.options
+        )
 
     vals, idx, count = _jax.device_get((d.vals, d.idx, d.count))
     if int(count) > vals.shape[0]:
@@ -478,3 +664,14 @@ def good_features_to_track(
     if img.size == 0:
         return np.empty((0, 2), np.float32), np.empty((0,), np.float32)
     return gftt_finish(gftt_dispatch(img, mask, options))
+
+
+def good_features_to_track_host(
+    image, mask, options: GFTTOptions
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact fallback route: device response + top-k, HOST suppression."""
+    img = np.asarray(image)
+    mask_np = None if mask is None else np.asarray(mask)
+    return gftt_finish(
+        gftt_dispatch(img, mask_np, options, _host_suppress=True)
+    )

@@ -171,3 +171,82 @@ def test_empty_and_edge_cases():
         np.full((64, 64), 128, np.uint8), None, GFTTOptions()
     )
     assert pts.shape[0] == 0
+
+
+class TestDeviceSuppression:
+    """Device-parallel min-distance suppression must match the host
+    greedy pass EXACTLY (same kept set, same order)."""
+
+    def _compare(self, img, options, mask=None, monkeypatch=None):
+        import jax
+        from polychase_tpu.engine import gftt as G
+
+        host = G.good_features_to_track_host(img, mask, options)
+        # Force the device route regardless of image size
+        monkeypatch.setenv("POLYCHASE_GFTT_DEV_SUPPRESS_MIN", "0")
+        dev = G.gftt_finish(G.gftt_dispatch(img, mask, options))
+        np.testing.assert_array_equal(dev[0], host[0])
+        np.testing.assert_array_equal(dev[1], host[1])
+        return host
+
+    def test_matches_host_noise(self, rng, monkeypatch):
+        img = rng.integers(0, 255, (120, 160)).astype(np.uint8)
+        pts, _ = self._compare(
+            img, GFTTOptions(min_distance=5.0), monkeypatch=monkeypatch
+        )
+        assert len(pts) > 20
+
+    def test_matches_host_structured(self, rng, monkeypatch):
+        import scipy.ndimage as ndi
+
+        img = ndi.gaussian_filter(
+            rng.uniform(0, 255, (100, 140)).astype(np.float32), 2.0
+        ).astype(np.uint8)
+        self._compare(
+            img, GFTTOptions(min_distance=3.0), monkeypatch=monkeypatch
+        )
+
+    def test_matches_host_with_ties(self, rng, monkeypatch):
+        # Tiled copies create exact quality ties -> exercises the
+        # later-row-major-position tie-break.
+        tile = rng.integers(0, 255, (40, 40)).astype(np.uint8)
+        img = np.tile(tile, (3, 4))
+        self._compare(
+            img, GFTTOptions(min_distance=4.0), monkeypatch=monkeypatch
+        )
+
+    def test_matches_host_max_corners(self, rng, monkeypatch):
+        img = rng.integers(0, 255, (120, 160)).astype(np.uint8)
+        self._compare(
+            img, GFTTOptions(min_distance=5.0, max_corners=25),
+            monkeypatch=monkeypatch,
+        )
+
+    def test_matches_host_with_mask(self, rng, monkeypatch):
+        img = rng.integers(0, 255, (96, 128)).astype(np.uint8)
+        mask = np.zeros((96, 128), np.uint8)
+        mask[20:80, 30:100] = 1
+        self._compare(
+            img, GFTTOptions(min_distance=5.0), mask=mask,
+            monkeypatch=monkeypatch,
+        )
+
+    def test_matches_cv2_end_to_end(self, rng, monkeypatch):
+        """Device-suppressed output still matches OpenCV goodFeaturesToTrack."""
+        import cv2
+        from polychase_tpu.engine import gftt as G
+
+        img = rng.integers(0, 255, (120, 160)).astype(np.uint8)
+        monkeypatch.setenv("POLYCHASE_GFTT_DEV_SUPPRESS_MIN", "0")
+        # No grid threshold (grid 1x1 ~= stock OpenCV behavior)
+        opts = GFTTOptions(min_distance=5.0, grid_rows=1, grid_cols=1)
+        pts, _ = G.gftt_finish(G.gftt_dispatch(img, None, opts))
+        ref = cv2.goodFeaturesToTrack(
+            img, maxCorners=0, qualityLevel=0.01, minDistance=5.0,
+            blockSize=3,
+        ).reshape(-1, 2)
+        assert len(pts) == len(ref)
+        # Same corner set (order can differ on exact ties)
+        a = {tuple(p) for p in pts.astype(int).tolist()}
+        b = {tuple(p) for p in ref.astype(int).tolist()}
+        assert len(a & b) >= 0.98 * len(ref)
