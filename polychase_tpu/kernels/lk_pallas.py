@@ -317,33 +317,49 @@ def _make_iter_kernel(
             img_ref, img_in_hbm, PR, pl.program_id(0)
         )
 
-        def extract(pxv, pyv):
+        def extract(pxv, pyv, sel=None):
+            """(Re-)stage patches.  ``sel`` (1, GROUP) bool restricts the
+            per-track fetch/roll work to the selected lanes — an escape
+            re-extraction touches only the lanes that drifted out, not
+            the whole group (the per-track loop is the expensive part)."""
             oyf = pyv - half + PADY
             oxf = pxv - half + PADX
             iyw = jnp.floor(oyf).astype(jnp.int32)
             ixw = jnp.floor(oxf).astype(jnp.int32)
             byv = jnp.clip(((iyw - LYT) // 8) * 8, 0, Hp - PR)
             bxv = jnp.clip(ixw - LXT, 0, Wp - PC)
+            if sel is None:
+                sel_i = jnp.ones((1, GROUP), jnp.int32)
+            else:
+                sel_i = jnp.where(sel, 1, 0)
+                byv = jnp.where(sel, byv, by_ref[:])
+                bxv = jnp.where(sel, bxv, bx_ref[:])
             by_ref[:] = byv
             bx_ref[:] = bxv
             bxcv = jnp.minimum((bxv // 128) * 128, Wp - 256)
             rxv = bxv - bxcv
 
-            _to_smem([byv, bxcv, rxv], vtmp, smem, vsem)
+            _to_smem([byv, bxcv, rxv, sel_i], vtmp, smem, vsem)
 
             if img_in_hbm:
                 def start(b, _):
-                    issue(b, smem[0, b], smem[1, b], buf, sems)
+                    @pl.when(smem[3, b] != 0)
+                    def _():
+                        issue(b, smem[0, b], smem[1, b], buf, sems)
+
                     return 0
 
                 jax.lax.fori_loop(0, GROUP, start, 0)
 
             def per_track(b, _):
-                yb = pl.multiple_of(smem[0, b], 8)
-                xc = pl.multiple_of(smem[1, b], 128)
-                rx = smem[2, b]
-                blk = grab(b, yb, xc, buf, sems)
-                tmp[b] = pltpu.roll(blk, (256 - rx) % 256, 1)[:, :PC]
+                @pl.when(smem[3, b] != 0)
+                def _():
+                    yb = pl.multiple_of(smem[0, b], 8)
+                    xc = pl.multiple_of(smem[1, b], 128)
+                    rx = smem[2, b]
+                    blk = grab(b, yb, xc, buf, sems)
+                    tmp[b] = pltpu.roll(blk, (256 - rx) % 256, 1)[:, :PC]
+
                 return 0
 
             jax.lax.fori_loop(0, GROUP, per_track, 0)
@@ -406,7 +422,7 @@ def _make_iter_kernel(
 
             @pl.when(jnp.any(esc))
             def _():
-                extract(px, py)
+                extract(px, py, esc)
 
             lyf, lxf = local_coords(px, py)
             jw = sample(lyf, lxf)
@@ -470,7 +486,7 @@ def _make_iter_kernel(
 
             @pl.when(jnp.any(stale))
             def _():
-                extract(px, py)
+                extract(px, py, stale)
 
             lyf, lxf = local_coords(px, py)
             jw = sample(lyf, lxf)
@@ -549,8 +565,8 @@ def lk_iterate_level_multi(
                 jnp.float32,
             ),
             pltpu.SemaphoreType.DMA((GROUP,)),
-            pltpu.VMEM((3, GROUP), jnp.int32),
-            pltpu.SMEM((3, GROUP), jnp.int32),
+            pltpu.VMEM((4, GROUP), jnp.int32),
+            pltpu.SMEM((4, GROUP), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

@@ -150,3 +150,56 @@ def test_pallas_marks_textureless_features_lost():
     st = np.asarray(st[0])
     assert not ref_st[: n // 2].any()   # flat features fail in XLA
     assert np.array_equal(st, ref_st)   # pallas agrees exactly
+
+
+def test_escape_reextraction_parity(rng):
+    """Large in-level wander (>10px, beyond the patch slack) forces the
+    kernel's selective re-extraction; positions/status must still match
+    the XLA path exactly."""
+    import scipy.ndimage as ndi
+
+    from polychase_tpu.engine import lk
+    from polychase_tpu.kernels import lk_pallas as lkp
+
+    H, W = 120, 200
+    big = ndi.gaussian_filter(
+        rng.uniform(0, 255, (H + 80, W + 80)).astype(np.float32), 2.0
+    )
+    prev = np.ascontiguousarray(big[:H, :W])
+    nxt = np.ascontiguousarray(big[16:16 + H, 12:12 + W])
+
+    pyr_prev = lk._prepare_levels_pallas(
+        lk.build_pyramid(jnp.asarray(prev), 1), levels=1
+    )
+    pyr_next = lk._prepare_levels_pallas(
+        lk.build_pyramid(jnp.asarray(nxt), 1), levels=1
+    )
+    pts = rng.uniform((30, 30), (W - 30, H - 30), (128, 2)).astype(
+        np.float32
+    )
+    out = lkp.lk_all_levels_pallas(
+        tuple(pyr_prev[:1]), ((pyr_next[0][0],),),
+        jnp.asarray(pts), dims=((H, W),), win=10, max_iters=40,
+        eps2=1e-4, min_eig_thr=1e-4, interpret=True,
+    )
+    nxt_pts, st, _err = jax.device_get(out)
+
+    ref = lk._lk_all_levels_multi(
+        tuple(lk._prepare_levels(
+            lk.build_pyramid(jnp.asarray(prev), 1), win=10, levels=1
+        )),
+        (jnp.stack([lk._prepare_levels(
+            lk.build_pyramid(jnp.asarray(nxt), 1), win=10, levels=1
+        )[0][0]]),),
+        jnp.asarray(pts), jnp.float32(1e-4), jnp.float32(1e-4),
+        win=10, max_iters=40, levels=1,
+    )
+    nr, sr, _er = jax.device_get(ref)
+
+    disp = np.linalg.norm(np.asarray(nxt_pts[0]) - pts, axis=-1)
+    assert (disp > 10).sum() > 20  # escapes actually happened
+    assert np.array_equal(np.asarray(st[0]), np.asarray(sr[0]))
+    both = np.asarray(st[0]) & np.asarray(sr[0])
+    np.testing.assert_allclose(
+        nxt_pts[0][both], nr[0][both], atol=1e-2
+    )
