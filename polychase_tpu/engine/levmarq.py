@@ -136,6 +136,79 @@ def damped_cholesky_solve(JtJ, Jtr, lam):
     return jnp.where(ok, step, 0.0), ok
 
 
+def damped_block_tridiag_solve(JtJ, Jtr, lam, *, nb: int, bs: int):
+    """Banded variant of :func:`damped_cholesky_solve`.
+
+    The BA normal matrix is block-banded: with the ±{1,2,4,8} skip
+    pattern an edge couples frames at most 8 apart, so grouping 8 frames
+    per super-block makes the system block-TRIDIAGONAL with ``nb``
+    diagonal blocks of size ``bs``.  A dense Cholesky of the full
+    (nb·bs)² matrix is the measured bound of the refine LM iteration
+    (BENCHMARKS.md roofline: ~3.8 GFLOP and a sequential panel chain);
+    the block-tridiagonal factorization is a ``lax.scan`` of nb small
+    Cholesky/triangular steps — ~40× less work at 250 frames.
+
+    Inputs are the FULL dense (nb·bs,)² system (same damping +
+    equilibration as the dense path); zero-padded trailing rows must
+    carry zero Jtr.  Returns ``(step, ok)``.
+    """
+    n = nb * bs
+    assert JtJ.shape == (n, n), (JtJ.shape, nb, bs)
+    diag = jnp.clip(jnp.diagonal(JtJ), 1e-6, 1e32)
+    damped_diag = diag * (1.0 + lam)
+    A = JtJ.at[jnp.arange(n), jnp.arange(n)].set(damped_diag)
+    d = 1.0 / jnp.sqrt(damped_diag)
+    As = A * d[:, None] * d[None, :]
+    b = (Jtr * d).reshape(nb, bs)
+
+    blocks = As.reshape(nb, bs, nb, bs)
+    ii = jnp.arange(nb)
+    D = blocks[ii, :, ii, :]                      # (nb, bs, bs)
+    E = blocks[ii[1:], :, ii[:-1], :]             # (nb-1, bs, bs) sub-diag
+    E_ext = jnp.concatenate([E, jnp.zeros((1, bs, bs), As.dtype)])
+
+    solve_tri = jax.scipy.linalg.solve_triangular
+
+    def factor(carry, inp):
+        CCt = carry
+        D_i, E_i = inp
+        L = jnp.linalg.cholesky(D_i - CCt)
+        # C_i = E_i · L^{-T}; carry C_i·C_iᵀ into the next block.
+        Ct = solve_tri(L, E_i.T, lower=True)      # = C_iᵀ
+        return Ct.T @ Ct, (L, Ct)
+
+    _, (L_all, Ct_all) = jax.lax.scan(
+        factor, jnp.zeros((bs, bs), As.dtype), (D, E_ext)
+    )
+
+    Ct_prev = jnp.concatenate(
+        [jnp.zeros((1, bs, bs), As.dtype), Ct_all[:-1]]
+    )
+
+    def forward(y_prev, inp):
+        L_i, Ctp, b_i = inp
+        y = solve_tri(L_i, b_i - Ctp.T @ y_prev, lower=True)
+        return y, y
+
+    _, y_all = jax.lax.scan(
+        forward, jnp.zeros((bs,), As.dtype), (L_all, Ct_prev, b)
+    )
+
+    def backward(x_next, inp):
+        L_i, Ct_i, y_i = inp
+        x = solve_tri(L_i.T, y_i - Ct_i @ x_next, lower=False)
+        return x, x
+
+    _, x_all = jax.lax.scan(
+        backward, jnp.zeros((bs,), As.dtype), (L_all, Ct_all, y_all),
+        reverse=True,
+    )
+
+    step = -(x_all.reshape(n) * d)
+    ok = jnp.all(jnp.isfinite(L_all)) & jnp.all(jnp.isfinite(step))
+    return jnp.where(ok, step, 0.0), ok
+
+
 # ---------------------------------------------------------------------------
 # Generic dense LM driver
 # ---------------------------------------------------------------------------

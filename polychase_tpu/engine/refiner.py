@@ -50,6 +50,7 @@ from .geometry import Mesh, transform_bbox, Bbox3
 from .levmarq import (
     BundleOptions,
     BundleStats,
+    damped_block_tridiag_solve,
     damped_cholesky_solve,
     loss_value,
     loss_weight,
@@ -702,11 +703,15 @@ def build_normal_equations(
     return JtJ, Jtr
 
 
-@partial(jax.jit, static_argnames=("loss_type", "opt_f", "opt_pp", "ppc"))
+@partial(
+    jax.jit,
+    static_argnames=("loss_type", "opt_f", "opt_pp", "ppc", "band"),
+)
 def rebuild_and_try_lm_step(
     params, data: RefinerData, prims, tri_corners, model, model_inv,
     loss_scale, lam, bounds: C.Bounds,
     *, loss_type: int, opt_f: bool, opt_pp: bool, ppc: int,
+    band: tuple = (),
 ):
     """Normal-equation rebuild + solve + step + candidate cost, fused into
     one dispatch (accepted iterations otherwise pay two round trips).
@@ -720,15 +725,20 @@ def rebuild_and_try_lm_step(
         JtJ, Jtr, params, data, prims, tri_corners, model, model_inv,
         loss_scale, lam, bounds,
         loss_type=loss_type, opt_f=opt_f, opt_pp=opt_pp, ppc=ppc,
+        band=band,
     )
     return JtJ, Jtr, params_new, vec
 
 
-@partial(jax.jit, static_argnames=("loss_type", "opt_f", "opt_pp", "ppc"))
+@partial(
+    jax.jit,
+    static_argnames=("loss_type", "opt_f", "opt_pp", "ppc", "band"),
+)
 def try_lm_step(
     JtJ, Jtr, params, data: RefinerData, prims, tri_corners, model,
     model_inv, loss_scale, lam, bounds: C.Bounds,
     *, loss_type: int, opt_f: bool, opt_pp: bool, ppc: int,
+    band: tuple = (),
 ):
     """Solve + step + candidate cost in ONE dispatch.
 
@@ -736,8 +746,23 @@ def try_lm_step(
     fetching them one eager op at a time costs a device round trip each
     (~26 ms on a tunneled chip).  Returns (params_new, vec) with
     vec = [grad_norm, solve_ok, step_norm, cost_new, expected_decrease].
+
+    ``band``: static ``(nb, bs)`` to solve the block-tridiagonal system
+    via the banded Cholesky (the skip pattern bounds edge span, see
+    damped_block_tridiag_solve); ``()`` = dense.
     """
-    step, ok = damped_cholesky_solve(JtJ, Jtr, lam)
+    if band:
+        nb, bs = band
+        n0 = JtJ.shape[0]
+        n = nb * bs
+        JtJ_p = jnp.zeros((n, n), JtJ.dtype).at[:n0, :n0].set(JtJ)
+        Jtr_p = jnp.zeros((n,), Jtr.dtype).at[:n0].set(Jtr)
+        step_p, ok = damped_block_tridiag_solve(
+            JtJ_p, Jtr_p, lam, nb=nb, bs=bs
+        )
+        step = step_p[:n0]
+    else:
+        step, ok = damped_cholesky_solve(JtJ, Jtr, lam)
     step_norm = jnp.linalg.norm(step)
     params_new = apply_step(
         params, data, step, bounds, opt_f=opt_f, opt_pp=opt_pp, ppc=ppc
@@ -794,6 +819,31 @@ def apply_step(
 # drive callbacks/stats identically to the host driver.
 # ---------------------------------------------------------------------------
 
+def compute_band(data: RefinerData, F: int, ppc: int) -> tuple:
+    """Static ``(nb, bs)`` for the block-tridiagonal solve, or ``()``.
+
+    Valid when every edge spans at most S frames (the ±{1,2,4,8} skip
+    pattern gives S=8): super-blocks of S frames make the normal matrix
+    block-tridiagonal.  Small problems keep the dense solve (the scan's
+    per-step overhead only pays off once the dense factorization is the
+    bound); ``POLYCHASE_BAND_SOLVE=0`` forces dense everywhere.
+    """
+    import os as _os
+
+    if _os.environ.get("POLYCHASE_BAND_SOLVE", "1") == "0":
+        return ()
+    sf, tf, ev = jax.device_get(
+        (data.src_frame, data.tgt_frame, data.edge_valid)
+    )
+    span_arr = np.abs(np.asarray(sf) - np.asarray(tf)) * np.asarray(ev)
+    span = int(span_arr.max()) if span_arr.size else 1
+    span = max(span, 1)
+    nb = -(-F // span)
+    if nb < 6:  # dense is fine (and cheaper) for short segments
+        return ()
+    return (nb, span * ppc)
+
+
 # Per-iteration replay row:
 # [counted, emit, applied, was_rebuild, invalid, grad_norm, step_norm,
 #  cost_after, lam_after, invalid_inc, done, stepped]
@@ -805,13 +855,16 @@ _LM_ROW = 12
 
 @partial(
     jax.jit,
-    static_argnames=("loss_type", "opt_f", "opt_pp", "ppc", "n_iters"),
+    static_argnames=(
+        "loss_type", "opt_f", "opt_pp", "ppc", "n_iters", "band",
+    ),
 )
 def lm_chunk_device(
     params, prims, JtJ, Jtr, scal,
     data: RefinerData, mesh: Mesh, model, model_inv, tri_corners,
     loss_scale, bounds: C.Bounds, tol4, grid_accel=None,
     *, loss_type: int, opt_f: bool, opt_pp: bool, ppc: int, n_iters: int,
+    band: tuple = (),
 ):
     """Run up to ``n_iters`` LM iterations on device.
 
@@ -850,6 +903,7 @@ def lm_chunk_device(
                 JtJ2, Jtr2, params, data, prims, tri_corners, model,
                 model_inv, loss_scale, lam, bounds,
                 loss_type=loss_type, opt_f=opt_f, opt_pp=opt_pp, ppc=ppc,
+                band=band,
             )
             grad_norm, ok, step_norm = vec[0], vec[1], vec[2]
             cost_new, expected = vec[3], vec[4]
@@ -1102,6 +1156,7 @@ def refine_trajectory(
         )
 
     cost = float(cost0)
+    band = compute_band(data, traj.count, ppc)
     stats = dict(
         iterations=0, initial_cost=cost, cost=cost,
         lambda_=float(bundle_opts.initial_lambda),
@@ -1187,7 +1242,7 @@ def refine_trajectory(
                         params_d, prims_d, JtJ_d, Jtr_d, scal, data, mesh,
                         model, model_inv, tri_corners, loss_scale, bounds,
                         tol4, ga, loss_type=loss_type, opt_f=opt_f,
-                        opt_pp=opt_pp, ppc=ppc, n_iters=4,
+                        opt_pp=opt_pp, ppc=ppc, n_iters=4, band=band,
                     )
                 )
             for r, row in enumerate(np.asarray(jax.device_get(rows))):
@@ -1231,7 +1286,7 @@ def refine_trajectory(
                     params, data, prims, tri_corners, model, model_inv,
                     loss_scale, jnp.float32(lam), bounds,
                     loss_type=loss_type, opt_f=opt_f, opt_pp=opt_pp,
-                    ppc=ppc,
+                    ppc=ppc, band=band,
                 )
             else:
                 if rebuild:
@@ -1241,7 +1296,7 @@ def refine_trajectory(
                     JtJ, Jtr, params, data, prims, tri_corners, model,
                     model_inv, loss_scale, jnp.float32(lam), bounds,
                     loss_type=loss_type, opt_f=opt_f, opt_pp=opt_pp,
-                    ppc=ppc,
+                    ppc=ppc, band=band,
                 )
         grad_norm, solve_ok, step_norm, cost_new, expected = (
             float(x) for x in np.asarray(vec)

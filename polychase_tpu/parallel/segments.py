@@ -108,6 +108,7 @@ def _pad_segment(params: TrajParams, data: RefinerData, F, K, E, M):
     jax.jit,
     static_argnames=(
         "dev_mesh", "loss_type", "opt_f", "opt_pp", "ppc", "n_iters",
+        "band",
     ),
 )
 def _solve_segments_sharded(
@@ -118,6 +119,7 @@ def _solve_segments_sharded(
     mesh: Mesh, model, model_inv, tri_corners,
     loss_scale, lam0, tol4,
     *, loss_type: int, opt_f: bool, opt_pp: bool, ppc: int, n_iters: int,
+    band: tuple = (),
 ):
     """One dispatch: every segment's full LM schedule, vmapped over the
     segment axis and sharded over the device mesh (no collectives)."""
@@ -143,7 +145,7 @@ def _solve_segments_sharded(
             data, mesh, model, model_inv, tri_corners, loss_scale,
             bounds, tol4, None,
             loss_type=loss_type, opt_f=opt_f, opt_pp=opt_pp, ppc=ppc,
-            n_iters=n_iters,
+            n_iters=n_iters, band=band,
         )
         params_f, _prims, _JtJ, _Jtr, scal, rows, _hist = out
         return params_f, scal, rows
@@ -255,6 +257,14 @@ def refine_segments(
         )
     )
 
+    from ..engine.refiner import compute_band
+
+    bands = {
+        compute_band(d, F, ppc) for _, d in padded
+    }
+    # The band must be one static shape across the stacked segments.
+    band = bands.pop() if len(bands) == 1 else ()
+
     params_f, scal, _rows = _solve_segments_sharded(
         dev_mesh, params_s, data_s, bounds_s,
         mesh, model, model_inv, mesh.triangle_corners(),
@@ -264,6 +274,7 @@ def refine_segments(
         opt_pp=bool(optimize_principal_point),
         ppc=ppc,
         n_iters=int(b.max_iterations) + 2,
+        band=band,
     )
 
     params_h = jax.device_get(params_f)
