@@ -270,6 +270,9 @@ def _run(
             # padding everything to 8 wastes ~30% of the kernel time on a
             # short clip.  Padding targets are the source frame itself
             # (zero flow, converges in one iteration); outputs dropped.
+            # Trade-off: a clip long enough to have both edge (<=4) and
+            # interior (8-target) frames compiles BOTH shapes, adding one
+            # extra ~30-60 s remote AOT compile on first run.
             bucket = 4 if len(pyrs2) <= 4 else len(IMAGE_SKIPS)
             while len(pyrs2) < bucket:
                 pyrs2.append(pyr1)

@@ -597,6 +597,12 @@ def track_camera_trajectory(
     ``camera_traj`` as they are produced.  Segments of 4+ frames run the
     device-resident scan chain (one dispatch per SCAN_CHUNK frames);
     shorter runs and ``POLYCHASE_SCAN_TRACK=0`` use the per-frame path.
+
+    Pipelined-callback timing note: on the scan path, chunk c's
+    callbacks fire only after chunk c+1 has already been dispatched, so
+    a cancelling callback wastes up to one chunk of device work and
+    callbacks observe batched rather than strictly per-frame timing
+    (cancel/commit semantics are identical and parity-tested).
     """
     import os as _os
 
