@@ -1,0 +1,248 @@
+"""Segment-parallel forward tracking across a device mesh.
+
+Tracking a segment is inherently sequential (each frame warm-starts from
+its neighbor, cpp/tracker.cc:133-192) — but *segments* are independent
+given their seed keyframes, exactly like refine (parallel/segments.py).
+Each segment's whole chain is one ``lax.scan`` (the same device program
+as ``engine.tracker``'s chunked scan, reused verbatim), vmapped over a
+leading segment axis and shard_mapped over a 1-D mesh: N chips track N
+segments at the single-chip chain rate — the cheapest route to the
+BASELINE north-star (≥30× CPU-realtime 1080p tracking on a v5e-8).
+
+``tests/test_tracking_parallel.py`` pins parity with the sequential
+``track_camera_trajectory``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh as DeviceMesh, PartitionSpec as PSpec
+from jax import shard_map
+
+from ..engine import camera as C
+from ..engine import pose as P
+from ..engine.geometry import Mesh
+from ..engine.levmarq import BundleOptions, CAUCHY
+from ..engine.tracker import (
+    MAX_INLIER_ERROR,
+    TrackingError,
+    _frame_groups,
+    _scan_track_fn,
+)
+from ..engine.trajectory import CameraTrajectory
+from ..io.database import Database
+
+SEGMENT_AXIS = "segments"
+
+
+def make_track_mesh(devices=None) -> DeviceMesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return DeviceMesh(devices.reshape(-1), (SEGMENT_AXIS,))
+
+
+def _pack_segment(database, traj, Gp, K, n_steps):
+    """One segment's scan inputs, padded to (n_steps, Gp, K)."""
+    first_abs = traj.first_frame
+    F = traj.count
+    if not traj.is_frame_filled(first_abs):
+        raise TrackingError(
+            f"segment at {first_abs}: seed frame has no pose"
+        )
+    frames = list(range(first_abs + 1, first_abs + F))
+    available = {first_abs}
+
+    src_idx = np.zeros((n_steps, Gp), np.int32)
+    kp_px = np.zeros((n_steps, Gp, K, 2), np.float32)
+    tgt_px = np.zeros((n_steps, Gp, K, 2), np.float32)
+    val = np.zeros((n_steps, Gp, K), bool)
+    tgt_i = np.zeros((n_steps,), np.int32)
+    warm_i = np.zeros((n_steps,), np.int32)
+    for r, frame_id in enumerate(frames):
+        groups = _frame_groups(database, frame_id, available)
+        for cand in (frame_id, frame_id - 1, frame_id + 1):
+            if cand in available:
+                warm = cand
+                break
+        else:
+            warm = frame_id - 1
+        tgt_i[r] = frame_id - first_abs
+        warm_i[r] = warm - first_abs
+        for g, (src_f, src_px, tpx) in enumerate(groups):
+            n = src_px.shape[0]
+            src_idx[r, g] = src_f - first_abs
+            kp_px[r, g, :n] = src_px
+            tgt_px[r, g, :n] = tpx
+            val[r, g, :n] = True
+        available.add(frame_id)
+    for r in range(len(frames), n_steps):  # padding rows: masked no-ops
+        tgt_i[r] = tgt_i[len(frames) - 1]
+        warm_i[r] = warm_i[len(frames) - 1]
+    return (src_idx, kp_px, tgt_px, val, tgt_i, warm_i)
+
+
+def track_segments(
+    database,
+    trajs: Sequence[CameraTrajectory],
+    model_matrix: np.ndarray,
+    mesh: Mesh,
+    optimize_focal_length: bool = False,
+    optimize_principal_point: bool = False,
+    bundle_opts: BundleOptions = BundleOptions(loss_type=CAUCHY),
+    device_mesh=None,
+):
+    """Track every segment forward from its (filled) first frame, in one
+    parallel dispatch.  Poses are written into each trajectory; returns
+    ``counts`` (S, steps) of correspondences per solved frame (a frame
+    with <3 keeps its warm-start pose, mirroring the sequential path's
+    abort point — callers decide whether that is an error).
+    """
+    if not trajs:
+        return np.zeros((0, 0), np.int32)
+    own_db = False
+    if isinstance(database, str):
+        database = Database(database)
+        own_db = True
+
+    from ..engine.pnp import bucket_size, normalize_bundle_opts
+
+    try:
+        # Shared sizing pass over all segments (one compiled shape).
+        sizes = []
+        for traj in trajs:
+            first_abs = traj.first_frame
+            available = {first_abs}
+            gmax, kmax = 1, 1
+            for frame_id in range(first_abs + 1, first_abs + traj.count):
+                groups = _frame_groups(database, frame_id, available)
+                gmax = max(gmax, len(groups))
+                kmax = max(
+                    kmax, max((g[1].shape[0] for g in groups), default=1)
+                )
+                available.add(frame_id)
+            sizes.append((gmax, kmax))
+        G = max(g for g, _ in sizes)
+        Gp = -(-max(8, G) // 8) * 8
+        K = bucket_size(max(k for _, k in sizes))
+        n_steps = max(t.count - 1 for t in trajs)
+
+        xs_list = [
+            _pack_segment(database, t, Gp, K, n_steps) for t in trajs
+        ]
+    finally:
+        if own_db:
+            database.close()
+
+    S = len(trajs)
+    Fmax = max(t.count for t in trajs)
+    ci0 = jax.device_get(trajs[0].get(trajs[0].first_frame).intrinsics)
+    const5 = jnp.asarray(
+        [
+            float(ci0.aspect_ratio), float(ci0.width), float(ci0.height),
+            float(ci0.sign), MAX_INLIER_ERROR,
+        ],
+        jnp.float32,
+    )
+    q0 = np.zeros((S, Fmax, 4), np.float32)
+    q0[..., 0] = 1.0
+    t0 = np.zeros((S, Fmax, 3), np.float32)
+    in0 = np.zeros((S, Fmax, 4), np.float32)
+    for s, traj in enumerate(trajs):
+        seed = jax.device_get(traj.get(traj.first_frame))
+        q0[s, :] = np.asarray(seed.pose.q)
+        t0[s, :] = np.asarray(seed.pose.t)
+        in0[s, :] = [
+            float(seed.intrinsics.fx), float(seed.intrinsics.fy),
+            float(seed.intrinsics.cx), float(seed.intrinsics.cy),
+        ]
+
+    run = _scan_track_fn(
+        bool(optimize_focal_length), bool(optimize_principal_point),
+        tuple(normalize_bundle_opts(bundle_opts)),
+    )
+
+    xs = tuple(
+        jnp.asarray(np.stack([x[i] for x in xs_list]))
+        for i in range(6)
+    )
+    carry0 = (jnp.asarray(q0), jnp.asarray(t0), jnp.asarray(in0))
+
+    model = jnp.asarray(np.asarray(model_matrix, np.float32))
+    model_inv = jnp.asarray(
+        np.linalg.inv(np.asarray(model_matrix, np.float64)).astype(
+            np.float32
+        )
+    )
+
+    def solve(q0, t0, in0, xs, mesh_, model_, model_inv_, const5_):
+        return run(mesh_, model_, model_inv_, q0, t0, in0, const5_, xs)
+
+    batched = jax.vmap(solve, in_axes=(0, 0, 0, 0, None, None, None, None))
+
+    dev_mesh = None
+    if device_mesh is not False:
+        if device_mesh is not None:
+            dev_mesh = device_mesh
+        elif jax.device_count() > 1:
+            dev_mesh = make_track_mesh()
+
+    n_dummy = 0
+    if dev_mesh is not None:
+        D = int(dev_mesh.devices.size)
+        n_dummy = (-S) % D
+        if n_dummy:
+            pad = lambda a: jnp.concatenate(
+                [a, jnp.repeat(a[:1], n_dummy, 0)]
+            )
+            carry0 = tuple(pad(c) for c in carry0)
+            xs = tuple(pad(x) for x in xs)
+        seg = PSpec(SEGMENT_AXIS)
+        rep = PSpec()
+        fn = shard_map(
+            batched,
+            mesh=dev_mesh,
+            in_specs=(
+                seg, seg, seg, (seg,) * 6,
+                jax.tree.map(lambda _: rep, mesh), rep, rep, rep,
+            ),
+            out_specs=((seg, seg, seg), seg, seg),
+            check_vma=False,
+        )
+        carry, vecs, counts = fn(
+            *carry0, xs, mesh, model, model_inv, const5
+        )
+    else:
+        carry, vecs, counts = batched(
+            *carry0, xs, mesh, model, model_inv, const5
+        )
+
+    q_all, t_all, in_all = jax.device_get(carry)
+    counts_h = np.asarray(jax.device_get(counts))
+    for s, traj in enumerate(trajs):
+        first_abs = traj.first_frame
+        ci = jax.device_get(traj.get(first_abs).intrinsics)
+        for r in range(traj.count - 1):
+            if counts_h[s, r] < 3:
+                continue
+            i = r + 1  # tgt index within the segment (forward order)
+            intr = C.Intrinsics(
+                fx=np.float32(in_all[s, i, 0]),
+                fy=np.float32(in_all[s, i, 1]),
+                cx=np.float32(in_all[s, i, 2]),
+                cy=np.float32(in_all[s, i, 3]),
+                aspect_ratio=ci.aspect_ratio, width=ci.width,
+                height=ci.height, sign=ci.sign,
+            )
+            traj.set(
+                first_abs + i,
+                C.CameraState(
+                    intr,
+                    P.Pose(
+                        jnp.asarray(q_all[s, i]), jnp.asarray(t_all[s, i])
+                    ),
+                ),
+            )
+    return counts_h[:S]
