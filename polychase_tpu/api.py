@@ -743,3 +743,38 @@ def refine_segments(
 
 
 __all__ += ["device_count", "refine_segments"]
+
+
+@_engine_errors
+def track_segments(
+    database_path: str,
+    camera_trajectories,
+    model_matrix,
+    mesh: AcceleratedMesh,
+    optimize_focal_length: bool = False,
+    optimize_principal_point: bool = False,
+    bundle_opts: BundleOptions = None,
+):
+    """Track independent seeded segments in parallel (extension).
+
+    Each trajectory must have its first frame filled (the seed
+    keyframe); the chains run concurrently across the device mesh
+    (parallel/tracking.py).  Returns per-segment correspondence counts.
+    """
+    from .parallel.tracking import track_segments as _ts
+
+    if bundle_opts is None:
+        bundle_opts = BundleOptions()
+        bundle_opts.loss_type = LossType.Cauchy
+    return _ts(
+        database_path,
+        [ct._traj for ct in camera_trajectories],
+        np.asarray(model_matrix, np.float32).reshape(4, 4),
+        mesh._to_engine(),
+        optimize_focal_length,
+        optimize_principal_point,
+        bundle_opts._to_engine(),
+    )
+
+
+__all__ += ["track_segments"]
