@@ -17,6 +17,13 @@ import time
 
 import numpy as np
 
+# Honor JAX_PLATFORMS even on hosts whose sitecustomize pre-registers a
+# device plugin (the env var alone is ignored there).
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(
     0,
