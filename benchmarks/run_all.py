@@ -421,6 +421,75 @@ def _baseline_refine_wall(db_path, mesh, intr, traj, n, opts):
     return dt
 
 
+def bench_segment_parallel():
+    """Segment-parallel tracking + refine over the visible device mesh.
+
+    On one chip this measures the vmapped batch (all segments in one
+    dispatch); on a pod each chip takes a segment shard, so throughput
+    scales with the mesh — the north-star configuration
+    (BASELINE.json: ≥30× CPU-realtime on a v5e-8)."""
+    import jax
+    import jax.numpy as jnp
+
+    from polychase_tpu.engine import camera as C, pose as P
+    from polychase_tpu.engine.levmarq import BundleOptions, CAUCHY
+    from polychase_tpu.engine.trajectory import CameraTrajectory
+    from polychase_tpu.parallel.segments import refine_segments
+    from polychase_tpu.parallel.tracking import track_segments
+
+    rng = np.random.default_rng(5)
+    n_seg = max(int(jax.device_count()), 4)
+    seg_len = 16
+    n = n_seg * (seg_len - 1) + 1
+    mesh, intr, poses = make_scene(n)
+    with tempfile.TemporaryDirectory() as td:
+        db_path = os.path.join(td, "flow.db")
+        build_synth_db(db_path, mesh, intr, poses, rng, kp_per_frame=128)
+
+        def seeded():
+            out = []
+            for s in range(n_seg):
+                a = s * (seg_len - 1)
+                traj = CameraTrajectory(a, seg_len)
+                traj.set(a, C.CameraState(intr, poses[a]))
+                out.append(traj)
+            return out
+
+        opts = BundleOptions(loss_type=CAUCHY, loss_scale=1.0)
+        track_segments(  # warm/compile
+            db_path, seeded(), np.eye(4, dtype=np.float32), mesh,
+            bundle_opts=opts,
+        )
+        t0 = time.perf_counter()
+        trajs = seeded()
+        track_segments(
+            db_path, trajs, np.eye(4, dtype=np.float32), mesh,
+            bundle_opts=opts,
+        )
+        dt = time.perf_counter() - t0
+        emit(
+            "segment_parallel_tracking_fps",
+            n_seg * (seg_len - 1) / dt, "frames/sec",
+        )
+
+        ropts = BundleOptions(
+            loss_type=CAUCHY, loss_scale=1.0, max_iterations=20
+        )
+        refine_segments(  # warm/compile
+            db_path, trajs, np.eye(4, dtype=np.float32), mesh,
+            bundle_opts=ropts,
+        )
+        t0 = time.perf_counter()
+        refine_segments(
+            db_path, trajs, np.eye(4, dtype=np.float32), mesh,
+            bundle_opts=ropts,
+        )
+        emit(
+            "segment_parallel_refine_walltime_s",
+            time.perf_counter() - t0, "seconds",
+        )
+
+
 def bench_4k_pipeline():
     """Config 5: 4K clip — analyze (GFTT + LK) fps, then object tracking
     with a 3D-masked mesh and variable focal + principal point."""
@@ -512,7 +581,7 @@ def main():
     ap.add_argument(
         "--only",
         choices=["pin", "track", "refine", "analyze", "analyze1080",
-                 "full4k"],
+                 "full4k", "segpar"],
     )
     args = ap.parse_args()
     MEASURE_BASELINE = not args.no_baseline
@@ -521,6 +590,7 @@ def main():
         {"pin": bench_pin_drag, "track": bench_tracking,
          "refine": bench_refine, "full4k": bench_4k_pipeline,
          "analyze1080": bench_analyze_1080p,
+         "segpar": bench_segment_parallel,
          }.get(args.only, lambda: None)()
         if args.only == "analyze":
             import bench
