@@ -52,10 +52,17 @@ def _np4(mat) -> np.ndarray:
 
 
 def _ray_world(scene: SceneTransformations, pos) -> tuple:
+    """Pixel → world ray, pure host math (one solve per mouse move)."""
     view_inv = np.linalg.inv(_np4(scene.view_matrix))
-    d = np.asarray(
-        C.unproject(scene.intrinsics, jnp.asarray(pos, jnp.float32)),
-        np.float64,
+    intr = jax.device_get(scene.intrinsics)
+    s = float(intr.sign)
+    px, py = (float(v) for v in np.asarray(pos, np.float64).reshape(2))
+    d = np.array(
+        [
+            s * (px - float(intr.cx)) / float(intr.fx),
+            s * (py - float(intr.cy)) / float(intr.fy),
+            s,
+        ]
     )
     return view_inv[:3, 3], view_inv[:3, :3] @ d
 
@@ -78,13 +85,15 @@ def _find_transformation_1(
 
     if trans_type == TRANSFORM_MODEL:
         return SceneTransformations(
-            jnp.asarray(new_model, jnp.float32),
+            np.asarray(new_model, np.float32),
             scene.view_matrix,
             scene.intrinsics,
         )
     view = _np4(scene.view_matrix) @ new_model @ np.linalg.inv(model)
+    # Host arrays throughout: a pin drag solves per mouse move, and a
+    # device round trip costs ~52 ms on a tunneled chip.
     return SceneTransformations(
-        scene.model_matrix, jnp.asarray(view, jnp.float32), scene.intrinsics
+        scene.model_matrix, np.asarray(view, np.float32), scene.intrinsics
     )
 
 
@@ -136,13 +145,13 @@ def _find_transformation_2(
 
     if trans_type == TRANSFORM_MODEL:
         return SceneTransformations(
-            jnp.asarray(update_mat @ model, jnp.float32),
+            np.asarray(update_mat @ model, np.float32),
             scene.view_matrix,
             scene.intrinsics,
         )
     return SceneTransformations(
         scene.model_matrix,
-        jnp.asarray(_np4(scene.view_matrix) @ update_mat, jnp.float32),
+        np.asarray(_np4(scene.view_matrix) @ update_mat, np.float32),
         scene.intrinsics,
     )
 
@@ -219,7 +228,7 @@ def _find_transformation_n(
         new_mv[:3, 3] = R @ mv_t + t
         model = np.linalg.inv(_np4(initial.view_matrix)) @ new_mv
         return SceneTransformations(
-            jnp.asarray(model, jnp.float32),
+            np.asarray(model, np.float32),
             current.view_matrix,
             result.camera.intrinsics,
         )
@@ -229,7 +238,7 @@ def _find_transformation_n(
     view = upd @ _np4(initial.view_matrix)
     return SceneTransformations(
         current.model_matrix,
-        jnp.asarray(view, jnp.float32),
+        np.asarray(view, np.float32),
         result.camera.intrinsics,
     )
 
