@@ -193,7 +193,7 @@ def _run(
     # compute.  The reference overlaps work with a 4-thread TBB pool
     # (cpp/opticalflow.cc:269-309); here asynchronous dispatch plays that
     # role with a single Python thread.
-    LOOKAHEAD = 3
+    LOOKAHEAD = 4
     gftt_pending: dict = {}
     gftt_skip: set = set()
     from collections import deque
@@ -285,9 +285,10 @@ def _run(
                 pyr1, pyrs2, features, flow_options
             )
         pending_flows.append((frame_id1, targets, handle))
-        # Keep two solves in flight: the finish of frame i-2 overlaps the
-        # device compute of frames i-1 and i.
-        while len(pending_flows) > 2:
+        # Keep three solves in flight: the finish of frame i-3 overlaps
+        # the device compute of frames i-2..i, covering the full
+        # dispatch+fetch floor of the link.
+        while len(pending_flows) > 3:
             flush_one()
 
     while pending_flows:
