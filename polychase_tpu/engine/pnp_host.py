@@ -18,7 +18,7 @@ import numpy as np
 
 from . import camera as C
 from . import pose as P
-from .levmarq import BundleOptions, BundleStats, CAUCHY, HUBER, TRIVIAL
+from .levmarq import BundleStats, CAUCHY, HUBER, TRIVIAL
 from .pnp import PnPOptions, PnPResult
 
 _BEHIND_RESIDUAL = 1e18  # matches engine.pnp._BEHIND_RESIDUAL

@@ -111,6 +111,39 @@ def _to_smem(rows, vtmp, smem, sem):
 # per stack/target index), so the budget is ~(16 MB - ~8 MB scratch)/2.
 IMG_VMEM_LIMIT = 3 * (1 << 20)
 
+# Test hook: force the HBM/DMA path in interpret mode (it is otherwise
+# only reachable on real hardware at 1080p+).
+FORCE_HBM_FOR_TESTS = False
+
+
+def _use_hbm(Hp: int, Wp: int, interpret: bool) -> bool:
+    if interpret:
+        return FORCE_HBM_FOR_TESTS
+    return Hp * Wp * 4 > IMG_VMEM_LIMIT
+
+
+def _dedup_slots(by, bx, sel_i):
+    """Per-lane DMA slot assignment with run dedup.
+
+    Spatially sorted features frequently land in the SAME (row-base,
+    col-base) fetch block; at 4K the per-feature block DMA dominates
+    extraction (≈40 KB × GROUP per group-step).  A lane reuses the
+    previous lane's block when (by, bx) match and both lanes are
+    selected — ``slot[b]`` is the first lane of b's run, so only run
+    heads issue/wait DMAs and followers read the head's buffer.
+    """
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, GROUP), 1)
+    prev_by = pltpu.roll(by, 1, 1)
+    prev_bx = pltpu.roll(bx, 1, 1)
+    prev_sel = pltpu.roll(sel_i, 1, 1)
+    same = (prev_by == by) & (prev_bx == bx) & (idx > 0) & (prev_sel != 0)
+    new = (sel_i != 0) & ~same
+    sm = jnp.where(new, idx, -1)
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        sh = pltpu.roll(sm, k, 1)
+        sm = jnp.maximum(sm, jnp.where(idx >= k, sh, -1))
+    return sm
+
 
 def _block_fetcher(img_ref, img_in_hbm: bool, rows: int, lead):
     """Returns (issue(b, yb, xc, buf, sems), grab(b, yb, xc, buf, sems))
@@ -151,6 +184,29 @@ def _block_fetcher(img_ref, img_in_hbm: bool, rows: int, lead):
     return issue, grab
 
 
+def _hbm_fetch_parts(img_ref, rows: int, lead):
+    """HBM fetch split into (issue, wait, read) for slot-deduped DMAs:
+    only a run head issues and waits; followers ``read`` its buffer."""
+
+    def _src(yb, xc):
+        return img_ref.at[
+            lead,
+            pl.ds(pl.multiple_of(yb, 8), rows),
+            pl.ds(pl.multiple_of(xc, 128), 256),
+        ]
+
+    def issue(b, yb, xc, buf, sems):
+        pltpu.make_async_copy(_src(yb, xc), buf.at[b], sems.at[b]).start()
+
+    def wait(b, yb, xc, buf, sems):
+        pltpu.make_async_copy(_src(yb, xc), buf.at[b], sems.at[b]).wait()
+
+    def read(sl, buf):
+        return buf[sl]
+
+    return issue, wait, read
+
+
 def _make_extract_kernel(win: int, Hp: int, Wp: int, img_in_hbm: bool):
     """Extract the (win+2)x(win+2) integer support window per feature from
     ONE image.  A single kernel loading image+dx+dy together exceeds the
@@ -168,14 +224,23 @@ def _make_extract_kernel(win: int, Hp: int, Wp: int, img_in_hbm: bool):
         ryv = iyv - byv
         bxcv = jnp.minimum((ixv // 128) * 128, Wp - 256)
         rxv = ixv - bxcv
-        _to_smem([byv, ryv, bxcv, rxv], vtmp, smem, vsem)
+        ones = jnp.ones((1, GROUP), jnp.int32)
+        slots = _dedup_slots(byv, bxcv, ones) if img_in_hbm else ones
+        _to_smem([byv, ryv, bxcv, rxv, slots], vtmp, smem, vsem)
         issue, grab = _block_fetcher(
             img_ref, img_in_hbm, BR, pl.program_id(0)
         )
 
         if img_in_hbm:
+            issue_h, wait_h, read_h = _hbm_fetch_parts(
+                img_ref, BR, pl.program_id(0)
+            )
+
             def start(b, _):
-                issue(b, smem[0, b], smem[2, b], buf, sems)
+                @pl.when(smem[4, b] == b)
+                def _():
+                    issue_h(b, smem[0, b], smem[2, b], buf, sems)
+
                 return 0
 
             jax.lax.fori_loop(0, GROUP, start, 0)
@@ -185,7 +250,16 @@ def _make_extract_kernel(win: int, Hp: int, Wp: int, img_in_hbm: bool):
             ry = smem[1, b]
             xc = pl.multiple_of(smem[2, b], 128)
             rx = smem[3, b]
-            blk = grab(b, yb, xc, buf, sems)
+            if img_in_hbm:
+                sl = smem[4, b]
+
+                @pl.when(sl == b)
+                def _():
+                    wait_h(b, yb, xc, buf, sems)
+
+                blk = read_h(sl, buf)
+            else:
+                blk = grab(b, yb, xc, buf, sems)
             blk = pltpu.roll(blk, (256 - rx) % 256, 1)
             blk = pltpu.roll(blk, (BR - ry) % BR, 0)
             tmp[b] = blk[:INT, :INT]
@@ -219,7 +293,7 @@ def lk_prepare_level(
     ixp = (ix + PADX).reshape(1, n)
     iyp = (iy + PADY).reshape(1, n)
 
-    img_in_hbm = (not interpret) and Hp * Wp * 4 > IMG_VMEM_LIMIT
+    img_in_hbm = _use_hbm(Hp, Wp, interpret)
     kernel, BR, INT = _make_extract_kernel(win, Hp, Wp, img_in_hbm)
     grid = (3, n // GROUP)   # stacked (img, dx, dy) x feature groups
     vec_in = lambda: pl.BlockSpec(
@@ -250,8 +324,8 @@ def lk_prepare_level(
                 jnp.float32,
             ),
             pltpu.SemaphoreType.DMA((GROUP,)),
-            pltpu.VMEM((4, GROUP), jnp.int32),
-            pltpu.SMEM((4, GROUP), jnp.int32),
+            pltpu.VMEM((5, GROUP), jnp.int32),
+            pltpu.SMEM((5, GROUP), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
@@ -316,6 +390,10 @@ def _make_iter_kernel(
         issue, grab = _block_fetcher(
             img_ref, img_in_hbm, PR, pl.program_id(0)
         )
+        if img_in_hbm:
+            issue_h, wait_h, read_h = _hbm_fetch_parts(
+                img_ref, PR, pl.program_id(0)
+            )
 
         def extract(pxv, pyv, sel=None):
             """(Re-)stage patches.  ``sel`` (1, GROUP) bool restricts the
@@ -338,14 +416,17 @@ def _make_iter_kernel(
             bx_ref[:] = bxv
             bxcv = jnp.minimum((bxv // 128) * 128, Wp - 256)
             rxv = bxv - bxcv
+            slots = (
+                _dedup_slots(byv, bxcv, sel_i) if img_in_hbm else sel_i
+            )
 
-            _to_smem([byv, bxcv, rxv, sel_i], vtmp, smem, vsem)
+            _to_smem([byv, bxcv, rxv, sel_i, slots], vtmp, smem, vsem)
 
             if img_in_hbm:
                 def start(b, _):
-                    @pl.when(smem[3, b] != 0)
+                    @pl.when((smem[3, b] != 0) & (smem[4, b] == b))
                     def _():
-                        issue(b, smem[0, b], smem[1, b], buf, sems)
+                        issue_h(b, smem[0, b], smem[1, b], buf, sems)
 
                     return 0
 
@@ -357,7 +438,16 @@ def _make_iter_kernel(
                     yb = pl.multiple_of(smem[0, b], 8)
                     xc = pl.multiple_of(smem[1, b], 128)
                     rx = smem[2, b]
-                    blk = grab(b, yb, xc, buf, sems)
+                    if img_in_hbm:
+                        sl = smem[4, b]
+
+                        @pl.when(sl == b)
+                        def _():
+                            wait_h(b, yb, xc, buf, sems)
+
+                        blk = read_h(sl, buf)
+                    else:
+                        blk = grab(b, yb, xc, buf, sems)
                     tmp[b] = pltpu.roll(blk, (256 - rx) % 256, 1)[:, :PC]
 
                 return 0
@@ -515,7 +605,7 @@ def lk_iterate_level_multi(
     T, Hp, Wp = imgs_pad.shape
     n = pts.shape[1]
     assert n % GROUP == 0, n
-    img_in_hbm = (not interpret) and Hp * Wp * 4 > IMG_VMEM_LIMIT
+    img_in_hbm = _use_hbm(Hp, Wp, interpret)
     kernel, PR, PC = _make_iter_kernel(
         win, Hp, Wp, H, W, max_iters, eps2, level_is_zero, img_in_hbm
     )
@@ -565,8 +655,8 @@ def lk_iterate_level_multi(
                 jnp.float32,
             ),
             pltpu.SemaphoreType.DMA((GROUP,)),
-            pltpu.VMEM((4, GROUP), jnp.int32),
-            pltpu.SMEM((4, GROUP), jnp.int32),
+            pltpu.VMEM((5, GROUP), jnp.int32),
+            pltpu.SMEM((5, GROUP), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

@@ -28,13 +28,13 @@ from typing import List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh as DeviceMesh, NamedSharding
+from jax.sharding import Mesh as DeviceMesh
 from jax.sharding import PartitionSpec as PSpec
 from jax import shard_map
 
 from ..engine import camera as C
 from ..engine.geometry import Mesh
-from ..engine.levmarq import BundleOptions, BundleStats
+from ..engine.levmarq import BundleOptions
 from ..engine.refiner import (
     RefinerData,
     TrajParams,

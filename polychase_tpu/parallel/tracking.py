@@ -15,7 +15,7 @@ BASELINE north-star (≥30× CPU-realtime 1080p tracking on a v5e-8).
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

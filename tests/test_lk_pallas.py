@@ -203,3 +203,112 @@ def test_escape_reextraction_parity(rng):
     np.testing.assert_allclose(
         nxt_pts[0][both], nr[0][both], atol=1e-2
     )
+
+
+def test_hbm_dma_path_parity(rng, monkeypatch):
+    """The HBM per-feature-DMA path (1080p+ on hardware) against the XLA
+    reference, in interpret mode via the FORCE_HBM_FOR_TESTS hook."""
+    import scipy.ndimage as ndi
+
+    from polychase_tpu.engine import lk
+    from polychase_tpu.kernels import lk_pallas as lkp
+
+    monkeypatch.setattr(lkp, "FORCE_HBM_FOR_TESTS", True)
+
+    H, W = 96, 160
+    big = ndi.gaussian_filter(
+        rng.uniform(0, 255, (H + 40, W + 40)).astype(np.float32), 1.5
+    )
+    prev = np.ascontiguousarray(big[:H, :W])
+    nxt = np.ascontiguousarray(big[3:3 + H, 4:4 + W])
+
+    levels = 2
+    pyr_prev = lk._prepare_levels_pallas(
+        lk.build_pyramid(jnp.asarray(prev), levels), levels=levels
+    )
+    pyr_next = lk._prepare_levels_pallas(
+        lk.build_pyramid(jnp.asarray(nxt), levels), levels=levels
+    )
+    dims = ((H, W), ((H + 1) // 2, (W + 1) // 2))
+    pts = rng.uniform((14, 14), (W - 14, H - 14), (128, 2)).astype(
+        np.float32
+    )
+    out = lkp.lk_all_levels_pallas(
+        tuple(pyr_prev[:levels]),
+        tuple((pyr_next[lvl][0],) for lvl in range(levels)),
+        jnp.asarray(pts), dims=dims, win=10, max_iters=20,
+        eps2=1e-4, min_eig_thr=1e-4, interpret=True,
+    )
+    nxt_pts, st, _err = jax.device_get(out)
+
+    ref = lk._lk_all_levels_multi(
+        tuple(lk._prepare_levels(
+            lk.build_pyramid(jnp.asarray(prev), levels),
+            win=10, levels=levels,
+        )),
+        tuple(
+            jnp.stack([lk._prepare_levels(
+                lk.build_pyramid(jnp.asarray(nxt), levels),
+                win=10, levels=levels,
+            )[lvl][0]])
+            for lvl in range(levels)
+        ),
+        jnp.asarray(pts), jnp.float32(1e-4), jnp.float32(1e-4),
+        win=10, max_iters=20, levels=levels,
+    )
+    nr, sr, _er = jax.device_get(ref)
+    assert np.array_equal(np.asarray(st[0]), np.asarray(sr[0]))
+    both = np.asarray(st[0]) & np.asarray(sr[0])
+    assert both.sum() > 100
+    np.testing.assert_allclose(nxt_pts[0][both], nr[0][both], atol=1e-2)
+
+
+def test_hbm_dma_dedup_clustered(rng, monkeypatch):
+    """Sorted, tightly clustered features share fetch blocks — the
+    deduped DMA path must still produce exact XLA parity."""
+    import scipy.ndimage as ndi
+
+    from polychase_tpu.engine import lk
+    from polychase_tpu.kernels import lk_pallas as lkp
+
+    monkeypatch.setattr(lkp, "FORCE_HBM_FOR_TESTS", True)
+
+    H, W = 96, 160
+    big = ndi.gaussian_filter(
+        rng.uniform(0, 255, (H + 40, W + 40)).astype(np.float32), 1.5
+    )
+    prev = np.ascontiguousarray(big[:H, :W])
+    nxt = np.ascontiguousarray(big[2:2 + H, 3:3 + W])
+
+    # 128 points in a 30x30 box, row-major sorted: long same-block runs
+    pts = rng.uniform((60, 40), (90, 70), (128, 2)).astype(np.float32)
+    pts = pts[np.lexsort((pts[:, 0], pts[:, 1]))]
+
+    pyr_prev = lk._prepare_levels_pallas(
+        lk.build_pyramid(jnp.asarray(prev), 1), levels=1
+    )
+    pyr_next = lk._prepare_levels_pallas(
+        lk.build_pyramid(jnp.asarray(nxt), 1), levels=1
+    )
+    out = lkp.lk_all_levels_pallas(
+        tuple(pyr_prev[:1]), ((pyr_next[0][0],),),
+        jnp.asarray(pts), dims=((H, W),), win=10, max_iters=20,
+        eps2=1e-4, min_eig_thr=1e-4, interpret=True,
+    )
+    nxt_pts, st, _err = jax.device_get(out)
+
+    ref = lk._lk_all_levels_multi(
+        tuple(lk._prepare_levels(
+            lk.build_pyramid(jnp.asarray(prev), 1), win=10, levels=1
+        )),
+        (jnp.stack([lk._prepare_levels(
+            lk.build_pyramid(jnp.asarray(nxt), 1), win=10, levels=1
+        )[0][0]]),),
+        jnp.asarray(pts), jnp.float32(1e-4), jnp.float32(1e-4),
+        win=10, max_iters=20, levels=1,
+    )
+    nr, sr, _er = jax.device_get(ref)
+    assert np.array_equal(np.asarray(st[0]), np.asarray(sr[0]))
+    both = np.asarray(st[0]) & np.asarray(sr[0])
+    assert both.sum() > 100
+    np.testing.assert_allclose(nxt_pts[0][both], nr[0][both], atol=1e-2)
