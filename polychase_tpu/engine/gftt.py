@@ -389,13 +389,25 @@ def _suppress_device(qmap, *, offsets, max_rounds: int = 128):
 
     def body(state):
         und, kept, rounds = state
+        # Mass rejection first: ANY undecided point within the radius of
+        # a kept point is rejected by the greedy pass no matter when it
+        # is visited (kept points only accumulate), so pruning it NOW is
+        # exact — and stops doomed high-priority points from blocking
+        # their neighborhoods' local-max test for many rounds.
+        kp = pad(kept, False)
+        conflict = jnp.zeros_like(kept)
+        for dy, dx in offsets:
+            if dy == 0 and dx == 0:
+                continue
+            conflict = conflict | shifted(kp, dy, dx, (H, W))
+        und = und & ~conflict
+
         qu = jnp.where(und, qmap, -jnp.inf)
         lu = jnp.where(und, lin, -1)
-        qp, lp, kp = pad(qu, -jnp.inf), pad(lu, -1), pad(kept, False)
+        qp, lp = pad(qu, -jnp.inf), pad(lu, -1)
 
         best_q = qu
         best_l = lu
-        conflict = jnp.zeros_like(kept)
         for dy, dx in offsets:
             if dy == 0 and dx == 0:
                 continue
@@ -404,11 +416,12 @@ def _suppress_device(qmap, *, offsets, max_rounds: int = 128):
             take = (qs > best_q) | ((qs == best_q) & (ls > best_l))
             best_q = jnp.where(take, qs, best_q)
             best_l = jnp.where(take, ls, best_l)
-            conflict = conflict | shifted(kp, dy, dx, (H, W))
 
         # Tie-break matches the host sort: later row-major position wins.
+        # A surviving local max has no kept point in range (pruned above)
+        # and no undecided higher-priority neighbor: decide kept.
         selfmax = und & (qmap == best_q) & (lin == best_l)
-        kept = kept | (selfmax & ~conflict)
+        kept = kept | selfmax
         und = und & ~selfmax
         return und, kept, rounds + 1
 
@@ -518,7 +531,14 @@ def gftt_dispatch(
     )
     converged = None
     if dev_suppress:
-        k2 = min(max(32768, img.size // 64), img.size)
+        # Kept points are pairwise >= min_distance apart, so the hex
+        # packing bound caps their count; a 4K noise frame keeps ~170k
+        # at d=5 (bound ~390k).  Undersizing k would silently fall back
+        # to the host path every frame.
+        dmin = max(float(options.min_distance), 1.0)
+        H_, W_ = img.shape
+        pack = int((W_ / dmin + 2) * (H_ / dmin + 2) * 1.16)
+        k2 = min(max(32768, pack), img.size)
         vals, idx, count, converged = gftt_suppressed_topk(
             imgf, maskj,
             jnp.float32(options.quality_level),
