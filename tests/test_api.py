@@ -237,3 +237,52 @@ def test_engine_errors_surface_as_cpp_exception(tmp_path):
     with pytest.raises(pc.CppException):
         # no flows in the database -> tracker raises
         pc.track_sequence(db_path, 0, 3, st, mesh, lambda r: True)
+
+
+def test_refine_segments_thread(tmp_path, rng):
+    """RefineSegmentsThread: one worker refining two segments in one
+    parallel dispatch (addon refine-all multi-chip path)."""
+    mesh = make_sphere_mesh()
+    intr_engine = make_intrinsics()
+    poses = [orbit_pose(0.03 * t) for t in range(11)]
+    db_path = str(tmp_path / "flow.db")
+    build_flow_db(db_path, mesh, intr_engine, poses, rng)
+
+    def seg(a, b):
+        traj = pc.CameraTrajectory(a, b - a + 1)
+        for i in range(a, b + 1):
+            state = pc.CameraState(api_intrinsics(), pc.Pose(
+                np.asarray(poses[i].q), np.asarray(poses[i].t)))
+            if i not in (a, b):
+                state.pose.t = state.pose.t + rng.normal(
+                    0, 0.008, 3
+                ).astype(np.float32)
+            traj.set(i, state)
+        return traj
+
+    trajs = [seg(0, 5), seg(5, 10)]
+    accel = pc.AcceleratedMesh(np.asarray(mesh.vertices),
+                               np.asarray(mesh.triangles))
+    thread = pc.RefineSegmentsThread(
+        db_path, trajs, np.eye(4, dtype=np.float32), accel, False, False,
+        pc.BundleOptions(),
+    )
+    done, updates = False, []
+    deadline = time.time() + 300
+    while not done and time.time() < deadline:
+        msg = thread.try_pop()
+        if msg is None:
+            time.sleep(0.02)
+            continue
+        if isinstance(msg, bool):
+            done = True
+        elif isinstance(msg, Exception):
+            raise msg
+        else:
+            updates.append(msg)
+    thread.join()
+    assert done and updates
+    for traj, (a, b) in zip(trajs, [(0, 5), (5, 10)]):
+        for i in range(a + 1, b):
+            t = traj.get(i).pose.t
+            assert np.linalg.norm(t - np.asarray(poses[i].t)) < 2.5e-3
