@@ -493,18 +493,11 @@ def _make_iter_kernel(
             it, _, _, active_f, _, _, _ = c
             return (it < max_iters) & jnp.any(active_f > 0.0)
 
-        def body2(c):
-            # Two masked iterations per loop trip: the per-trip fixed
-            # cost (carry plumbing, early-exit test) measures comparable
-            # to the blend itself, so halving trips buys real time; the
-            # overrun guard keeps iteration counts exact.
-            return body(body(c))
-
         def body(c):
             # Mosaic cannot carry i1 vectors through scf.while: active and
             # status ride the carry as f32 masks.
             it, px, py, active_f, pdx, pdy, status_f = c
-            active = (active_f > 0.0) & (it < max_iters)
+            active = active_f > 0.0
             ixw = jnp.floor(px - half).astype(jnp.int32)
             iyw = jnp.floor(py - half).astype(jnp.int32)
             oob = (ixw < -win) | (ixw >= W) | (iyw < -win) | (iyw >= H)
@@ -567,9 +560,7 @@ def _make_iter_kernel(
             jnp.zeros((1, GROUP), jnp.float32),
             status0,
         )
-        _, px, py, _, _, _, status_f = jax.lax.while_loop(
-            cond, body2, init
-        )
+        _, px, py, _, _, _, status_f = jax.lax.while_loop(cond, body, init)
 
         xo_ref[0] = px
         yo_ref[0] = py
