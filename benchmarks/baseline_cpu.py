@@ -543,9 +543,7 @@ def cpu_refine_trajectory(
     ]
 
     from polychase_tpu.engine.pnp_host import _bounds
-    bounds = _bounds(
-        float(intr.fx), float(intr.width), float(intr.height), prob.sign
-    )
+    bounds = _bounds(float(intr.width), float(intr.height), prob.sign)
 
     def build_normal_equations(cams):
         res, valid, J_src, J_tgt = prob.evaluate(cams, True, opt_f, opt_pp)

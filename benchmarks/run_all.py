@@ -604,6 +604,7 @@ def main():
     bench_tracking()
     bench_refine()
     bench_4k_pipeline()
+    bench_segment_parallel()
 
 
 if __name__ == "__main__":

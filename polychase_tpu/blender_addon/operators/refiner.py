@@ -285,7 +285,13 @@ class PC_OT_RefineSequence(bpy.types.Operator):
             if isinstance(msg, bool):
                 if self._parallel_trajs is not None:
                     # Parallel refine-all: one done message for the whole
-                    # batch; apply every segment.
+                    # batch.  A cancelled run completes its dispatch but
+                    # its results are NOT applied (the sequential path
+                    # aborts mid-segment instead).
+                    if getattr(self._thread, "stopped", False):
+                        return self._finish(
+                            context, tracker, success=False
+                        )
                     for traj, (start, end) in zip(
                         self._parallel_trajs, self._segments
                     ):

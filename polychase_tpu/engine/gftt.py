@@ -524,6 +524,10 @@ def gftt_dispatch(
     dev_suppress = (
         not _host_suppress
         and options.min_distance >= 1
+        # The suppression program unrolls the strict-distance disc
+        # (O(d²) offsets) twice per round — past d≈8 (~200 offsets) the
+        # compiled program balloons, so big radii stay on the host path.
+        and options.min_distance <= 8
         and img.size
         >= int(_os.environ.get("POLYCHASE_GFTT_DEV_SUPPRESS_MIN",
                                str(2_000_000)))

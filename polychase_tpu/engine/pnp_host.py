@@ -58,8 +58,10 @@ def _quat_step_post(q, w_delta):
     return _quat_mul(q, _quat_exp(w_delta))
 
 
-def _bounds(fx, width, height, sign):
-    """FOV bounds for (fy, cx, cy) (cpp/pnp/types.h:156-192)."""
+def _bounds(width, height, sign):
+    """FOV bounds for (fy, cx, cy) — numpy twin of
+    engine.camera.intrinsics_bounds (keep in sync with
+    engine/camera.py:68; cpp/pnp/types.h:156-192)."""
     min_tan = np.tan(np.deg2rad(15.0) / 2)
     max_tan = np.tan(np.deg2rad(160.0) / 2)
     half_w = width / 2.0
@@ -98,23 +100,25 @@ def _loss_weight(loss_type, scale, r2):
 
 
 class _Cam:
-    """Mutable host camera state: q(4) t(3) fy cx cy (+ fixed aspect/sign)."""
+    """Mutable host camera state: q(4) t(3) fx fy cx cy (+ aspect/sign).
 
-    __slots__ = ("q", "t", "fy", "cx", "cy", "aspect", "sign", "w", "h")
+    ``fx`` is stored separately because the device step clamps fx and fy
+    INDEPENDENTLY (fy stepped then clamped; fx = clip(aspect*fy)), so
+    near the FOV bounds with aspect != 1 they decouple."""
 
-    def __init__(self, q, t, fy, cx, cy, aspect, sign, w, h):
+    __slots__ = (
+        "q", "t", "fx", "fy", "cx", "cy", "aspect", "sign", "w", "h",
+    )
+
+    def __init__(self, q, t, fx, fy, cx, cy, aspect, sign, w, h):
         self.q, self.t = q, t
-        self.fy, self.cx, self.cy = fy, cx, cy
+        self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
         self.aspect, self.sign, self.w, self.h = aspect, sign, w, h
-
-    @property
-    def fx(self):
-        return self.aspect * self.fy
 
     def copy(self):
         return _Cam(
-            self.q.copy(), self.t.copy(), self.fy, self.cx, self.cy,
-            self.aspect, self.sign, self.w, self.h,
+            self.q.copy(), self.t.copy(), self.fx, self.fy, self.cx,
+            self.cy, self.aspect, self.sign, self.w, self.h,
         )
 
 
@@ -226,11 +230,10 @@ def _apply_step(cam: _Cam, dp, bounds, opt_f, opt_pp):
     new.t = cam.t + dp[3:6]
     f_low, f_high, cx_low, cx_high, cy_low, cy_high = bounds
     if opt_f:
+        # fy stepped then clamped; fx clamped independently — exactly
+        # the device step (engine/pnp.py _step).
         new.fy = float(np.clip(cam.fy + dp[6], f_low, f_high))
-        # fx tracks aspect·fy; the clamp on fx is redundant when aspect≈1
-        # but kept for parity with the device path.
-        fx = float(np.clip(new.aspect * new.fy, f_low, f_high))
-        new.fy = fx / new.aspect
+        new.fx = float(np.clip(new.aspect * new.fy, f_low, f_high))
     if opt_pp:
         new.cx = float(np.clip(cam.cx + dp[7], cx_low, cx_high))
         new.cy = float(np.clip(cam.cy + dp[8], cy_low, cy_high))
@@ -269,11 +272,12 @@ def solve_pnp_host(
     cam = _Cam(
         q=np.asarray(c.pose.q, np.float64).reshape(4).copy(),
         t=np.asarray(c.pose.t, np.float64).reshape(3).copy(),
-        fy=float(ci.fy), cx=float(ci.cx), cy=float(ci.cy),
+        fx=float(ci.fx), fy=float(ci.fy), cx=float(ci.cx),
+        cy=float(ci.cy),
         aspect=float(ci.aspect_ratio), sign=float(ci.sign),
         w=float(ci.width), h=float(ci.height),
     )
-    bounds = _bounds(cam.fx, cam.w, cam.h, cam.sign)
+    bounds = _bounds(cam.w, cam.h, cam.sign)
 
     b = opts.bundle_opts
     loss_type, loss_scale = int(b.loss_type), float(b.loss_scale)

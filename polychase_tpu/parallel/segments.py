@@ -56,7 +56,9 @@ def make_segment_mesh(devices=None) -> DeviceMesh:
 
 
 def _pad_segment(params: TrajParams, data: RefinerData, F, K, E, M):
-    """Pad one segment's problem to the stack-wide shapes.
+    """Pad one segment's problem (HOST numpy arrays — the caller fetches
+    everything in one batched device_get first, so padding never pays a
+    per-leaf link round trip) to the stack-wide shapes.
 
     Padded frames repeat the last real frame's state and are anchored;
     padded keypoints/edges/matches are invalid."""
@@ -67,23 +69,18 @@ def _pad_segment(params: TrajParams, data: RefinerData, F, K, E, M):
             return a
         pad = [(0, F - f0)] + [(0, 0)] * (a.ndim - 1)
         mode = "edge" if fill_last else "constant"
-        return jnp.asarray(np.pad(np.asarray(a), pad, mode=mode))
+        return np.pad(np.asarray(a), pad, mode=mode)
 
     params = TrajParams(*(pad_f(a) for a in params))
 
-    k0 = int(data.kps.shape[1])
-    e0 = int(data.src_frame.shape[0])
-    m0 = int(data.src_kp.shape[1])
-
     def pad_to(a, axis, n, value=0):
+        a = np.asarray(a)
         cur = a.shape[axis]
         if cur == n:
             return a
         pad = [(0, 0)] * a.ndim
         pad[axis] = (0, n - cur)
-        return jnp.asarray(
-            np.pad(np.asarray(a), pad, constant_values=value)
-        )
+        return np.pad(a, pad, constant_values=value)
 
     anchor = pad_to(data.anchor, 0, F, value=True)
     kps = pad_to(pad_to(data.kps, 0, F), 1, K)
@@ -208,6 +205,10 @@ def refine_segments(
         if own_db:
             database.close()
 
+    # ONE batched transfer of every segment's packed problem; padding
+    # and stacking then run on host arrays (per-leaf np.asarray on
+    # device arrays would pay a ~26 ms round trip each on a tunnel).
+    packed = jax.device_get(packed)
     F = max(int(p.q.shape[0]) for p, _ in packed)
     K = max(int(d.kps.shape[1]) for _, d in packed)
     E = max(int(d.src_frame.shape[0]) for _, d in packed)
@@ -231,8 +232,8 @@ def refine_segments(
             # zero gradient, terminate on the first tiny step.
             p0, d0 = padded[0]
             dead = d0._replace(
-                edge_valid=jnp.zeros_like(d0.edge_valid),
-                match_valid=jnp.zeros_like(d0.match_valid),
+                edge_valid=np.zeros_like(d0.edge_valid),
+                match_valid=np.zeros_like(d0.match_valid),
             )
             padded = padded + [(p0, dead)] * n_dummy
 

@@ -138,7 +138,26 @@ def track_segments(
 
     S = len(trajs)
     Fmax = max(t.count for t in trajs)
-    ci0 = jax.device_get(trajs[0].get(trajs[0].first_frame).intrinsics)
+    # One batched host gather for every seed (per-segment device_get
+    # would pay a link round trip each on a tunneled chip).
+    seeds = jax.device_get(
+        [t.get(t.first_frame) for t in trajs]
+    )
+    ci0 = seeds[0].intrinsics
+    # The packed solve shares [aspect, width, height, sign] across all
+    # segments — mixed-clip batches would silently mis-unproject.
+    for s, seed in enumerate(seeds[1:], 1):
+        ci = seed.intrinsics
+        if (
+            float(ci.aspect_ratio) != float(ci0.aspect_ratio)
+            or float(ci.width) != float(ci0.width)
+            or float(ci.height) != float(ci0.height)
+            or float(ci.sign) != float(ci0.sign)
+        ):
+            raise TrackingError(
+                f"segment {s}: seed intrinsics convention/size differs "
+                "from segment 0 (all segments must share one clip)"
+            )
     const5 = jnp.asarray(
         [
             float(ci0.aspect_ratio), float(ci0.width), float(ci0.height),
@@ -150,8 +169,7 @@ def track_segments(
     q0[..., 0] = 1.0
     t0 = np.zeros((S, Fmax, 3), np.float32)
     in0 = np.zeros((S, Fmax, 4), np.float32)
-    for s, traj in enumerate(trajs):
-        seed = jax.device_get(traj.get(traj.first_frame))
+    for s, seed in enumerate(seeds):
         q0[s, :] = np.asarray(seed.pose.q)
         t0[s, :] = np.asarray(seed.pose.t)
         in0[s, :] = [

@@ -65,6 +65,11 @@ class _WorkerBase:
     def request_stop(self) -> None:
         self._stop.set()
 
+    @property
+    def stopped(self) -> bool:
+        """True once a stop was requested (cooperative cancel)."""
+        return self._stop.is_set()
+
     def join(self) -> None:
         if self._thread.is_alive():
             self._thread.join()
@@ -269,8 +274,10 @@ class RefineSegmentsThread(_WorkerBase):
 
     Messages: ``RefineTrajectoryUpdate`` (coarse progress) then ``True``.
     All trajectories are refined in place; read them after the done
-    message.  Cooperative stop is coarse — the single dispatch either
-    completes or its results are discarded by the caller.
+    message.  Cooperative stop is coarse — the single dispatch runs to
+    completion regardless; callers must check ``stopped`` on the done
+    message and skip applying the results (the addon's refine-all modal
+    does).
     """
 
     def __init__(

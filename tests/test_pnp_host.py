@@ -147,3 +147,34 @@ def test_host_solve_latency():
         solve_pnp_host(X, x, cam0, opts)
     dt = (time.perf_counter() - t0) / 10
     assert dt < 0.005, f"host pin solve too slow: {dt*1e3:.2f} ms"
+
+
+def test_host_matches_device_nonunit_aspect():
+    """fx/fy clamp independently near the FOV bounds when aspect != 1;
+    the host twin must mirror the device step exactly."""
+    rng = np.random.default_rng(7)
+    intr = C.Intrinsics.create(
+        720.0, 600.0, 320.0, 240.0, 1.2, 640.0, 480.0, C.OPENCV
+    )
+    X = rng.normal(0.0, 0.5, (12, 3)).astype(np.float32)
+    q_true = P.quat_normalize(jnp.asarray([1.0, 0.04, -0.02, 0.01]))
+    t_true = jnp.asarray([0.05, -0.02, 3.0])
+    x = np.asarray(
+        C.project(intr, P.pose_apply(P.Pose(q_true, t_true),
+                                     jnp.asarray(X)))
+    ).astype(np.float32)
+    # Start with a badly wrong focal so the clamp region is visited
+    intr0 = intr._replace(fx=np.float32(1.2 * 450.0), fy=np.float32(450.0))
+    cam0 = C.CameraState(intr0, P.Pose(q_true, t_true))
+    opts = PnPOptions(
+        bundle_opts=BundleOptions(loss_type=TRIVIAL),
+        optimize_focal_length=True,
+    )
+    dev = solve_pnp(X, x, cam0, opts)
+    host = solve_pnp_host(X, x, cam0, opts)
+    assert float(host.camera.intrinsics.fy) == pytest.approx(
+        float(dev.camera.intrinsics.fy), rel=1e-3
+    )
+    assert float(host.camera.intrinsics.fx) == pytest.approx(
+        float(dev.camera.intrinsics.fx), rel=1e-3
+    )
