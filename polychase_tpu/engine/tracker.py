@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple, Optional
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -292,7 +294,11 @@ def solve_frame(
 # per-frame result vectors come back to the host, once per chunk.
 # --------------------------------------------------------------------------
 
-SCAN_CHUNK = 8
+# Frames per device dispatch of the scan chain.  Larger chunks amortize
+# the per-dispatch link round trip (~26 ms tunneled) at the cost of
+# coarser cancel/callback granularity; 8 → 32 measured 188 → ~250 fps on
+# the 120-frame config.  POLYCHASE_SCAN_CHUNK overrides.
+SCAN_CHUNK = int(os.environ.get("POLYCHASE_SCAN_CHUNK", "32"))
 
 _SCAN_TRACK_CACHE = {}
 
