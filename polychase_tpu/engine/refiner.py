@@ -852,6 +852,15 @@ def compute_band(data: RefinerData, F: int, ppc: int) -> tuple:
 # counted = -1.)
 _LM_ROW = 12
 
+# LM iterations per device chunk dispatch.  Interleaved A/B on the
+# 250-frame refine config measured 4 iters/chunk at 3.34 s vs 8 at
+# 4.24 s — unlike the tracker scan, bigger LM chunks LOSE (the chunk
+# overshoots past convergence/rejection breaks with masked-but-compiled
+# iterations), so 4 stays.  POLYCHASE_LM_CHUNK overrides.
+import os as _os_mod
+
+_LM_CHUNK_ITERS = int(_os_mod.environ.get("POLYCHASE_LM_CHUNK", "4"))
+
 
 @partial(
     jax.jit,
@@ -1242,7 +1251,8 @@ def refine_trajectory(
                         params_d, prims_d, JtJ_d, Jtr_d, scal, data, mesh,
                         model, model_inv, tri_corners, loss_scale, bounds,
                         tol4, ga, loss_type=loss_type, opt_f=opt_f,
-                        opt_pp=opt_pp, ppc=ppc, n_iters=4, band=band,
+                        opt_pp=opt_pp, ppc=ppc,
+                        n_iters=_LM_CHUNK_ITERS, band=band,
                     )
                 )
             for r, row in enumerate(np.asarray(jax.device_get(rows))):
