@@ -300,7 +300,7 @@ def lk_prepare_level(
         (1, GROUP), lambda a, g: (0, g), memory_space=pltpu.VMEM
     )
     if img_in_hbm:
-        img_in = pl.BlockSpec(memory_space=pltpu.ANY)
+        img_in = pl.BlockSpec(memory_space=pl.ANY)
     else:
         img_in = pl.BlockSpec(
             (1, Hp, Wp), lambda a, g: (a, 0, 0), memory_space=pltpu.VMEM
@@ -620,7 +620,7 @@ def lk_iterate_level_multi(
         (win, win, GROUP), lambda t, g: (0, 0, g), memory_space=pltpu.VMEM
     )
     if img_in_hbm:
-        img_in = pl.BlockSpec(memory_space=pltpu.ANY)
+        img_in = pl.BlockSpec(memory_space=pl.ANY)
     else:
         img_in = pl.BlockSpec(
             (1, Hp, Wp), lambda t, g: (t, 0, 0), memory_space=pltpu.VMEM
