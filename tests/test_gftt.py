@@ -250,3 +250,19 @@ class TestDeviceSuppression:
         a = {tuple(p) for p in pts.astype(int).tolist()}
         b = {tuple(p) for p in ref.astype(int).tolist()}
         assert len(a & b) >= 0.98 * len(ref)
+
+
+def test_device_suppress_routing_guards(rng, monkeypatch):
+    """Big min_distance must stay on the host path (the device disc
+    unroll is O(d^2)); POLYCHASE_GFTT_DEV_SUPPRESS=0 disables outright."""
+    from polychase_tpu.engine import gftt as G
+
+    img = rng.integers(0, 255, (120, 160)).astype(np.uint8)
+    monkeypatch.setenv("POLYCHASE_GFTT_DEV_SUPPRESS_MIN", "0")
+    d1 = G.gftt_dispatch(img, None, GFTTOptions(min_distance=5.0))
+    assert d1.suppressed
+    d2 = G.gftt_dispatch(img, None, GFTTOptions(min_distance=9.0))
+    assert not d2.suppressed
+    monkeypatch.setenv("POLYCHASE_GFTT_DEV_SUPPRESS", "0")
+    d3 = G.gftt_dispatch(img, None, GFTTOptions(min_distance=5.0))
+    assert not d3.suppressed

@@ -111,3 +111,21 @@ def test_parallel_tracking_matches_sequential(scene, use_mesh):
         assert np.linalg.norm(t_seq - gt, axis=-1).max() < 5e-3
         assert np.linalg.norm(t_par - gt, axis=-1).max() < 5e-3
         np.testing.assert_allclose(t_par, t_seq, atol=2e-4)
+
+
+def test_mixed_clip_segments_rejected(scene):
+    """Segments with mismatched seed conventions/sizes must raise (the
+    packed solve shares one clip's [aspect, w, h, sign])."""
+    from polychase_tpu.engine.tracker import TrackingError
+
+    sc = scene
+    a = _seeded(sc, 0, 4)
+    b = CameraTrajectory(4, 5)
+    other = make_intrinsics(w=1920, h=1080, f=1800.0)
+    p = sc["poses"][4]
+    b.set(4, C.CameraState(other, P.Pose(p.q, p.t)))
+    with pytest.raises(TrackingError):
+        track_segments(
+            sc["db_path"], [a, b], np.eye(4, dtype=np.float32),
+            sc["mesh"], device_mesh=False,
+        )
