@@ -73,10 +73,27 @@ def _sep_filter(img: jax.Array, kx: np.ndarray, ky: np.ndarray) -> jax.Array:
 
 
 def _sobel_kernels(ksize: int) -> Tuple[np.ndarray, np.ndarray]:
-    """1st-derivative + smoothing kernels, OpenCV ``getDerivKernels``."""
-    if ksize != 3:
-        raise NotImplementedError("only gradient_size=3 is supported")
-    return np.array([-1.0, 0.0, 1.0]), np.array([1.0, 2.0, 1.0])
+    """1st-derivative + smoothing taps, OpenCV ``getDerivKernels``
+    (modules/imgproc getSobelKernels, unnormalized): the derivative row
+    is the discrete difference of the (ksize-1)-th binomial row, the
+    smoothing row the (ksize-1)-th binomial row; ksize=1 smooths with
+    the identity.  The reference exposes the knob as ``gradient_size``
+    (cpp/feature_detection/gftt.h:5-21) and OpenCV accepts 1/3/5/7."""
+    taps = {
+        1: ([-1.0, 0.0, 1.0], [1.0]),
+        3: ([-1.0, 0.0, 1.0], [1.0, 2.0, 1.0]),
+        5: ([-1.0, -2.0, 0.0, 2.0, 1.0], [1.0, 4.0, 6.0, 4.0, 1.0]),
+        7: (
+            [-1.0, -4.0, -5.0, 0.0, 5.0, 4.0, 1.0],
+            [1.0, 6.0, 15.0, 20.0, 15.0, 6.0, 1.0],
+        ),
+    }
+    if ksize not in taps:
+        raise ValueError(
+            "gradient_size must be 1, 3, 5 or 7 (OpenCV getDerivKernels)"
+        )
+    deriv, smooth = taps[ksize]
+    return np.array(deriv), np.array(smooth)
 
 
 def _corner_response(
@@ -492,20 +509,41 @@ def _check_options(options: GFTTOptions) -> None:
         and options.max_corners >= 0
     ):
         raise ValueError("invalid GFTT options")
+    if int(options.gradient_size) not in (1, 3, 5, 7):
+        # Same set OpenCV's getDerivKernels accepts; reject at the API
+        # boundary instead of deep inside a traced dispatch.
+        raise ValueError(
+            "gradient_size must be 1, 3, 5 or 7"
+        )
 
 
 def gftt_dispatch(
     image, mask=None, options: GFTTOptions = GFTTOptions(), k: int = 0,
     *, _host_suppress: bool = False,
 ) -> GFTTDispatch:
-    """Start GFTT for a frame; device work is queued, nothing blocks."""
-    img = np.asarray(image)
+    """Start GFTT for a frame; device work is queued, nothing blocks.
+
+    ``image`` may be a host array or an already-uploaded device array
+    (the analyze loop uploads each frame once as uint8 and shares the
+    device copy between GFTT and the LK pyramid prep — over a tunneled
+    chip the duplicate f32 upload used to cost ~8× the link traffic)."""
+    if isinstance(image, jax.Array):
+        img = image
+        is_8u = img.dtype == jnp.uint8
+        imgf = img.astype(jnp.float32)
+    else:
+        img = np.asarray(image)
+        is_8u = img.dtype == np.uint8
+        imgf = jnp.asarray(img, jnp.float32)
     if img.ndim != 2:
         raise ValueError("image must be 2D grayscale")
     _check_options(options)
-    is_8u = img.dtype == np.uint8
-    imgf = jnp.asarray(img, jnp.float32)
-    maskj = None if mask is None else jnp.asarray(np.asarray(mask) != 0)
+    if mask is None:
+        maskj = None
+    elif isinstance(mask, jax.Array):
+        maskj = mask if mask.dtype == jnp.bool_ else (mask != 0)
+    else:
+        maskj = jnp.asarray(np.asarray(mask) != 0)
 
     kw = dict(
         block_size=int(options.block_size),

@@ -404,20 +404,42 @@ class PyramidCache:
         self.dims = dims  # per-level (H, W), pallas flavor only
 
 
+@partial(jax.jit, static_argnames=("levels", "pallas", "win"))
+def _prepare_pyramid_program(img, *, levels: int, pallas: bool, win: int):
+    """Whole pyramid prep (f32 convert → pyrDown chain → Scharr → pad) as
+    ONE device program.
+
+    The analyze loop prepares one pyramid per frame; fusing the prep means
+    one dispatch and — critically over a tunneled chip — the frame can be
+    uploaded as uint8 (4× less link traffic than host-side f32
+    conversion), with the convert running on device."""
+    pyr = build_pyramid(img.astype(jnp.float32), levels)
+    if pallas:
+        return _prepare_levels_pallas(pyr, levels=levels)
+    return _prepare_levels(pyr, win=win, levels=levels)
+
+
 def prepare_pyramid(image, opts: LKOptions = LKOptions()) -> PyramidCache:
-    """Build the LK pyramid for a grayscale frame (uint8 or float)."""
-    img = jnp.asarray(np.asarray(image), jnp.float32)
+    """Build the LK pyramid for a grayscale frame (uint8 or float).
+
+    ``image`` may be a host array or an already-uploaded device array
+    (any dtype); uint8 input crosses the link as uint8."""
+    if isinstance(image, jax.Array):
+        img = image
+    else:
+        img = jax.device_put(np.asarray(image))
     levels = num_pyramid_levels(img.shape[0], img.shape[1], opts)
-    pyr = build_pyramid(img, levels)
-    if pallas_enabled():
+    use_pallas = pallas_enabled()
+    data = _prepare_pyramid_program(
+        img, levels=levels, pallas=use_pallas, win=opts.window_size
+    )
+    if use_pallas:
         dims = []
         h, w = img.shape
         for _ in range(levels):
             dims.append((h, w))
             h, w = (h + 1) // 2, (w + 1) // 2
-        data = _prepare_levels_pallas(pyr, levels=levels)
         return PyramidCache(data, levels, opts, "pallas", tuple(dims))
-    data = _prepare_levels(pyr, win=opts.window_size, levels=levels)
     return PyramidCache(data, levels, opts)
 
 
@@ -460,10 +482,42 @@ def _lk_pallas_program(
     )
 
 
+def _feat_shard_min() -> int:
+    """Feature count above which Analyze shards the FEATURE axis over the
+    mesh instead of the (≤8-wide) target axis — the feature axis is the
+    one that grows with resolution (~170k corners on a 4K noise frame)."""
+    return int(os.environ.get("POLYCHASE_FEAT_SHARD_MIN", "32768"))
+
+
 def _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels):
     eps = min(max(opts.term_epsilon, 0.0), 10.0)
     T = len(next_pyrs)
     mesh = _analyze_mesh()
+    if mesh is not None and int(mesh.devices.size) > 1 and (
+        pts_p.shape[0] >= _feat_shard_min()
+    ):
+        from ..kernels.lk_pallas import GROUP
+        from ..parallel.analyze import sharded_lk_multi_pallas_feat
+
+        D = int(mesh.devices.size)
+        step = D * GROUP
+        m2 = -(-pts_p.shape[0] // step) * step
+        if m2 != pts_p.shape[0]:
+            pts_p = np.concatenate(
+                [pts_p, np.zeros((m2 - pts_p.shape[0], 2), np.float32)]
+            )
+        stacked = tuple(
+            jnp.stack([p.levels[lvl][0] for p in next_pyrs])
+            for lvl in range(levels)
+        )
+        return sharded_lk_multi_pallas_feat(
+            mesh, tuple(prev_pyr.levels[:levels]), stacked,
+            jnp.asarray(pts_p),
+            dims=tuple(prev_pyr.dims[:levels]),
+            win=opts.window_size, max_iters=opts.term_max_iters,
+            eps2=float(eps * eps),
+            min_eig_thr=float(opts.min_eigen_threshold),
+        )
     if mesh is not None and T >= 2:
         from ..parallel.analyze import shard_targets, sharded_lk_multi_pallas
 
@@ -661,6 +715,25 @@ def _dispatch_multi_xla(prev_pyr, stacked, pts_p, eps, opts, levels, T):
         win=opts.window_size, max_iters=opts.term_max_iters, levels=levels
     )
     mesh = _analyze_mesh()
+    if mesh is not None and int(mesh.devices.size) > 1 and (
+        pts_p.shape[0] >= _feat_shard_min()
+    ):
+        from ..parallel.analyze import sharded_lk_multi_feat
+
+        D = int(mesh.devices.size)
+        m2 = -(-pts_p.shape[0] // D) * D
+        pts2 = pts_p
+        if m2 != pts_p.shape[0]:
+            pts2 = np.concatenate(
+                [pts_p, np.zeros((m2 - pts_p.shape[0], 2), np.float32)]
+            )
+        return sharded_lk_multi_feat(
+            mesh, tuple(prev_pyr.levels[:levels]), stacked,
+            jnp.asarray(pts2),
+            jnp.float32(eps * eps),
+            jnp.float32(opts.min_eigen_threshold),
+            **kw,
+        )
     if mesh is not None and T >= 2:
         from ..parallel.analyze import shard_targets, sharded_lk_multi
 

@@ -160,7 +160,10 @@ def _run(
 ) -> None:
     first = video_info.first_frame
     last = video_info.first_frame + video_info.num_frames  # exclusive
-    cache = _PyramidLRU()
+    # Capacity must cover the live window [i-8, i+8+PYR_LOOKAHEAD] so the
+    # prefetched pyramids are never evicted before use (17 slots = the
+    # reference's ring; +PYR_LOOKAHEAD+headroom for the prefetch depth).
+    cache = _PyramidLRU(25)
 
     frames_dir = None
     if write_images:
@@ -171,7 +174,8 @@ def _run(
         )
         os.makedirs(frames_dir, exist_ok=True)
 
-    gray_cache = _PyramidLRU(19)  # generic LRU; stores np arrays here
+    gray_cache = _PyramidLRU(25)  # generic LRU; stores np arrays here
+    dev_cache = _PyramidLRU(25)   # device-resident uint8 frames
 
     def gray_of(frame_id: int) -> np.ndarray:
         g = gray_cache.get(frame_id)
@@ -180,10 +184,21 @@ def _run(
             gray_cache.put(frame_id, g)
         return g
 
+    def dev_gray_of(frame_id: int):
+        """One uint8 upload per frame, shared by GFTT and the pyramid
+        prep (uploading twice as f32 costs 8× the link traffic)."""
+        import jax
+
+        d = dev_cache.get(frame_id)
+        if d is None:
+            d = jax.device_put(gray_of(frame_id))
+            dev_cache.put(frame_id, d)
+        return d
+
     def get_pyramid(frame_id: int):
         pyr = cache.get(frame_id)
         if pyr is None:
-            pyr = prepare_pyramid(gray_of(frame_id), flow_options)
+            pyr = prepare_pyramid(dev_gray_of(frame_id), flow_options)
             cache.put(frame_id, pyr)
         return pyr
 
@@ -199,6 +214,24 @@ def _run(
     from collections import deque
 
     pending_flows: deque = deque()
+
+    # Missing-flow targets per source frame (cpp/opticalflow.cc:286):
+    # cached because prefetch consults future frames repeatedly.  Entries
+    # are computed before their source frame is processed and nothing
+    # writes a future source's pairs in between, so they never go stale.
+    target_cache: dict = {}
+
+    def missing_targets(fid: int):
+        tg = target_cache.get(fid)
+        if tg is None:
+            tg = [
+                fid + skip
+                for skip in IMAGE_SKIPS
+                if first <= fid + skip < last
+                and not db.image_pair_flow_exists(fid, fid + skip)
+            ]
+            target_cache[fid] = tg
+        return tg
 
     def flush_one():
         frame_id1, targets, handle = pending_flows.popleft()
@@ -226,8 +259,21 @@ def _run(
                 gftt_skip.add(fa)
                 continue
             gftt_pending[fa] = gftt_dispatch(
-                gray_of(fa), None, detector_options
+                dev_gray_of(fa), None, detector_options
             )
+
+        # Prefetch pyramid prep for upcoming source frames and their
+        # missing-flow targets so each frame's upload + prep dispatch
+        # happen LOOKAHEAD frames before first use and never sit on the
+        # LK critical path.  Resume runs (all flows present) must not
+        # touch the frame accessor at all, so prefetch is gated on the
+        # DB's missing-pair set.
+        for fs in range(frame_id1, min(frame_id1 + LOOKAHEAD + 1, last)):
+            tg = missing_targets(fs)
+            if tg:
+                get_pyramid(fs)
+                for f2 in tg:
+                    get_pyramid(f2)
 
         # Read-or-generate keypoints (cpp/opticalflow.cc:154-178)
         features = db.read_keypoints(frame_id1)
@@ -250,14 +296,7 @@ def _run(
         # Batch every needed skip target into one device dispatch
         # (the reference's 4-thread pair pool, cpp/opticalflow.cc:269-309,
         # becomes a batch axis).
-        targets = []
-        for skip in IMAGE_SKIPS:
-            frame_id2 = frame_id1 + skip
-            if frame_id2 < first or frame_id2 >= last:
-                continue
-            if db.image_pair_flow_exists(frame_id1, frame_id2):
-                continue
-            targets.append(frame_id2)
+        targets = missing_targets(frame_id1)
 
         if not targets:
             continue

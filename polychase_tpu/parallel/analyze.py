@@ -81,6 +81,117 @@ def shard_targets(mesh: Mesh, stacked) -> tuple:
     return tuple(jax.device_put(s, sh) for s in stacked)
 
 
+# ---------------------------------------------------------------------------
+# Feature-axis sharding: the axis that actually grows (a 4K noise frame
+# keeps ~170k corners while T is capped at 8 by the skip pattern).
+# Features are independent, so there are no collectives; target images
+# are replicated across the mesh and each chip iterates its feature
+# shard into every target.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("mesh", "win", "max_iters", "levels"))
+def sharded_lk_multi_feat(
+    mesh: Mesh,
+    prev_levels,            # per level: (img, dx, dy, shape) — replicated
+    next_images_stacked,    # per level: (T, Hp, Wp) — replicated
+    pts,                    # (N, 2) — sharded on N
+    eps2,
+    min_eig_thr,
+    *,
+    win: int,
+    max_iters: int,
+    levels: int,
+):
+    """Feature-sharded coarse-to-fine LK (XLA path).
+
+    ``N`` must be a multiple of the mesh size (callers pad; padded rows
+    solve a zero-motion problem at (0, 0) and are dropped on unpad)."""
+    feat = PSpec(TARGET_AXIS)
+
+    def body(pts_local):
+        return _lk._lk_all_levels_multi(
+            prev_levels, next_images_stacked, pts_local, eps2, min_eig_thr,
+            win=win, max_iters=max_iters, levels=levels,
+        )
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(feat,),
+        out_specs=(
+            PSpec(None, TARGET_AXIS),
+            PSpec(None, TARGET_AXIS),
+            PSpec(None, TARGET_AXIS),
+        ),
+        check_vma=False,
+    )
+    return fn(pts)
+
+
+def _sharded_lk_multi_pallas_feat(
+    mesh: Mesh,
+    prev_levels,            # per level: (img_pad, dx_pad, dy_pad)
+    next_images_stacked,    # per level: (T, Hp, Wp) — replicated
+    pts,                    # (N, 2) — sharded on N
+    *,
+    dims,
+    win: int,
+    max_iters: int,
+    eps2: float,
+    min_eig_thr: float,
+    interpret: bool = False,
+):
+    """Feature-sharded Analyze over the Pallas kernel path.
+
+    Each chip runs the full coarse-to-fine Pallas program for its feature
+    shard into ALL targets.  ``N`` must be a multiple of mesh size × the
+    kernel's 128-lane group."""
+    from ..kernels.lk_pallas import lk_all_levels_pallas
+
+    feat = PSpec(TARGET_AXIS)
+
+    def body(pts_local):
+        return lk_all_levels_pallas(
+            prev_levels, next_images_stacked, pts_local,
+            dims=dims, win=win, max_iters=max_iters, eps2=eps2,
+            min_eig_thr=min_eig_thr, interpret=interpret,
+        )
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(feat,),
+        out_specs=(
+            PSpec(None, TARGET_AXIS),
+            PSpec(None, TARGET_AXIS),
+            PSpec(None, TARGET_AXIS),
+        ),
+        check_vma=False,
+    )
+    return fn(pts)
+
+
+_sharded_lk_multi_pallas_feat_jit = partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "dims", "win", "max_iters", "eps2", "min_eig_thr",
+        "interpret",
+    ),
+)(_sharded_lk_multi_pallas_feat)
+
+
+def sharded_lk_multi_pallas_feat(mesh, prev_levels, next_images_stacked,
+                                 pts, **kw):
+    """Jitted on real backends; interpret mode (CPU tests) stays eager —
+    jit-of-shard_map-of-interpreted-pallas miscomputes."""
+    fn = (
+        _sharded_lk_multi_pallas_feat
+        if kw.get("interpret") else _sharded_lk_multi_pallas_feat_jit
+    )
+    return fn(mesh, prev_levels, next_images_stacked, pts, **kw)
+
+
 def _sharded_lk_multi_pallas(
     mesh: Mesh,
     prev_levels,            # per level: (img_pad, dx_pad, dy_pad)

@@ -38,7 +38,11 @@ def reference_gftt(image, mask, opts: GFTTOptions):
             image, opts.block_size, opts.gradient_size, opts.harris_k
         )
     else:
-        eig = cv2.cornerMinEigenVal(image, opts.block_size, opts.gradient_size)
+        # NB: the third positional arg is ``dst`` in this cv2 build —
+        # ksize must be a keyword or it is silently ignored.
+        eig = cv2.cornerMinEigenVal(
+            image, opts.block_size, ksize=opts.gradient_size
+        )
 
     h, w = image.shape
     gr, gc = max(1, opts.grid_rows), max(1, opts.grid_cols)
@@ -95,7 +99,7 @@ def reference_gftt(image, mask, opts: GFTTOptions):
 
 def test_min_eigen_map_matches_opencv(rng):
     img = synth_image(rng)
-    golden = cv2.cornerMinEigenVal(img, 3, 3)
+    golden = cv2.cornerMinEigenVal(img, 3, ksize=3)
     eig, _ = gftt_response(
         np.asarray(img, np.float32), None, np.float32(1e9), np.float32(0.04)
     )
@@ -109,6 +113,41 @@ def test_min_eigen_map_matches_opencv(rng):
     # Where the golden map is well above zero, values must agree closely.
     sel = golden > golden.max() * 1e-3
     np.testing.assert_allclose(eig2[sel], golden[sel], rtol=2e-3, atol=1e-9)
+
+
+@pytest.mark.parametrize("ksize", [1, 5, 7])
+def test_min_eigen_map_matches_opencv_other_ksizes(rng, ksize):
+    """gradient_size 1/5/7 vs cv2.cornerMinEigenVal (the reference
+    exposes the knob, cpp/feature_detection/gftt.h:5-21; OpenCV's
+    getDerivKernels accepts 1/3/5/7)."""
+    img = synth_image(rng)
+    golden = cv2.cornerMinEigenVal(img, 3, ksize=ksize)
+    eig, _ = gftt_response(
+        np.asarray(img, np.float32), None, np.float32(1e-12),
+        np.float32(0.04), ksize=ksize,
+    )
+    eig = np.asarray(eig)
+    sel = golden > golden.max() * 1e-3
+    np.testing.assert_allclose(eig[sel], golden[sel], rtol=2e-3, atol=1e-9)
+
+
+@pytest.mark.parametrize("ksize", [1, 5])
+def test_full_pipeline_other_ksizes(rng, ksize):
+    img = synth_image(rng)
+    opts = GFTTOptions(gradient_size=ksize)
+    got_pts, _ = good_features_to_track(img, None, opts)
+    exp_pts, _ = reference_gftt(img, None, opts)
+    got = {tuple(p) for p in got_pts.tolist()}
+    exp = {tuple(p) for p in exp_pts.tolist()}
+    assert len(exp) > 30
+    assert len(got & exp) / max(len(exp), 1) > 0.95
+    assert len(got - exp) <= max(2, int(0.05 * len(exp)))
+
+
+def test_gradient_size_validated_at_boundary():
+    img = np.zeros((32, 32), np.uint8)
+    with pytest.raises(ValueError, match="gradient_size"):
+        good_features_to_track(img, None, GFTTOptions(gradient_size=4))
 
 
 def test_harris_map_matches_opencv(rng):
