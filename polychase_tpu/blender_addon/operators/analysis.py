@@ -29,6 +29,7 @@ class PC_OT_AnalyzeVideo(bpy.types.Operator):
     _timer = None
     _thread = None
     _tracker_id = -1
+    _pending_frame = None
 
     @classmethod
     def poll(cls, context):
@@ -110,7 +111,14 @@ class PC_OT_AnalyzeVideo(bpy.types.Operator):
 
     def _provide_frame(self, context, frame_id: int):
         """Seek + read the clip frame's pixels (reference
-        analysis.py:182-233)."""
+        analysis.py:182-233).
+
+        The worker blocks until the frame arrives, so an unsatisfied
+        request MUST stay pending: seeking takes a redraw cycle, and the
+        next timer tick retries (``_pending_frame``).  Consuming the
+        request without providing would strand the worker until its
+        provide timeout kills the run."""
+        self._pending_frame = frame_id
         state = properties.PolychaseState.from_scene(context.scene)
         tracker = None
         for t in state.trackers:
@@ -119,6 +127,7 @@ class PC_OT_AnalyzeVideo(bpy.types.Operator):
                 break
         image_source = bpy.data.images.get(self._image_source_name)
         if tracker is None or tracker.camera is None or image_source is None:
+            self._pending_frame = None
             self._thread.request_stop()
             return
 
@@ -126,6 +135,7 @@ class PC_OT_AnalyzeVideo(bpy.types.Operator):
             tracker.camera.data, image_source
         )
         if image_user is None:
+            self._pending_frame = None
             self._thread.request_stop()
             return
 
@@ -149,6 +159,7 @@ class PC_OT_AnalyzeVideo(bpy.types.Operator):
         pixels = np.empty((height, width, channels), np.float32)
         image_source.pixels.foreach_get(pixels.ravel())
         rgb = (pixels[:, :, :3] * 255.0).astype(np.uint8)
+        self._pending_frame = None
         self._thread.provide_frame(frame_id, rgb)
 
     def modal(self, context, event):
@@ -165,6 +176,10 @@ class PC_OT_AnalyzeVideo(bpy.types.Operator):
         transient = (
             properties.transient_state(tracker) if tracker else None
         )
+
+        # Retry a request that was waiting on a frame seek last tick.
+        if self._pending_frame is not None:
+            self._provide_frame(context, self._pending_frame)
 
         while True:
             msg = self._thread.try_pop()

@@ -1,0 +1,333 @@
+"""Executed-modal addon coverage: drive PC_OT_AnalyzeVideo and
+PC_OT_TrackSequence through invoke/execute → timer ticks → worker queue
+→ finish/cancel under the behavioral fake bpy (tests/fake_bpy.py), with
+REAL worker threads and the REAL engine underneath.
+
+Reference flows: blender_addon/operators/analysis.py:182-233 (frame
+request/provide handshake) and operators/tracking.py:266-356 (queue pump
++ keyframe writes + inlier abort).  These are protocol tests: a
+regression in the modal glue (lost frame request, stuck transient flag,
+missed keyframe write) fails here even though every engine-level test
+still passes.
+"""
+
+import importlib
+import sys
+import time
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+import fake_bpy
+from test_e2e_images import (
+    FOCAL,
+    H,
+    N_FRAMES,
+    W,
+    _intr,
+    _noise_fn,
+    _render,
+)
+from synthetic import make_sphere_mesh, orbit_pose
+
+TIMER = SimpleNamespace(type="TIMER")
+ESC = SimpleNamespace(type="ESC")
+
+_FLIP = np.diag([1.0, -1.0, -1.0, 1.0])  # OpenCV ↔ OpenGL view flip
+
+
+@pytest.fixture(scope="module")
+def rendered():
+    rng = np.random.default_rng(11)
+    mesh = make_sphere_mesh()
+    poses = [orbit_pose(0.035 * i) for i in range(N_FRAMES)]
+    tex = _noise_fn(rng)
+    intr = _intr()
+    frames = [_render(mesh, intr, p, tex) for p in poses]
+    assert frames[0].std() > 15
+    return SimpleNamespace(mesh=mesh, poses=poses, frames=frames)
+
+
+def _view_cv4x4(pose):
+    from polychase_tpu.engine.tracker import pose_rt4x4_np
+
+    return pose_rt4x4_np(pose).astype(np.float64)
+
+
+@pytest.fixture
+def env(rendered, tmp_path):
+    """Fresh fake-bpy world + freshly imported addon modules."""
+    for name in list(sys.modules):
+        if name.startswith("polychase_tpu.blender_addon"):
+            sys.modules.pop(name)
+    scene = fake_bpy.FakeScene()
+    bpy, saved = fake_bpy.install(scene)
+
+    analysis = importlib.import_module(
+        "polychase_tpu.blender_addon.operators.analysis"
+    )
+    tracking = importlib.import_module(
+        "polychase_tpu.blender_addon.operators.tracking"
+    )
+    properties = importlib.import_module(
+        "polychase_tpu.blender_addon.properties"
+    )
+    keyframes = importlib.import_module(
+        "polychase_tpu.blender_addon.keyframes"
+    )
+    core = importlib.import_module("polychase_tpu.blender_addon.core")
+    import fake_mathutils as mu
+
+    clip = fake_bpy.FakeClip(
+        "clip", str(tmp_path / "clip.mp4"), W, H, 0, N_FRAMES
+    )
+    cam_data = fake_bpy.FakeCameraData()
+    cam_data.lens = FOCAL * cam_data.sensor_width / W
+    camera = fake_bpy.FakeObject("Camera", data=cam_data)
+    # Blender camera pose (world matrix) from the OpenCV ground truth.
+    view_gl = _FLIP @ _view_cv4x4(rendered.poses[0])
+    camera.matrix_world = mu.Matrix(np.linalg.inv(view_gl))
+    geometry = fake_bpy.FakeObject(
+        "Sphere",
+        mesh_arrays=(
+            np.asarray(rendered.mesh.vertices),
+            np.asarray(rendered.mesh.triangles),
+        ),
+    )
+    tracker = fake_bpy.FakeTracker(
+        clip=clip, camera=camera, geometry=geometry,
+        database_path=str(tmp_path / "flow.db"),
+    )
+    scene.polychase_state = fake_bpy.FakeState([tracker])
+
+    yield SimpleNamespace(
+        bpy=bpy, scene=scene, ctx=bpy.context, clip=clip, camera=camera,
+        geometry=geometry, tracker=tracker, analysis=analysis,
+        tracking=tracking, properties=properties, keyframes=keyframes,
+        core=core, rendered=rendered, mu=mu,
+        db_path=str(tmp_path / "flow.db"),
+    )
+
+    core.Trackers.clear()
+    properties._transient.clear()
+    fake_bpy.uninstall(saved)
+
+
+def _pump(op, ctx, deadline_s=600.0, tick=None):
+    """Tick the modal handler until it leaves RUNNING_MODAL."""
+    deadline = time.time() + deadline_s
+    while time.time() < deadline:
+        res = op.modal(ctx, TIMER)
+        if res != {"RUNNING_MODAL"}:
+            return res
+        if tick is not None:
+            tick(op)
+        time.sleep(0.005)
+    raise TimeoutError("modal operator did not finish")
+
+
+def _wire_background_image(env):
+    """Post-execute: serve the scripted clip frames through the Image
+    datablock the operator created, and register its image_user for
+    frame_set updates (what Blender's depsgraph would do)."""
+    img = env.bpy.data.images.get(f"polychase_source_{env.clip.name}")
+    assert img is not None
+
+    def provider():
+        fid = env.scene.frame_current - env.clip.frame_start
+        g = env.rendered.frames[fid].astype(np.float32) / 255.0
+        out = np.empty((H, W, 4), np.float32)
+        out[..., 0] = out[..., 1] = out[..., 2] = g
+        out[..., 3] = 1.0
+        return out
+
+    img.provider = provider
+    for bg in env.camera.data.background_images:
+        if bg.source == "IMAGE" and bg.image is img:
+            env.scene._image_users.append(bg.image_user)
+
+
+class TestAnalyzeModal:
+    def test_full_run_writes_database(self, env):
+        op = env.analysis.PC_OT_AnalyzeVideo()
+        assert type(op).poll(env.ctx)
+
+        res = op.invoke(env.ctx, SimpleNamespace(type="RET"))
+        assert res == {"RUNNING_MODAL"}
+        assert op.frame_start == env.clip.frame_start
+        assert op.frame_end == env.clip.frame_start + N_FRAMES - 1
+        assert env.ctx.window_manager.props_dialogs == [op]
+
+        res = op.execute(env.ctx)
+        assert res == {"RUNNING_MODAL"}
+        transient = env.properties.transient_state(env.tracker)
+        assert transient.is_analyzing and transient.busy
+        assert len(env.ctx.window_manager.timers) == 1
+        assert env.ctx.window_manager.modal_handlers == [op]
+        # While analyzing, re-running is rejected and cancel is offered.
+        assert not type(op).poll(env.ctx)
+        assert env.analysis.PC_OT_CancelAnalysis.poll(env.ctx)
+
+        _wire_background_image(env)
+        res = _pump(op, env.ctx)
+        assert res == {"FINISHED"}, op.reports
+
+        assert not transient.is_analyzing
+        assert transient.progress == 1.0
+        assert env.ctx.window_manager.timers == []
+
+        import polychase_tpu.polychase_core as pc
+
+        db = pc.Database(env.db_path)
+        try:
+            for f in range(N_FRAMES):
+                assert db.read_keypoints(f).shape[0] > 60, f
+            # the ±{1,2,4,8} fan-out produced pair flows in both
+            # directions
+            assert set(db.find_optical_flows_from_image(3)) >= {1, 2, 4, 5}
+        finally:
+            db.close()
+
+    def test_esc_cancels(self, env):
+        op = env.analysis.PC_OT_AnalyzeVideo()
+        op.invoke(env.ctx, SimpleNamespace(type="RET"))
+        assert op.execute(env.ctx) == {"RUNNING_MODAL"}
+        _wire_background_image(env)
+        transient = env.properties.transient_state(env.tracker)
+
+        saw_progress = {"n": 0}
+
+        def tick(op_):
+            if transient.progress > 0.0:
+                saw_progress["n"] += 1
+                if saw_progress["n"] == 1:
+                    op_.modal(env.ctx, ESC)
+
+        res = _pump(op, env.ctx, tick=tick)
+        # Cancel during a blocked frame request surfaces as an error
+        # finish; a cancel between frames completes normally.  Either
+        # way the modal must terminate and clear its state.
+        assert res in ({"FINISHED"}, {"CANCELLED"})
+        assert not transient.is_analyzing
+        assert env.ctx.window_manager.timers == []
+
+    def test_non_timer_events_pass_through(self, env):
+        op = env.analysis.PC_OT_AnalyzeVideo()
+        op.invoke(env.ctx, SimpleNamespace(type="RET"))
+        assert op.execute(env.ctx) == {"RUNNING_MODAL"}
+        _wire_background_image(env)
+        assert op.modal(
+            env.ctx, SimpleNamespace(type="MOUSEMOVE")
+        ) == {"PASS_THROUGH"}
+        res = _pump(op, env.ctx)
+        assert res == {"FINISHED"}, op.reports
+
+
+def _analyze_db(env):
+    """Build the flow DB through the public engine API (fast path for
+    the tracking tests)."""
+    import polychase_tpu.polychase_core as pc
+
+    info = pc.VideoInfo(
+        width=W, height=H, first_frame=0, num_frames=N_FRAMES
+    )
+    pc.generate_optical_flow_database(
+        info, lambda fid: env.rendered.frames[fid], None, env.db_path
+    )
+
+
+class TestTrackModal:
+    def test_full_run_writes_generated_keyframes(self, env):
+        _analyze_db(env)
+        env.scene.frame_set(0)
+
+        op = env.tracking.PC_OT_TrackSequence()
+        assert type(op).poll(env.ctx)
+        res = op.execute(env.ctx)
+        assert res == {"RUNNING_MODAL"}, op.reports
+        transient = env.properties.transient_state(env.tracker)
+        assert transient.is_tracking
+        # The anchor USER keyframe was written at the start frame.
+        fcurves = env.keyframes.tracker_fcurves(
+            env.tracker, include_lens=False
+        )
+        assert env.keyframes.has_keyframe_at(
+            fcurves, 0, env.keyframes.USER_KEYFRAME
+        )
+
+        res = _pump(op, env.ctx)
+        assert res == {"FINISHED"}, op.reports
+        assert not transient.is_tracking
+        assert env.ctx.window_manager.timers == []
+
+        # Every tracked frame produced a GENERATED keyframe on the camera.
+        fcurves = env.keyframes.tracker_fcurves(
+            env.tracker, include_lens=False
+        )
+        gen = env.keyframes.keyframes_of_type(
+            fcurves, env.keyframes.GENERATED_KEYFRAME
+        )
+        assert gen == set(range(1, N_FRAMES))
+        # The scene followed the tracking playhead.
+        assert env.scene.frame_current == N_FRAMES - 1
+
+        # The final camera world matrix matches the ground-truth pose.
+        view_gl = np.linalg.inv(np.asarray(env.camera.matrix_world))
+        view_cv = _FLIP @ view_gl
+        gt = _view_cv4x4(env.rendered.poses[N_FRAMES - 1])
+        assert np.abs(view_cv - gt).max() < 0.05, view_cv - gt
+
+    def test_esc_cancels_mid_run(self, env):
+        _analyze_db(env)
+        env.scene.frame_set(0)
+
+        op = env.tracking.PC_OT_TrackSequence()
+        assert op.execute(env.ctx) == {"RUNNING_MODAL"}
+        transient = env.properties.transient_state(env.tracker)
+
+        sent = {"esc": False}
+
+        def tick(op_):
+            # Cancel as soon as the first frame result was applied.
+            if not sent["esc"] and transient.progress > 0.0:
+                sent["esc"] = True
+                op_.modal(env.ctx, ESC)
+
+        res = _pump(op, env.ctx, tick=tick)
+        assert res == {"FINISHED"}, op.reports
+        assert not transient.is_tracking
+        assert transient.active_thread is None
+
+        fcurves = env.keyframes.tracker_fcurves(
+            env.tracker, include_lens=False
+        )
+        gen = env.keyframes.keyframes_of_type(
+            fcurves, env.keyframes.GENERATED_KEYFRAME
+        )
+        # Partial progress: at least the first tracked frame was keyed,
+        # and the cancel stopped the run before the clip end.
+        assert gen, "no tracked frames before cancel"
+        assert min(gen) == 1
+
+    def test_cancel_operator_requests_stop(self, env):
+        _analyze_db(env)
+        env.scene.frame_set(0)
+
+        op = env.tracking.PC_OT_TrackSequence()
+        assert op.execute(env.ctx) == {"RUNNING_MODAL"}
+        assert env.tracking.PC_OT_CancelTracking.poll(env.ctx)
+        cancel = env.tracking.PC_OT_CancelTracking()
+        assert cancel.execute(env.ctx) == {"FINISHED"}
+        res = _pump(op, env.ctx)
+        assert res in ({"FINISHED"}, {"CANCELLED"})
+        transient = env.properties.transient_state(env.tracker)
+        assert not transient.is_tracking
+
+    def test_nothing_to_track_at_clip_end(self, env):
+        _analyze_db(env)
+        env.scene.frame_set(N_FRAMES - 1)
+        op = env.tracking.PC_OT_TrackSequence()
+        assert op.execute(env.ctx) == {"CANCELLED"}
+        assert any("Nothing to track" in m for _, m in op.reports)
+        assert not env.properties.transient_state(env.tracker).is_tracking
