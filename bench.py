@@ -131,6 +131,12 @@ def main():
                 "unit": "frames/sec",
                 "vs_baseline": vs_baseline,
                 "baseline_value": baseline_value,
+                # Host context: the OpenCV baseline halves under
+                # concurrent load and is capped by this host's core
+                # count (the reference runs 4 analysis threads) — a
+                # ratio is only auditable next to these.
+                "host_nproc": os.cpu_count(),
+                "host_loadavg_1m": round(os.getloadavg()[0], 2),
             }
         )
     )

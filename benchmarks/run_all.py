@@ -40,6 +40,10 @@ def emit(metric, value, unit, vs_baseline=None, baseline_value=None):
     }
     if baseline_value is not None:
         rec["baseline_value"] = round(baseline_value, 4)
+    # CPU baselines halve under concurrent host load (BENCHMARKS.md);
+    # record the environment each ratio was measured in.
+    rec["host_nproc"] = os.cpu_count()
+    rec["host_loadavg_1m"] = round(os.getloadavg()[0], 2)
     print(json.dumps(rec), flush=True)
 
 

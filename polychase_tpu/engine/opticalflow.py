@@ -324,10 +324,14 @@ def _run(
                 pyr1, pyrs2, features, flow_options
             )
         pending_flows.append((frame_id1, targets, handle))
-        # Keep three solves in flight: the finish of frame i-3 overlaps
-        # the device compute of frames i-2..i, covering the full
-        # dispatch+fetch floor of the link.
-        while len(pending_flows) > 3:
+        # Keep several solves in flight: the finish of frame i-k overlaps
+        # the device compute of frames i-k+1..i, covering the full
+        # dispatch+fetch floor of the link.  Depth measured on the
+        # tunneled chip (BENCHMARKS.md); POLYCHASE_LK_INFLIGHT overrides.
+        import os as _os
+
+        depth = int(_os.environ.get("POLYCHASE_LK_INFLIGHT", "5"))
+        while len(pending_flows) > depth:
             flush_one()
 
     while pending_flows:

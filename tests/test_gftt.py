@@ -144,6 +144,43 @@ def test_full_pipeline_other_ksizes(rng, ksize):
     assert len(got - exp) <= max(2, int(0.05 * len(exp)))
 
 
+def test_topk_block_reduction_tie_collision_falls_back(monkeypatch):
+    """The 2×2-reduced top-k is exact unless two adjacent candidates tie
+    exactly; that case must signal an overflowed count so gftt_finish
+    takes the exact full-map fallback."""
+    import jax.numpy as jnp
+
+    from polychase_tpu.engine import gftt as G
+
+    H, W = 16, 16
+    # Fake response derives from the image so the jitted program stays
+    # data-dependent (a closure over constants would be trace-folded).
+    monkeypatch.setattr(
+        G, "gftt_response", lambda img, *a, **k: (img, img > 0)
+    )
+    eig = np.zeros((H, W), np.float32)
+    # two ADJACENT candidates with identical response (plateau tie)
+    eig[5, 6] = eig[5, 7] = 3.0
+    # a normal isolated candidate elsewhere
+    eig[10, 3] = 7.0
+    vals, idx, count = G.gftt_candidates_topk(
+        eig, None, np.float32(0.01), np.float32(0.04), k=64,
+    )
+    assert int(count) > vals.shape[0]  # collision → fallback trigger
+
+    # without the tie the reduction is exact
+    eig[5, 7] = 0.0
+    vals, idx, count = G.gftt_candidates_topk(
+        eig, None, np.float32(0.01), np.float32(0.04), k=64,
+    )
+    assert int(count) == 2
+    got = {
+        (int(i) // W, int(i) % W)
+        for v, i in zip(np.asarray(vals), np.asarray(idx)) if v > 0
+    }
+    assert got == {(5, 6), (10, 3)}
+
+
 def test_gradient_size_validated_at_boundary():
     img = np.zeros((32, 32), np.uint8)
     with pytest.raises(ValueError, match="gradient_size"):
