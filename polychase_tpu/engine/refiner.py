@@ -280,15 +280,18 @@ def params_to_traj(
     q, t, fx, fy, cx, cy = jax.device_get(
         (params.q, params.t, params.fx, params.fy, params.cx, params.cy)
     )
+    # Keep the written-back states HOST numpy: one jnp conversion per
+    # field per frame costs a device_put each (~1 s for 250 frames on a
+    # tunneled chip, measured) and every consumer accepts numpy.
     for i, fid in enumerate(range(traj.first_frame, traj.last_frame + 1)):
         old = traj.get(fid)
         intr = old.intrinsics._replace(
-            fx=jnp.float32(fx[i]), fy=jnp.float32(fy[i]),
-            cx=jnp.float32(cx[i]), cy=jnp.float32(cy[i]),
+            fx=np.float32(fx[i]), fy=np.float32(fy[i]),
+            cx=np.float32(cx[i]), cy=np.float32(cy[i]),
         )
         out.set(
             fid,
-            C.CameraState(intr, P.Pose(jnp.asarray(q[i]), jnp.asarray(t[i]))),
+            C.CameraState(intr, P.Pose(q[i], t[i])),
         )
     return out
 
