@@ -262,19 +262,6 @@ def _run(
                 dev_gray_of(fa), None, detector_options
             )
 
-        # Prefetch pyramid prep for upcoming source frames and their
-        # missing-flow targets so each frame's upload + prep dispatch
-        # happen LOOKAHEAD frames before first use and never sit on the
-        # LK critical path.  Resume runs (all flows present) must not
-        # touch the frame accessor at all, so prefetch is gated on the
-        # DB's missing-pair set.
-        for fs in range(frame_id1, min(frame_id1 + LOOKAHEAD + 1, last)):
-            tg = missing_targets(fs)
-            if tg:
-                get_pyramid(fs)
-                for f2 in tg:
-                    get_pyramid(f2)
-
         # Read-or-generate keypoints (cpp/opticalflow.cc:154-178)
         features = db.read_keypoints(frame_id1)
         if features.shape[0] == 0 and frame_id1 in gftt_pending:
@@ -324,6 +311,21 @@ def _run(
                 pyr1, pyrs2, features, flow_options
             )
         pending_flows.append((frame_id1, targets, handle))
+
+        # Prefetch pyramid prep for UPCOMING source frames and their
+        # missing-flow targets, AFTER this frame's dispatch: the uploads
+        # + prep programs queue behind the in-flight LK work instead of
+        # delaying it (at clip start this halves the serial ramp before
+        # the first LK).  Resume runs (all flows present) must not touch
+        # the frame accessor at all, so prefetch is gated on the DB's
+        # missing-pair set.
+        for fs in range(frame_id1 + 1, min(frame_id1 + LOOKAHEAD + 1, last)):
+            tg = missing_targets(fs)
+            if tg:
+                get_pyramid(fs)
+                for f2 in tg:
+                    get_pyramid(f2)
+
         # Keep several solves in flight: the finish of frame i-k overlaps
         # the device compute of frames i-k+1..i, covering the full
         # dispatch+fetch floor of the link.  Depth measured on the
