@@ -40,42 +40,48 @@ def rays(G, K, seed=1):
     d = tgt - o[:,None,:]
     return o.astype(np.float32), d.astype(np.float32)
 
-G, K = 64, 512
-for n_tri in (8_000, 30_000, 100_000, 400_000):
-    v, t = make_mesh(n_tri)
-    T = len(t)
-    mesh = Mesh.create(v, t)
-    t0 = time.perf_counter()
-    accel = build_grid_accel(v, t)
-    build_s = time.perf_counter() - t0
-    o, d = rays(G, K)
-    oj, dj = jnp.asarray(o), jnp.asarray(d)
+def _study():
+    G, K = 64, 512
+    for n_tri in (8_000, 30_000, 100_000, 400_000):
 
-    def timed(fn, reps=3):
-        r = fn(); jax.device_get(r.t)  # warm/compile
-        best = np.inf
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            r = fn(); jax.device_get(r.t)
-            best = min(best, time.perf_counter() - t0)
-        return best, r
+        v, t = make_mesh(n_tri)
+        T = len(t)
+        mesh = Mesh.create(v, t)
+        t0 = time.perf_counter()
+        accel = build_grid_accel(v, t)
+        build_s = time.perf_counter() - t0
+        o, d = rays(G, K)
+        oj, dj = jnp.asarray(o), jnp.asarray(d)
 
-    for blk in (4, 8, 16):
-        tg, rg = timed(lambda: grid_raycast_grouped(mesh, accel, oj, dj, block=blk))
-        print(f"  T={T} block={blk}: grid={tg*1e3:8.1f}ms")
-    n_items = accel.items.shape[0]
-    if T <= 500_000:
-        tb, rb = timed(lambda: raycast_grouped(mesh, oj, dj))
-        agree = (np.asarray(rb.valid) == np.asarray(rg.valid)).mean()
-    else:
-        tb, agree = float('nan'), float('nan')
-    # host BVH
-    try:
-        from polychase_tpu import native
-        bvh = native.BvhRaycaster(v, t)
-        of = np.broadcast_to(o[:,None,:],(G,K,3)).reshape(-1,3).copy()
-        df = d.reshape(-1,3).copy()
-        t0=time.perf_counter(); bvh.raycast(of, df, None); tn = time.perf_counter()-t0
-    except Exception as e:
-        tn = float('nan')
-    print(f"T={T:7d} items={n_items:8d} build={build_s*1e3:7.1f}ms grid={tg*1e3:8.1f}ms brute={tb*1e3 if tb==tb else float('nan'):8.1f}ms bvh_host={tn*1e3:7.1f}ms agree={agree}")
+        def timed(fn, reps=3):
+            r = fn(); jax.device_get(r.t)  # warm/compile
+            best = np.inf
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                r = fn(); jax.device_get(r.t)
+                best = min(best, time.perf_counter() - t0)
+            return best, r
+
+        for blk in (4, 8, 16):
+            tg, rg = timed(lambda: grid_raycast_grouped(mesh, accel, oj, dj, block=blk))
+            print(f"  T={T} block={blk}: grid={tg*1e3:8.1f}ms")
+        n_items = accel.items.shape[0]
+        if T <= 500_000:
+            tb, rb = timed(lambda: raycast_grouped(mesh, oj, dj))
+            agree = (np.asarray(rb.valid) == np.asarray(rg.valid)).mean()
+        else:
+            tb, agree = float('nan'), float('nan')
+        # host BVH
+        try:
+            from polychase_tpu import native
+            bvh = native.BvhRaycaster(v, t)
+            of = np.broadcast_to(o[:,None,:],(G,K,3)).reshape(-1,3).copy()
+            df = d.reshape(-1,3).copy()
+            t0=time.perf_counter(); bvh.raycast(of, df, None); tn = time.perf_counter()-t0
+        except Exception as e:
+            tn = float('nan')
+        print(f"T={T:7d} items={n_items:8d} build={build_s*1e3:7.1f}ms grid={tg*1e3:8.1f}ms brute={tb*1e3 if tb==tb else float('nan'):8.1f}ms bvh_host={tn*1e3:7.1f}ms agree={agree}")
+
+
+if __name__ == "__main__":
+    _study()

@@ -18,8 +18,8 @@ Metrics:
                      dispatch + result fetch, everything else removed
     raycast_sweep_ms fused brute ray-cast sweep, 32k rays x 100k tris
     tracking_ms      40-frame tracking scan chain (raycast+PnP on device)
-    analyze_fps      bench.py config-1 end-to-end (frames/sec, HIGHER is
-                     better; inverted internally)
+    analyze_clip_ms  bench.py config-1 clip end-to-end, ms per 12-frame
+                     clip (stored as ms so bigger = slower like the rest)
 """
 
 import argparse
@@ -78,54 +78,12 @@ def _metric_lk_chain():
 
 
 def _metric_raycast_sweep():
-    import math
-
     import jax
     import jax.numpy as jnp
 
+    from bench_raycast_grid import make_mesh, rays
     from polychase_tpu.engine.geometry import Mesh
     from polychase_tpu.engine.raycast import raycast_grouped
-
-    def make_mesh(n_tri, seed=0):
-        # bumpy sphere, same construction as bench_raycast_grid.py
-        n_lat = max(4, int(math.sqrt(n_tri / 2)))
-        n_lon = max(4, n_tri // (2 * n_lat) + 1)
-        rng = np.random.default_rng(seed)
-        verts, tris = [], []
-        for i in range(n_lat + 1):
-            th = np.pi * i / n_lat
-            for j in range(n_lon):
-                ph = 2 * np.pi * j / n_lon
-                r = 1.0 + 0.05 * rng.standard_normal()
-                verts.append([
-                    r * np.sin(th) * np.cos(ph),
-                    r * np.sin(th) * np.sin(ph),
-                    r * np.cos(th),
-                ])
-        for i in range(n_lat):
-            for j in range(n_lon):
-                a = i * n_lon + j
-                b = i * n_lon + (j + 1) % n_lon
-                c = (i + 1) * n_lon + j
-                d = (i + 1) * n_lon + (j + 1) % n_lon
-                if i > 0:
-                    tris.append([a, c, b])
-                if i < n_lat - 1:
-                    tris.append([b, c, d])
-        return (
-            np.asarray(verts, np.float32),
-            np.asarray(tris, np.uint32),
-        )
-
-    def rays(G, K, seed=1):
-        rng = np.random.default_rng(seed)
-        o = rng.normal(size=(G, 3))
-        o = 4.0 * o / np.linalg.norm(o, axis=-1, keepdims=True)
-        tgt = rng.normal(0, 0.6, (G, K, 3))
-        return (
-            o.astype(np.float32),
-            (tgt - o[:, None, :]).astype(np.float32),
-        )
 
     v, t = make_mesh(100_000)
     mesh = Mesh.create(v, t)
@@ -206,6 +164,10 @@ METRICS = {
 
 
 def measure(only=None):
+    if only is not None and only not in METRICS:
+        raise SystemExit(
+            f"unknown metric {only!r}; choose from {sorted(METRICS)}"
+        )
     runners = {}
     for name, factory in METRICS.items():
         if only and name != only:

@@ -61,7 +61,11 @@ def lk_all(fetch=True):
         handles.append(h)
     if fetch:
         return [L.calc_optical_flow_multi_finish(h) for h in handles]
-    drain(jax.tree.leaves([h[2] for h in handles]))
+    drain(
+        jax.tree.leaves(
+            [h[2] for h in handles if h[0] != "empty"]
+        )
+    )
     return handles
 
 

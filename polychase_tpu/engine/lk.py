@@ -706,11 +706,6 @@ def _analyze_mesh():
 def _dispatch_multi_xla(prev_pyr, stacked, pts_p, eps, opts, levels, T):
     """Multi-target dispatch; shards the target axis over a device mesh
     when enabled (the reference's per-pair thread pool becomes chips)."""
-    args = (
-        jnp.asarray(pts_p),
-        jnp.float32(eps * eps),
-        jnp.float32(opts.min_eigen_threshold),
-    )
     kw = dict(
         win=opts.window_size, max_iters=opts.term_max_iters, levels=levels
     )
@@ -734,6 +729,14 @@ def _dispatch_multi_xla(prev_pyr, stacked, pts_p, eps, opts, levels, T):
             jnp.float32(opts.min_eigen_threshold),
             **kw,
         )
+    # Build the shared args lazily: the feature-shard branch above
+    # uploads its own padded copy, and uploading both would waste a
+    # full-size host->device transfer per dispatch.
+    args = (
+        jnp.asarray(pts_p),
+        jnp.float32(eps * eps),
+        jnp.float32(opts.min_eigen_threshold),
+    )
     if mesh is not None and T >= 2:
         from ..parallel.analyze import shard_targets, sharded_lk_multi
 

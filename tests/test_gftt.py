@@ -153,25 +153,28 @@ def test_topk_block_reduction_tie_collision_falls_back(monkeypatch):
     from polychase_tpu.engine import gftt as G
 
     H, W = 16, 16
-    # Fake response derives from the image so the jitted program stays
-    # data-dependent (a closure over constants would be trace-folded).
+    # Fake response derives from the image so the program stays
+    # data-dependent, and the UNJITTED function is used so the patched
+    # trace can never poison gftt_candidates_topk's jit cache for later
+    # tests with the same shapes.
     monkeypatch.setattr(
         G, "gftt_response", lambda img, *a, **k: (img, img > 0)
     )
+    topk_eager = G.gftt_candidates_topk.__wrapped__
     eig = np.zeros((H, W), np.float32)
     # two ADJACENT candidates with identical response (plateau tie)
     eig[5, 6] = eig[5, 7] = 3.0
     # a normal isolated candidate elsewhere
     eig[10, 3] = 7.0
-    vals, idx, count = G.gftt_candidates_topk(
-        eig, None, np.float32(0.01), np.float32(0.04), k=64,
+    vals, idx, count = topk_eager(
+        jnp.asarray(eig), None, np.float32(0.01), np.float32(0.04), k=64,
     )
     assert int(count) > vals.shape[0]  # collision → fallback trigger
 
     # without the tie the reduction is exact
     eig[5, 7] = 0.0
-    vals, idx, count = G.gftt_candidates_topk(
-        eig, None, np.float32(0.01), np.float32(0.04), k=64,
+    vals, idx, count = topk_eager(
+        jnp.asarray(eig), None, np.float32(0.01), np.float32(0.04), k=64,
     )
     assert int(count) == 2
     got = {
