@@ -33,6 +33,7 @@ from typing import NamedTuple, Optional
 import numpy as np
 
 from .. import api
+from ..engine.opticalflow import FrameNotProvidedError as _FrameNotProvidedError
 
 
 class OpticalFlowProgress(NamedTuple):
@@ -179,15 +180,26 @@ class OpticalFlowThread(_WorkerBase):
             )
             return not self._stop.is_set()
 
-        api.generate_optical_flow_database(
-            self._video_info,
-            accessor,
-            progress,
-            self._database_path,
-            self._detector_options,
-            self._flow_options,
-            self._write_images,
-        )
+        try:
+            api.generate_optical_flow_database(
+                self._video_info,
+                accessor,
+                progress,
+                self._database_path,
+                self._detector_options,
+                self._flow_options,
+                self._write_images,
+            )
+        except Exception as exc:
+            # A stop request unblocks a pending frame wait with no frame;
+            # that is a clean cancel, not a failure (the reference's
+            # cancel path, cpp/opticalflow.cc:238-247).  The API boundary
+            # wraps engine errors in CppException, so check the chain.
+            unprovided = isinstance(exc, _FrameNotProvidedError) or (
+                isinstance(exc.__cause__, _FrameNotProvidedError)
+            )
+            if not (unprovided and self._stop.is_set()):
+                raise
 
 
 class TrackerThread(_WorkerBase):

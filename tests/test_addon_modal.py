@@ -212,6 +212,29 @@ class TestAnalyzeModal:
         assert not transient.is_analyzing
         assert env.ctx.window_manager.timers == []
 
+    def test_esc_during_blocked_frame_request_cancels_cleanly(self, env):
+        """ESC while the worker is blocked waiting for a frame must end
+        as a clean cancel, not an error: the stop request unblocks the
+        provide wait with no frame, which the worker treats as the
+        cancel path (reference cpp/opticalflow.cc:238-247)."""
+        op = env.analysis.PC_OT_AnalyzeVideo()
+        op.invoke(env.ctx, SimpleNamespace(type="RET"))
+        assert op.execute(env.ctx) == {"RUNNING_MODAL"}
+        # Deliberately do NOT register the image users with the scene:
+        # the seek never settles, so the worker stays blocked on its
+        # first frame request.
+        deadline = time.time() + 60
+        while op._pending_frame is None and time.time() < deadline:
+            op.modal(env.ctx, TIMER)
+            time.sleep(0.01)
+        assert op._pending_frame is not None
+        op.modal(env.ctx, ESC)
+        res = _pump(op, env.ctx, deadline_s=60)
+        assert res == {"FINISHED"}, op.reports
+        assert not [r for r in op.reports if "ERROR" in r[0]], op.reports
+        transient = env.properties.transient_state(env.tracker)
+        assert not transient.is_analyzing
+
     def test_non_timer_events_pass_through(self, env):
         op = env.analysis.PC_OT_AnalyzeVideo()
         op.invoke(env.ctx, SimpleNamespace(type="RET"))
