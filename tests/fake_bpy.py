@@ -252,6 +252,16 @@ class FakeObject(_Animatable):
         self.scale = mu.Vector((1.0, 1.0, 1.0))
         self.rotation_mode = "QUATERNION"
         self._mesh_arrays = mesh_arrays  # (verts, tris) for geometry
+        # frame -> snapshot of matrix_world at keyframe_insert time (what
+        # Blender would bake into the fcurves)
+        self.keyframe_matrices: dict[int, np.ndarray] = {}
+
+    def keyframe_insert(self, data_path, frame=0, keytype="KEYFRAME",
+                        **kw):
+        self.keyframe_matrices[int(frame)] = np.array(self.matrix_world)
+        _Animatable.keyframe_insert(
+            self, data_path, frame=frame, keytype=keytype, **kw
+        )
 
     def evaluated_get(self, _depsgraph):
         return self
@@ -285,6 +295,10 @@ class FakeScene:
         self.frame_current = 0
         self.polychase_state = None
         self._image_users: list[FakeImageUser] = []
+        # Scripted stand-ins for depsgraph evaluation on frame change
+        # (e.g. pose objects from animation): each hook is called with
+        # the new frame number.
+        self.frame_hooks: list = []
 
     def frame_set(self, frame):
         self.frame_current = int(frame)
@@ -292,6 +306,8 @@ class FakeScene:
             iu.frame_current = (
                 self.frame_current + iu.frame_offset - iu.frame_start + 1
             )
+        for hook in self.frame_hooks:
+            hook(self.frame_current)
 
 
 class FakeWindowManager:

@@ -70,6 +70,9 @@ def env(rendered, tmp_path):
     tracking = importlib.import_module(
         "polychase_tpu.blender_addon.operators.tracking"
     )
+    refiner = importlib.import_module(
+        "polychase_tpu.blender_addon.operators.refiner"
+    )
     properties = importlib.import_module(
         "polychase_tpu.blender_addon.properties"
     )
@@ -104,7 +107,8 @@ def env(rendered, tmp_path):
     yield SimpleNamespace(
         bpy=bpy, scene=scene, ctx=bpy.context, clip=clip, camera=camera,
         geometry=geometry, tracker=tracker, analysis=analysis,
-        tracking=tracking, properties=properties, keyframes=keyframes,
+        tracking=tracking, refiner=refiner, properties=properties,
+        keyframes=keyframes,
         core=core, rendered=rendered, mu=mu,
         db_path=str(tmp_path / "flow.db"),
     )
@@ -354,3 +358,145 @@ class TestTrackModal:
         assert op.execute(env.ctx) == {"CANCELLED"}
         assert any("Nothing to track" in m for _, m in op.reports)
         assert not env.properties.transient_state(env.tracker).is_tracking
+
+
+def _perturbed_views(env, rng, noise=0.03):
+    """Per-frame scripted camera world matrices: ground truth with noisy
+    interior translations (what a drifting track would have keyed)."""
+    views = {}
+    for f in range(N_FRAMES):
+        v = _view_cv4x4(env.rendered.poses[f])
+        if 0 < f < N_FRAMES - 1:
+            v = v.copy()
+            v[:3, 3] += rng.normal(0, noise, 3)
+        views[f] = v
+    return views
+
+
+def _install_camera_animation(env, views):
+    """Drive camera.matrix_world from the scripted views on frame_set,
+    as Blender's animation system would from keyed fcurves."""
+
+    def hook(frame):
+        if frame in views:
+            view_gl = _FLIP @ views[frame]
+            env.camera.matrix_world = env.mu.Matrix(
+                np.linalg.inv(view_gl)
+            )
+
+    env.scene.frame_hooks.append(hook)
+    hook(env.scene.frame_current)
+
+
+def _t_err(view_cv, gt_pose):
+    return float(
+        np.linalg.norm(view_cv[:3, 3] - _view_cv4x4(gt_pose)[:3, 3])
+    )
+
+
+class TestRefineModal:
+    def _setup(self, env, rng):
+        _analyze_db(env)
+        views = _perturbed_views(env, rng)
+        _install_camera_animation(env, views)
+        # USER keyframes bound the segment (anchors)
+        env.keyframes.insert_keyframe(
+            env.camera, 0, keytype=env.keyframes.USER_KEYFRAME
+        )
+        env.keyframes.insert_keyframe(
+            env.camera, N_FRAMES - 1, keytype=env.keyframes.USER_KEYFRAME
+        )
+        return views
+
+    def test_refine_sequence_improves_interior_frames(self, env):
+        rng = np.random.default_rng(7)
+        views = self._setup(env, rng)
+        env.scene.frame_set(3)  # inside the (0, N-1) segment
+
+        op = env.refiner.PC_OT_RefineSequence()
+        assert type(op).poll(env.ctx)
+        assert op.execute(env.ctx) == {"RUNNING_MODAL"}, op.reports
+        transient = env.properties.transient_state(env.tracker)
+        assert transient.is_refining
+        assert env.refiner.PC_OT_CancelRefine.poll(env.ctx)
+
+        res = _pump(op, env.ctx)
+        assert res == {"FINISHED"}, op.reports
+        assert not transient.is_refining
+        assert env.ctx.window_manager.timers == []
+
+        # GENERATED keyframes at every interior frame, snapshotting the
+        # refined camera matrices.
+        fcurves = env.keyframes.tracker_fcurves(
+            env.tracker, include_lens=False
+        )
+        gen = env.keyframes.keyframes_of_type(
+            fcurves, env.keyframes.GENERATED_KEYFRAME
+        )
+        assert gen == set(range(1, N_FRAMES - 1))
+
+        errs_before, errs_after = [], []
+        for f in range(1, N_FRAMES - 1):
+            world = env.camera.keyframe_matrices[f]
+            refined_cv = _FLIP @ np.linalg.inv(world)
+            errs_before.append(_t_err(views[f], env.rendered.poses[f]))
+            errs_after.append(_t_err(refined_cv, env.rendered.poses[f]))
+        assert np.mean(errs_after) < 0.6 * np.mean(errs_before), (
+            errs_before, errs_after,
+        )
+
+    def test_refine_needs_two_user_keyframes(self, env):
+        _analyze_db(env)
+        op = env.refiner.PC_OT_RefineSequence()
+        assert op.execute(env.ctx) == {"CANCELLED"}
+        assert any("two user keyframes" in m for _, m in op.reports)
+
+    def test_refine_all_segments_parallel_route(self, env):
+        """With 3 user keyframes and >1 device, refine-all routes to the
+        segment-parallel RefineSegmentsThread; both segments must come
+        back refined."""
+        import polychase_tpu.polychase_core as pc
+
+        assert pc.device_count() > 1  # 8-device virtual CPU mesh
+        rng = np.random.default_rng(9)
+        views = self._setup(env, rng)
+        env.keyframes.insert_keyframe(
+            env.camera, 4, keytype=env.keyframes.USER_KEYFRAME
+        )
+
+        op = env.refiner.PC_OT_RefineAllSegments()
+        assert op.execute(env.ctx) == {"RUNNING_MODAL"}, op.reports
+        assert op._parallel_trajs is not None  # took the parallel route
+        res = _pump(op, env.ctx)
+        assert res == {"FINISHED"}, op.reports
+
+        fcurves = env.keyframes.tracker_fcurves(
+            env.tracker, include_lens=False
+        )
+        gen = env.keyframes.keyframes_of_type(
+            fcurves, env.keyframes.GENERATED_KEYFRAME
+        )
+        # interior frames of both segments (anchors 0, 4, N-1 excluded)
+        assert gen == set(range(1, N_FRAMES - 1)) - {4}
+        errs_before, errs_after = [], []
+        for f in sorted(gen):
+            world = env.camera.keyframe_matrices[f]
+            refined_cv = _FLIP @ np.linalg.inv(world)
+            errs_before.append(_t_err(views[f], env.rendered.poses[f]))
+            errs_after.append(_t_err(refined_cv, env.rendered.poses[f]))
+        assert np.mean(errs_after) < 0.6 * np.mean(errs_before), (
+            errs_before, errs_after,
+        )
+
+    def test_esc_cancels_refine(self, env):
+        rng = np.random.default_rng(11)
+        self._setup(env, rng)
+        env.scene.frame_set(3)
+        op = env.refiner.PC_OT_RefineSequence()
+        assert op.execute(env.ctx) == {"RUNNING_MODAL"}, op.reports
+        op.modal(env.ctx, ESC)
+        res = _pump(op, env.ctx)
+        assert res in ({"FINISHED"}, {"CANCELLED"})
+        transient = env.properties.transient_state(env.tracker)
+        assert not transient.is_refining
+        assert env.ctx.window_manager.timers == []
