@@ -228,12 +228,17 @@ class Tracker:
             return None
         width, height = region.width, region.height
         proj = rv3d.window_matrix
+        # GL projection → pixel-unit OpenGL intrinsics (negative focals,
+        # engine project: px = fx·X/Z + cx with region coords y-up):
+        # px = (x_ndc/2 + 1/2)·W - 1/2 = (-P00·W/2)·X/Z + W/2·(1-P02) - 1/2.
+        # The reference passes NDC coords instead (core.py:373-387 with
+        # utils.ndc); here the pick pixel stays in region units.
         intr = pc.CameraIntrinsics(
             fx=-proj[0][0] * width / 2.0,
             fy=-proj[1][1] * height / 2.0,
-            cx=-(proj[0][2] * width / 2.0 + width / 2.0 - 0.5),
-            cy=-(proj[1][2] * height / 2.0 + height / 2.0 - 0.5),
-            aspect_ratio=proj[0][0] / proj[1][1],
+            cx=-proj[0][2] * width / 2.0 + width / 2.0 - 0.5,
+            cy=-proj[1][2] * height / 2.0 + height / 2.0 - 0.5,
+            aspect_ratio=(proj[0][0] * width) / (proj[1][1] * height),
             width=width, height=height,
             convention=pc.CameraConvention.OpenGL,
         )

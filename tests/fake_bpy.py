@@ -293,6 +293,7 @@ class FakeClip:
 class FakeScene:
     def __init__(self):
         self.frame_current = 0
+        self.camera = None
         self.polychase_state = None
         self._image_users: list[FakeImageUser] = []
         # Scripted stand-ins for depsgraph evaluation on frame change
@@ -308,6 +309,57 @@ class FakeScene:
             )
         for hook in self.frame_hooks:
             hook(self.frame_current)
+
+
+class FakeRegion3D:
+    """Viewport camera state (bpy.types.RegionView3D)."""
+
+    def __init__(self, view_matrix=None, window_matrix=None):
+        self.view_perspective = "PERSP"
+        self.view_matrix = (
+            view_matrix if view_matrix is not None else mu.Matrix()
+        )
+        self.window_matrix = (
+            window_matrix if window_matrix is not None else mu.Matrix()
+        )
+
+    @property
+    def perspective_matrix(self):
+        return self.window_matrix @ self.view_matrix
+
+
+class FakeView3DArea:
+    """A VIEW_3D area with one WINDOW region at origin."""
+
+    def __init__(self, width, height, rv3d=None):
+        self.type = "VIEW_3D"
+        self.regions = [
+            SimpleNamespace(
+                type="WINDOW", x=0, y=0, width=width, height=height
+            )
+        ]
+        rv3d = rv3d if rv3d is not None else FakeRegion3D()
+        self.spaces = SimpleNamespace(active=SimpleNamespace(region_3d=rv3d))
+        self.redraw_count = 0
+
+    def tag_redraw(self):
+        self.redraw_count += 1
+
+
+class FakeSpaceView3D:
+    """Draw-handler registry (reset per :func:`install`)."""
+
+    draw_handlers: list = []
+
+    @classmethod
+    def draw_handler_add(cls, fn, args, region_type, draw_type):
+        handler = (fn, args, region_type, draw_type)
+        cls.draw_handlers.append(handler)
+        return handler
+
+    @classmethod
+    def draw_handler_remove(cls, handler, region_type):
+        cls.draw_handlers.remove(handler)
 
 
 class FakeWindowManager:
@@ -339,6 +391,13 @@ class FakeContext:
         self.window = SimpleNamespace()
         self.screen = SimpleNamespace(areas=[])
 
+    @property
+    def region_data(self):
+        for area in self.screen.areas:
+            if area.type == "VIEW_3D":
+                return area.spaces.active.region_3d
+        return None
+
     def evaluated_depsgraph_get(self):
         return SimpleNamespace()
 
@@ -366,6 +425,14 @@ class FakeTracker:
         self.pins_data = b""
         self.pins_version = 0
         self.masked_triangles = b""
+        # Pin-mode UI props (blender_addon/properties.py:122-158)
+        self.selected_pin = -1
+        self.pin_radius = 7.0
+        self.mask_brush_radius = 25
+        self.pin_color = (0.2, 0.6, 1.0, 1.0)
+        self.selected_pin_color = (1.0, 0.4, 0.2, 1.0)
+        self.wireframe_color = (0.0, 1.0, 0.0, 0.4)
+        self.masked_color = (1.0, 0.0, 0.0, 0.4)
 
 
 class FakeState:
@@ -401,6 +468,8 @@ def make_bpy(scene: FakeScene):
     bpy_types.Panel = type("Panel", (), {})
     bpy_types.UIList = type("UIList", (), {})
     bpy_types.Scene = type("Scene", (), {})
+    bpy_types.SpaceView3D = FakeSpaceView3D
+    FakeSpaceView3D.draw_handlers = []
 
     bpy_props = types.ModuleType("bpy.props")
     bpy_props.IntProperty = _prop(0)
@@ -424,12 +493,17 @@ def make_bpy(scene: FakeScene):
     bpy_ops.wm = SimpleNamespace(
         redraw_timer=lambda type=None, iterations=0: None
     )
+    undo_pushes: list[str] = []
+    bpy_ops.ed = SimpleNamespace(
+        undo_push=lambda message="": undo_pushes.append(message)
+    )
 
     bpy.types = bpy_types
     bpy.props = bpy_props
     bpy.path = bpy_path
     bpy.utils = bpy_utils
     bpy.ops = bpy_ops
+    bpy.undo_pushes = undo_pushes
     bpy.data = SimpleNamespace(images=FakeImages())
     bpy.context = FakeContext(scene)
     bpy.app = SimpleNamespace(version=(4, 2, 0), timers=SimpleNamespace())

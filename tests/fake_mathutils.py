@@ -191,6 +191,9 @@ class Matrix:
             w, x, y, z = q
         return loc, Quaternion((w, x, y, z)), Vector(scale)
 
+    def __getitem__(self, i):
+        return self._m[i]
+
     def __array__(self, dtype=None):
         return self._m.astype(dtype) if dtype else self._m.copy()
 

@@ -73,6 +73,9 @@ def env(rendered, tmp_path):
     refiner = importlib.import_module(
         "polychase_tpu.blender_addon.operators.refiner"
     )
+    pin_mode = importlib.import_module(
+        "polychase_tpu.blender_addon.operators.pin_mode.pin_mode"
+    )
     properties = importlib.import_module(
         "polychase_tpu.blender_addon.properties"
     )
@@ -107,8 +110,8 @@ def env(rendered, tmp_path):
     yield SimpleNamespace(
         bpy=bpy, scene=scene, ctx=bpy.context, clip=clip, camera=camera,
         geometry=geometry, tracker=tracker, analysis=analysis,
-        tracking=tracking, refiner=refiner, properties=properties,
-        keyframes=keyframes,
+        tracking=tracking, refiner=refiner, pin_mode=pin_mode,
+        properties=properties, keyframes=keyframes,
         core=core, rendered=rendered, mu=mu,
         db_path=str(tmp_path / "flow.db"),
     )
@@ -500,3 +503,231 @@ class TestRefineModal:
         transient = env.properties.transient_state(env.tracker)
         assert not transient.is_refining
         assert env.ctx.window_manager.timers == []
+
+
+# ---------------------------------------------------------------------------
+# Pin mode: LMB pick/create, drag → pose re-solve, RMB delete, M-masking,
+# ESC exit (reference blender_addon/operators/pin_mode/pin_mode.py).
+# ---------------------------------------------------------------------------
+
+
+def _event(etype, value="NOTHING", x=0, y=0, ctrl=False):
+    return SimpleNamespace(
+        type=etype, value=value, mouse_x=x, mouse_y=y, ctrl=ctrl
+    )
+
+
+class _CameraRV3D:
+    """Camera-view RegionView3D: the view matrix tracks the scene camera
+    (what Blender does in camera view), projection from the clip focal."""
+
+    def __init__(self, camera, window_matrix):
+        self._camera = camera
+        self.window_matrix = window_matrix
+        self.view_perspective = "CAMERA"
+
+    @property
+    def view_matrix(self):
+        return self._camera.matrix_world.inverted()
+
+    @property
+    def perspective_matrix(self):
+        return self.window_matrix @ self.view_matrix
+
+
+def _window_matrix(env, near=0.1, far=1000.0):
+    """Blender-style NDC projection for the synthetic pinhole (fx=fy=FOCAL,
+    centered principal point)."""
+    return env.mu.Matrix((
+        (2.0 * FOCAL / W, 0.0, 0.0, 0.0),
+        (0.0, 2.0 * FOCAL / H, 0.0, 0.0),
+        (0.0, 0.0, -(far + near) / (far - near),
+         -2.0 * far * near / (far - near)),
+        (0.0, 0.0, -1.0, 0.0),
+    ))
+
+
+def _cv_project(env, point_world, intr_f=FOCAL):
+    """Ground-truth-style projection of a world point through the CURRENT
+    camera matrix, returned in region coords (y up)."""
+    view_cv = _FLIP @ np.linalg.inv(np.array(env.camera.matrix_world))
+    pc3 = (view_cv @ np.append(np.asarray(point_world, np.float64), 1.0))[:3]
+    x_cv = intr_f * pc3[0] / pc3[2] + W / 2.0 - 0.5
+    y_cv = intr_f * pc3[1] / pc3[2] + H / 2.0 - 0.5
+    return np.array([x_cv, (H - 1) - y_cv])  # region y is up
+
+
+class TestPinModeModal:
+    def _enter(self, env):
+        rv3d = _CameraRV3D(env.camera, _window_matrix(env))
+        env.ctx.screen.areas.append(fake_bpy.FakeView3DArea(W, H, rv3d))
+        op = env.pin_mode.PC_OT_PinMode()
+        assert type(op).poll(env.ctx)
+        res = op.invoke(env.ctx, _event("NONE"))
+        assert res == {"RUNNING_MODAL"}, op.reports
+        return op, rv3d
+
+    def test_pick_drag_release_keyframes(self, env):
+        op, rv3d = self._enter(env)
+        transient = env.properties.transient_state(env.tracker)
+        assert transient.in_pinmode
+        assert not type(op).poll(env.ctx)  # no nested sessions
+        assert len(fake_bpy.FakeSpaceView3D.draw_handlers) == 1
+
+        engine_tracker = env.core.Trackers.get(env.tracker)
+
+        # LMB off the sphere: no pin is created.
+        assert op.modal(env.ctx, _event("LEFTMOUSE", "PRESS", 30, 30)) == {
+            "RUNNING_MODAL"
+        }
+        assert engine_tracker.pins.count == 0
+
+        # LMB on the sphere (center + a second point): pins from raycast
+        # hits, persisted in the tracker blob, projecting back to the
+        # click pixel.
+        clicks = [(W // 2, H // 2), (W // 2 + 40, H // 2 + 25)]
+        for i, (x, y) in enumerate(clicks):
+            op.modal(env.ctx, _event("LEFTMOUSE", "PRESS", x, y))
+            assert engine_tracker.pins.count == i + 1
+            assert env.tracker.selected_pin == i
+            assert op._dragging
+            op.modal(env.ctx, _event("LEFTMOUSE", "RELEASE", x, y))
+            assert not op._dragging
+            hit = engine_tracker.pins.points[i]
+            assert abs(np.linalg.norm(hit) - 1.0) < 0.05  # on the sphere
+            back = _cv_project(env, hit)
+            assert np.allclose(back, [x, y], atol=1.5), (back, (x, y))
+        assert len(bytes(env.tracker.pins_data)) == 2 * 12
+        # Releases wrote USER keyframes + undo pushes.
+        fcurves = env.keyframes.tracker_fcurves(
+            env.tracker, include_lens=False
+        )
+        assert env.keyframes.keyframes_of_type(
+            fcurves, env.keyframes.USER_KEYFRAME
+        ) == {env.scene.frame_current}
+        assert sum(
+            1 for m in env.bpy.undo_pushes if "pin drag" in m
+        ) == 2
+
+        # Drag pin 1 by (+12, -8): the camera re-solves so the dragged
+        # pin reprojects at the new pixel and the anchored pin stays put
+        # (verified through an INDEPENDENT OpenCV-convention projection).
+        x0, y0 = clicks[1]
+        target = (x0 + 12, y0 - 8)
+        cam_before = np.array(env.camera.matrix_world)
+        op.modal(env.ctx, _event("LEFTMOUSE", "PRESS", x0, y0))
+        assert op._drag_pin == 1
+        # A real drag is a stream of MOUSEMOVEs; each one re-solves from
+        # the scene left by the previous (the UI's iterative converge).
+        for _ in range(4):
+            op.modal(env.ctx, _event("MOUSEMOVE", "NOTHING", *target))
+        op.modal(env.ctx, _event("LEFTMOUSE", "RELEASE", *target))
+        assert not np.allclose(
+            cam_before, np.array(env.camera.matrix_world)
+        )
+        dragged = _cv_project(env, engine_tracker.pins.points[1])
+        anchored = _cv_project(env, engine_tracker.pins.points[0])
+        assert np.allclose(dragged, target, atol=2.0), (dragged, target)
+        assert np.allclose(anchored, clicks[0], atol=2.0), anchored
+
+        # RMB deletes the pin under the cursor.
+        op.modal(env.ctx, _event("RIGHTMOUSE", "PRESS", *target))
+        assert engine_tracker.pins.count == 1
+        assert env.tracker.selected_pin == -1 or env.tracker.selected_pin == 0
+
+        # Smoke the draw handler (fake gpu): real mesh/pin numpy paths.
+        fn, args, _, _ = fake_bpy.FakeSpaceView3D.draw_handlers[0]
+        fn(*args)
+
+        # ESC exits and tears down.
+        assert op.modal(env.ctx, _event("ESC", "PRESS")) == {"FINISHED"}
+        assert not transient.in_pinmode
+        assert fake_bpy.FakeSpaceView3D.draw_handlers == []
+
+    def test_mask_painting_blocks_pins(self, env):
+        op, rv3d = self._enter(env)
+        engine_tracker = env.core.Trackers.get(env.tracker)
+        region = env.ctx.screen.areas[0].regions[0]
+
+        # M toggles mask painting.
+        op.modal(env.ctx, _event("M", "PRESS"))
+        assert op._masking
+
+        # Wheel adjusts the brush radius.
+        r0 = env.tracker.mask_brush_radius
+        op.modal(env.ctx, _event("WHEELUPMOUSE", "NOTHING", 10, 10))
+        assert env.tracker.mask_brush_radius == r0 + 2
+        op.modal(env.ctx, _event("WHEELDOWNMOUSE", "NOTHING", 10, 10))
+        assert env.tracker.mask_brush_radius == r0
+
+        # The GPU id pass is replaced by a software raster: per-pixel
+        # engine raycasts around the stroke (same geometry, no GPU).
+        cx, cy = W // 2, H // 2
+        radius = env.tracker.mask_brush_radius
+
+        def software_render_ids(engine_tracker_, tracker_props, region_,
+                                rv3d_):
+            ids = np.zeros((region_.height, region_.width), np.uint32)
+            r = int(np.ceil(radius)) + 1
+            for yy in range(cy - r, cy + r + 1):
+                for xx in range(cx - r, cx + r + 1):
+                    hit = engine_tracker_.ray_cast(
+                        tracker_props, env.ctx, region_, rv3d_, xx, yy,
+                        check_mask=False,
+                    )
+                    if hit is not None:
+                        ids[yy, xx] = hit.primitive_id + 1
+            op._masker._id_buffer = ids
+
+        op._masker.render_ids = software_render_ids
+
+        # Paint one stroke at the center.
+        op.modal(env.ctx, _event("LEFTMOUSE", "PRESS", cx, cy))
+        op.modal(env.ctx, _event("LEFTMOUSE", "RELEASE", cx, cy))
+        masked = np.frombuffer(
+            bytes(env.tracker.masked_triangles), np.uint32
+        )
+        assert masked.any()
+        assert any("mask paint" in m for m in env.bpy.undo_pushes)
+        # The brush circle overlay was fed to the renderer.
+        assert op._renderer._mask_circle is not None
+
+        # Back in pin mode, a masked surface refuses new pins...
+        op.modal(env.ctx, _event("M", "PRESS"))
+        assert not op._masking
+        op.modal(env.ctx, _event("LEFTMOUSE", "PRESS", cx, cy))
+        assert engine_tracker.pins.count == 0
+        op.modal(env.ctx, _event("LEFTMOUSE", "RELEASE", cx, cy))
+        # ...but an unmasked spot still takes one.
+        op.modal(
+            env.ctx, _event("LEFTMOUSE", "PRESS", cx + 40, cy + 25)
+        )
+        assert engine_tracker.pins.count == 1
+        op.modal(
+            env.ctx,
+            _event("LEFTMOUSE", "RELEASE", cx + 40, cy + 25),
+        )
+
+        op.modal(env.ctx, _event("ESC", "PRESS"))
+
+    def test_clear_pins_and_mask_operators(self, env):
+        op, rv3d = self._enter(env)
+        engine_tracker = env.core.Trackers.get(env.tracker)
+        op.modal(env.ctx, _event("LEFTMOUSE", "PRESS", W // 2, H // 2))
+        op.modal(env.ctx, _event("LEFTMOUSE", "RELEASE", W // 2, H // 2))
+        engine_tracker.mask_polygon(env.tracker, 0, mask=True)
+        op.modal(env.ctx, _event("ESC", "PRESS"))
+
+        assert env.pin_mode.PC_OT_ClearPins.poll(env.ctx)
+        assert env.pin_mode.PC_OT_ClearPins().execute(env.ctx) == {
+            "FINISHED"
+        }
+        assert bytes(env.tracker.pins_data) == b""
+        assert engine_tracker.pins.sync(env.tracker)
+        assert engine_tracker.pins.count == 0
+
+        assert env.pin_mode.PC_OT_ClearMask.poll(env.ctx)
+        assert env.pin_mode.PC_OT_ClearMask().execute(env.ctx) == {
+            "FINISHED"
+        }
+        assert bytes(env.tracker.masked_triangles) == b""
