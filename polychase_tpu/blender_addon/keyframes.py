@@ -181,6 +181,30 @@ def clear_keyframes(
     return removed
 
 
+def prune_empty_fcurves(*objs_or_data) -> None:
+    """Drop f-curves left without keyframe points, and the action itself
+    once it is empty.
+
+    In Blender an f-curve with zero points evaluates to 0.0, so leaving
+    emptied curves behind would snap the channel to the origin on the
+    next frame change (reference keyframes.py:92-96 removes them for
+    the same reason).
+    """
+    for obj in objs_or_data:
+        if obj is None:
+            continue
+        anim = getattr(obj, "animation_data", None)
+        if anim is None:
+            continue
+        container = _action_channelbag(anim)
+        if container is None:
+            continue
+        for fc in [f for f in container.fcurves if not f.keyframe_points]:
+            container.fcurves.remove(fc)
+        if not container.fcurves:
+            anim.action = None
+
+
 def clear_generated_in_range(fcurves, start: int, end: int) -> int:
     """Remove GENERATED keyframes with start <= frame <= end."""
     return clear_keyframes(

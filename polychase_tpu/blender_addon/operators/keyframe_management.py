@@ -24,6 +24,13 @@ def _target_object(tracker):
     )
 
 
+def _prune(tracker):
+    keyframes.prune_empty_fcurves(
+        _target_object(tracker),
+        tracker.camera.data if tracker.camera else None,
+    )
+
+
 class _TrackerOperator(bpy.types.Operator):
     @classmethod
     def poll(cls, context):
@@ -104,6 +111,7 @@ class PC_OT_RemoveKeyframe(_TrackerOperator):
         removed = keyframes.clear_keyframes(
             fcurves, lambda f, t: f == frame
         )
+        _prune(tracker)
         return {"FINISHED"} if removed else {"CANCELLED"}
 
 
@@ -121,6 +129,7 @@ class PC_OT_ClearBackwards(_TrackerOperator):
             fcurves,
             lambda f, t: t == keyframes.GENERATED_KEYFRAME and f <= frame,
         )
+        _prune(tracker)
         return {"FINISHED"}
 
 
@@ -138,6 +147,7 @@ class PC_OT_ClearForwards(_TrackerOperator):
             fcurves,
             lambda f, t: t == keyframes.GENERATED_KEYFRAME and f >= frame,
         )
+        _prune(tracker)
         return {"FINISHED"}
 
 
@@ -165,6 +175,7 @@ class PC_OT_ClearSegment(_TrackerOperator):
             fcurves,
             lambda f, t: t == keyframes.GENERATED_KEYFRAME and lo < f < hi,
         )
+        _prune(tracker)
         return {"FINISHED"}
 
 
@@ -178,6 +189,7 @@ class PC_OT_ClearAllGenerated(_TrackerOperator):
         tracker = _active_tracker(context)
         fcurves = keyframes.tracker_fcurves(tracker)
         keyframes.clear_all_generated(fcurves)
+        _prune(tracker)
         return {"FINISHED"}
 
 

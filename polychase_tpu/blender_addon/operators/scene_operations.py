@@ -128,8 +128,10 @@ class PC_OT_ConvertAnimation(bpy.types.Operator):
             else:
                 const_model = geometry.matrix_world.copy()
 
-            # Remove the source's animation
+            # Remove the source's animation (emptied f-curves would
+            # evaluate to 0.0 and snap the source to the origin)
             keyframes.clear_keyframes(src_fcurves, lambda f, t: True)
+            keyframes.prune_empty_fcurves(source)
 
             for frame, mv in poses:
                 scene.frame_set(frame)

@@ -149,11 +149,23 @@ class FakeKeyframePoint:
         self.type = keytype
 
 
+class FakeKeyframePoints(list):
+    """Blender's FCurveKeyframePoints: list plus a ``fast=`` kwarg on
+    remove (skips handle recalculation in Blender; a no-op here)."""
+
+    def remove(self, kp, fast=False):
+        super().remove(kp)
+
+
 class FakeFCurve:
     def __init__(self, data_path, array_index=0):
         self.data_path = data_path
         self.array_index = array_index
-        self.keyframe_points: list[FakeKeyframePoint] = []
+        self.keyframe_points = FakeKeyframePoints()
+
+    def update(self):
+        # Blender re-sorts points and recalculates handles here.
+        self.keyframe_points.sort(key=lambda kp: kp.co[0])
 
 
 class FakeAction:
@@ -198,6 +210,7 @@ class _Animatable:
 class FakeCameraData(_Animatable):
     def __init__(self):
         super().__init__()
+        self.type = "PERSP"
         self.lens = 35.0
         self.shift_x = 0.0
         self.shift_y = 0.0
@@ -208,6 +221,11 @@ class FakeCameraData(_Animatable):
         self.clip_end = 1000.0
         self.background_images = FakeBackgroundImages()
         self.show_background_images = False
+
+    @property
+    def angle(self):
+        # Horizontal FOV from lens/sensor (Blender Camera.angle)
+        return 2.0 * np.arctan(self.sensor_width / (2.0 * self.lens))
 
 
 class FakeMeshCollection:
@@ -265,6 +283,27 @@ class FakeObject(_Animatable):
 
     def evaluated_get(self, _depsgraph):
         return self
+
+    @property
+    def matrix_local(self):
+        # No parenting in the fake world: local == world.
+        return self.matrix_world
+
+    @property
+    def bound_box(self):
+        """8 local-space bbox corners (Blender order not significant for
+        the addon's uses: it takes center + max radius)."""
+        if self._mesh_arrays is not None:
+            verts = np.asarray(self._mesh_arrays[0], np.float64)
+            lo, hi = verts.min(axis=0), verts.max(axis=0)
+        else:
+            lo, hi = -np.ones(3), np.ones(3)
+        return [
+            (x, y, z)
+            for x in (lo[0], hi[0])
+            for y in (lo[1], hi[1])
+            for z in (lo[2], hi[2])
+        ]
 
     def to_mesh(self):
         verts, tris = self._mesh_arrays
@@ -476,7 +515,13 @@ def make_bpy(scene: FakeScene):
     bpy_props.BoolProperty = _prop(False)
     bpy_props.FloatProperty = _prop(0.0)
     bpy_props.StringProperty = _prop("")
-    bpy_props.EnumProperty = _prop(None)
+    def _enum_prop(*a, items=(), default=None, name=None, **kw):
+        # Blender: an EnumProperty defaults to its first item.
+        if default is None and isinstance(items, (list, tuple)) and items:
+            default = items[0][0]
+        return _FakeProp(default=default, name=name, items=items, **kw)
+
+    bpy_props.EnumProperty = _enum_prop
     bpy_props.PointerProperty = _prop(None)
     bpy_props.CollectionProperty = _prop(None)
     bpy_props.IntVectorProperty = _prop(None)

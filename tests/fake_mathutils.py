@@ -33,6 +33,21 @@ class Vector:
     def __neg__(self):
         return Vector(-self._v)
 
+    def __mul__(self, s):
+        return Vector(self._v * float(s))
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, s):
+        return Vector(self._v / float(s))
+
+    @property
+    def length(self):
+        return float(np.linalg.norm(self._v))
+
+    def normalized(self):
+        return Vector(self._v / max(np.linalg.norm(self._v), 1e-30))
+
     def copy(self):
         return Vector(self._v)
 
@@ -98,6 +113,15 @@ class Quaternion:
             ]
         )
 
+    def to_euler(self, order="XYZ"):
+        """XYZ euler of the rotation (R = Rz·Ry·Rx, Blender's default)."""
+        assert order == "XYZ"
+        m = self.to_matrix3()
+        x = np.arctan2(m[2, 1], m[2, 2])
+        y = np.arctan2(-m[2, 0], np.hypot(m[0, 0], m[1, 0]))
+        z = np.arctan2(m[1, 0], m[0, 0])
+        return Euler((x, y, z))
+
     def __matmul__(self, other):
         if isinstance(other, Quaternion):
             w1, x1, y1, z1 = self._q
@@ -113,6 +137,32 @@ class Quaternion:
         if isinstance(other, Vector):
             return Vector(self.to_matrix3() @ other._v)
         raise TypeError(type(other))
+
+
+class Euler:
+    """XYZ euler angles (radians)."""
+
+    def __init__(self, xyz=(0.0, 0.0, 0.0), order="XYZ"):
+        assert order == "XYZ"
+        self._e = np.array([float(v) for v in xyz], np.float64)
+
+    def __iter__(self):
+        return iter(self._e.tolist())
+
+    def __getitem__(self, i):
+        return self._e[i]
+
+    def to_quaternion(self):
+        x, y, z = self._e
+        cx, sx = np.cos(x), np.sin(x)
+        cy, sy = np.cos(y), np.sin(y)
+        cz, sz = np.cos(z), np.sin(z)
+        rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+        ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+        m4 = np.eye(4)
+        m4[:3, :3] = rz @ ry @ rx
+        return Matrix(m4).decompose()[1]
 
 
 class Matrix:
@@ -163,6 +213,16 @@ class Matrix:
 
     def inverted(self):
         return Matrix(np.linalg.inv(self._m))
+
+    def copy(self):
+        return Matrix(self._m)
+
+    @property
+    def translation(self):
+        return Vector(self._m[:3, 3])
+
+    def to_quaternion(self):
+        return self.decompose()[1]
 
     def to_scale(self):
         return Vector(np.linalg.norm(self._m[:3, :3], axis=0))
