@@ -567,11 +567,9 @@ def install(scene: FakeScene):
     sys.modules["bpy.utils"] = bpy.utils
     sys.modules["bpy.ops"] = bpy.ops
     sys.modules["mathutils"] = mu
-    for name in MODULE_NAMES:
-        if name.startswith(("gpu", "gpu_extras")):
-            from unittest import mock
+    import fake_gpu
 
-            sys.modules[name] = mock.MagicMock(name=name)
+    sys.modules.update(fake_gpu.make_modules())
     return bpy, saved
 
 

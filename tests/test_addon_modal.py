@@ -660,30 +660,26 @@ class TestPinModeModal:
         op.modal(env.ctx, _event("WHEELDOWNMOUSE", "NOTHING", 10, 10))
         assert env.tracker.mask_brush_radius == r0
 
-        # The GPU id pass is replaced by a software raster: per-pixel
-        # engine raycasts around the stroke (same geometry, no GPU).
+        # The REAL id pass runs on the behavioral fake gpu: the offscreen
+        # software rasterizer draws gl_PrimitiveID+1 into RGBA8 and
+        # render_ids reads it back and decodes it.
         cx, cy = W // 2, H // 2
-        radius = env.tracker.mask_brush_radius
-
-        def software_render_ids(engine_tracker_, tracker_props, region_,
-                                rv3d_):
-            ids = np.zeros((region_.height, region_.width), np.uint32)
-            r = int(np.ceil(radius)) + 1
-            for yy in range(cy - r, cy + r + 1):
-                for xx in range(cx - r, cx + r + 1):
-                    hit = engine_tracker_.ray_cast(
-                        tracker_props, env.ctx, region_, rv3d_, xx, yy,
-                        check_mask=False,
-                    )
-                    if hit is not None:
-                        ids[yy, xx] = hit.primitive_id + 1
-            op._masker._id_buffer = ids
-
-        op._masker.render_ids = software_render_ids
 
         # Paint one stroke at the center.
         op.modal(env.ctx, _event("LEFTMOUSE", "PRESS", cx, cy))
         op.modal(env.ctx, _event("LEFTMOUSE", "RELEASE", cx, cy))
+
+        # Cross-check the rasterized pick against an engine raycast at
+        # the same pixel: both views come from the same perspective
+        # matrix, so the center pixel must land on the same triangle.
+        ids = op._masker._id_buffer
+        assert ids is not None and ids.shape == (H, W)
+        hit = engine_tracker.ray_cast(
+            env.tracker, env.ctx, region, rv3d, cx, cy, check_mask=False
+        )
+        assert hit is not None
+        assert ids[cy, cx] == hit.primitive_id + 1
+        assert ids[5, 5] == 0  # background stays empty
         masked = np.frombuffer(
             bytes(env.tracker.masked_triangles), np.uint32
         )
