@@ -332,6 +332,81 @@ def _native_suppress(xs, ys, vals, w, h, min_distance, max_corners):
         return None
 
 
+def _native_sort_suppress(vals, lin, w, h, min_distance, max_corners):
+    """Fused C quality-sort + greedy suppression over raw candidates.
+
+    Replaces the host lexsort + grid pass (~10 ms/frame at 16k
+    candidates) with one C call; ordering is exactly the reference's
+    (quality desc, ties later-row-major first).  Returns accepted
+    candidate indices in acceptance order, or None when the lib is
+    absent (callers keep the numpy path as the behavioural reference).
+    """
+    try:
+        import ctypes
+
+        from .. import native
+
+        if not native.available():
+            return None
+        lib = native._load_library()
+        if not hasattr(lib, "gftt_sort_suppress"):
+            return None
+        lib.gftt_sort_suppress.restype = ctypes.c_uint32
+        lib.gftt_sort_suppress.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
+            ctypes.c_int32, ctypes.c_void_p,
+        ]
+        vals_f = np.ascontiguousarray(vals, np.float32)
+        lin_i = np.ascontiguousarray(lin, np.int64)
+        out = np.empty(len(vals_f), np.uint32)
+        count = lib.gftt_sort_suppress(
+            vals_f.ctypes.data_as(ctypes.c_void_p),
+            lin_i.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_uint32(len(vals_f)),
+            ctypes.c_int32(int(w)),
+            ctypes.c_int32(int(h)),
+            ctypes.c_float(float(min_distance)),
+            ctypes.c_int32(int(max_corners)),
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out[:count]
+    except Exception:
+        return None
+
+
+def _native_quality_order(vals, lin):
+    """C quality-desc ordering (np.lexsort((-lin, -vals)) equivalent);
+    None when the lib is absent."""
+    try:
+        import ctypes
+
+        from .. import native
+
+        if not native.available():
+            return None
+        lib = native._load_library()
+        if not hasattr(lib, "gftt_quality_order"):
+            return None
+        lib.gftt_quality_order.restype = None
+        lib.gftt_quality_order.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
+            ctypes.c_void_p,
+        ]
+        vals_f = np.ascontiguousarray(vals, np.float32)
+        lin_i = np.ascontiguousarray(lin, np.int64)
+        out = np.empty(len(vals_f), np.uint32)
+        lib.gftt_quality_order(
+            vals_f.ctypes.data_as(ctypes.c_void_p),
+            lin_i.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_uint32(len(vals_f)),
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out
+    except Exception:
+        return None
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -676,7 +751,9 @@ def gftt_finish(d: GFTTDispatch) -> Tuple[np.ndarray, np.ndarray]:
                     np.empty((0, 2), np.float32),
                     np.empty((0,), np.float32),
                 )
-            order = np.lexsort((-lin, -vals))
+            order = _native_quality_order(vals, lin)
+            if order is None:
+                order = np.lexsort((-lin, -vals))
             xs, ys, vals = xs[order], ys[order], vals[order]
             n = xs.size
             if d.options.max_corners > 0:
@@ -725,10 +802,25 @@ def gftt_finish(d: GFTTDispatch) -> Tuple[np.ndarray, np.ndarray]:
     # Deterministic sort: quality desc, then later row-major position first
     # (the reference tie-breaks on pointer address, gftt.cc:7-12).
     lin = ys.astype(np.int64) * d.shape[1] + xs
+    options = d.options
+
+    # Fused C sort+suppress (min_distance < 1 degenerates to sort+cap
+    # inside the C call, matching the else-branch below).
+    acc = _native_sort_suppress(
+        vals, lin, d.shape[1], d.shape[0],
+        float(options.min_distance), int(options.max_corners),
+    )
+    if acc is not None:
+        return (
+            np.stack(
+                [xs[acc].astype(np.float32), ys[acc].astype(np.float32)],
+                axis=-1,
+            ),
+            np.ascontiguousarray(vals, np.float32)[acc],
+        )
+
     order = np.lexsort((-lin, -vals))
     xs, ys, vals = xs[order], ys[order], vals[order]
-
-    options = d.options
     if options.min_distance >= 1:
         ox, oy, oq = _min_distance_suppress(
             xs, ys, vals,

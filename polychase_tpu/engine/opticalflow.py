@@ -236,12 +236,15 @@ def _run(
     def flush_one():
         frame_id1, targets, handle = pending_flows.popleft()
         tracked, status, err = calc_optical_flow_multi_finish(handle)
-        for i, frame_id2 in enumerate(targets):
-            st = status[i]
-            keep = np.nonzero(st)[0].astype(np.uint32)
-            db.write_image_pair_flow(
-                frame_id1, frame_id2, keep, tracked[i][st], err[i][st]
-            )
+        # One sqlite commit for the frame's whole skip fan-out: per-pair
+        # commits cost ~2.7 ms/frame on the 1-core host (stage table).
+        with db.deferred_commits():
+            for i, frame_id2 in enumerate(targets):
+                st = status[i]
+                keep = np.nonzero(st)[0].astype(np.uint32)
+                db.write_image_pair_flow(
+                    frame_id1, frame_id2, keep, tracked[i][st], err[i][st]
+                )
 
     cancelled = False
     for frame_id1 in range(first, last):

@@ -22,6 +22,7 @@ indices (N,) uint32, errors (N,) float32.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import sqlite3
 import threading
@@ -101,6 +102,7 @@ class Database:
     def __init__(self, path: str):
         self._lock = threading.RLock()
         self._conn: Optional[sqlite3.Connection] = None
+        self._defer_depth = 0
         self.open(path)
 
     # -- lifecycle ----------------------------------------------------------
@@ -132,6 +134,32 @@ class Database:
     def __exit__(self, *exc):
         self.close()
 
+    def _commit(self) -> None:
+        if self._defer_depth == 0:
+            self._conn.commit()
+
+    @contextlib.contextmanager
+    def deferred_commits(self):
+        """Batch every write inside the block into ONE sqlite commit.
+
+        The analyze loop writes 1 keypoint row + up to 8 flow rows per
+        frame; per-write commits cost ~2.7 ms/frame of the 1-core
+        host's budget (BENCHMARKS.md stage table).  Durability
+        granularity becomes the with-block (per frame in the analyze
+        loop) — the same resume granularity the reference gets from its
+        per-pair transactions, since a torn frame is simply re-analyzed.
+        Reentrant; commits once when the outermost block exits.
+        """
+        with self._lock:
+            self._defer_depth += 1
+        try:
+            yield self
+        finally:
+            with self._lock:
+                self._defer_depth -= 1
+                if self._defer_depth == 0 and self._conn is not None:
+                    self._conn.commit()
+
     # -- keypoints ----------------------------------------------------------
 
     @_locked
@@ -142,7 +170,7 @@ class Database:
             " VALUES(?, ?, ?)",
             (int(image_id), kps.shape[0], kps.tobytes()),
         )
-        self._conn.commit()
+        self._commit()
 
     @_locked
     def read_keypoints(self, image_id: int) -> np.ndarray:
@@ -209,7 +237,7 @@ class Database:
                 idx.tobytes(), tgt.tobytes(), err.tobytes(),
             ),
         )
-        self._conn.commit()
+        self._commit()
 
     @_locked
     def read_image_pair_flow(
