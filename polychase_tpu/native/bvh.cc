@@ -426,6 +426,7 @@ extern "C" uint32_t gftt_min_distance_suppress(
 // Totally-ordered sortable encoding of an IEEE float (sign-magnitude to
 // biased-unsigned): preserves < exactly for every non-NaN value.
 static inline uint32_t float_key(float v) {
+    if (v == 0.0f) v = 0.0f;  // collapse -0.0 to +0.0 (compare equal)
     uint32_t b;
     std::memcpy(&b, &v, sizeof(b));
     return (b & 0x80000000u) ? ~b : (b | 0x80000000u);

@@ -107,3 +107,39 @@ def test_foreign_key_cascade(tmp_path, rng):
         db._conn.execute("DELETE FROM keypoints WHERE image_id=1")
         db._conn.commit()
         assert not db.image_pair_flow_exists(1, 2)
+
+
+def test_deferred_commits_batch_into_one_transaction(tmp_path, rng):
+    """Inside deferred_commits() writes stay invisible to OTHER
+    connections; the outermost exit publishes everything at once.
+    (The analyze loop batches each frame's 8 pair writes this way.)"""
+    path = str(tmp_path / "flow.db")
+    db = Database(path)
+    reader = sqlite3.connect(path)
+
+    def visible_rows():
+        return reader.execute(
+            "SELECT COUNT(*) FROM optical_flow"
+        ).fetchone()[0]
+
+    db.write_keypoints(0, rng.uniform(0, 10, (4, 2)).astype(np.float32))
+    with db.deferred_commits():
+        with db.deferred_commits():  # reentrant: inner exit must not commit
+            db.write_image_pair_flow(
+                0, 1, np.arange(2, dtype=np.uint32),
+                np.zeros((2, 2), np.float32), np.zeros(2, np.float32),
+            )
+        db.write_image_pair_flow(
+            0, 2, np.arange(2, dtype=np.uint32),
+            np.zeros((2, 2), np.float32), np.zeros(2, np.float32),
+        )
+        assert visible_rows() == 0
+    assert visible_rows() == 2
+    # Normal per-write commits resume after the block.
+    db.write_image_pair_flow(
+        0, 3, np.arange(2, dtype=np.uint32),
+        np.zeros((2, 2), np.float32), np.zeros(2, np.float32),
+    )
+    assert visible_rows() == 3
+    reader.close()
+    db.close()

@@ -345,3 +345,62 @@ def test_device_suppress_routing_guards(rng, monkeypatch):
     monkeypatch.setenv("POLYCHASE_GFTT_DEV_SUPPRESS", "0")
     d3 = G.gftt_dispatch(img, None, GFTTOptions(min_distance=5.0))
     assert not d3.suppressed
+
+
+class TestFusedNativeSortSuppress:
+    """The fused C sort+suppress (native/bvh.cc gftt_sort_suppress) must be
+    bit-equal to the numpy lexsort + greedy-grid behavioural reference for
+    every option shape the pipeline can route through it."""
+
+    @pytest.mark.parametrize(
+        "opts",
+        [
+            GFTTOptions(),
+            GFTTOptions(max_corners=200),
+            GFTTOptions(min_distance=0.0),
+            GFTTOptions(min_distance=0.0, max_corners=150),
+            GFTTOptions(min_distance=11.0),
+            GFTTOptions(use_harris=True),
+        ],
+        ids=["default", "capped", "no-suppress", "no-suppress-capped",
+             "big-radius", "harris"],
+    )
+    def test_bit_equal_to_numpy_path(self, rng, opts):
+        from polychase_tpu.engine import gftt as G
+
+        if not G._native_sort_suppress(
+            np.ones(1, np.float32), np.zeros(1, np.int64), 8, 8, 2.0, 0
+        ) is not None:
+            pytest.skip("native library unavailable")
+        img = synth_image(rng, 160, 200)
+        fused_xy, fused_q = G.gftt_finish(G.gftt_dispatch(img, None, opts))
+        orig = G._native_sort_suppress
+        G._native_sort_suppress = lambda *a, **k: None
+        try:
+            ref_xy, ref_q = G.gftt_finish(G.gftt_dispatch(img, None, opts))
+        finally:
+            G._native_sort_suppress = orig
+        np.testing.assert_array_equal(fused_xy, ref_xy)
+        np.testing.assert_array_equal(fused_q, ref_q)
+
+    def test_quality_order_matches_lexsort(self, rng):
+        from polychase_tpu.engine import gftt as G
+
+        n = 3000
+        # Heavy ties + negative values: the packed-key encoding must stay
+        # exactly lexsort-ordered through sign changes and equal keys.
+        vals = rng.choice(
+            np.array([-2.5, -0.0, 0.0, 0.125, 0.125, 3.0, 7.5], np.float32),
+            n,
+        ).astype(np.float32)
+        lin = rng.permutation(n).astype(np.int64)
+        order = G._native_quality_order(vals, lin)
+        if order is None:
+            pytest.skip("native library unavailable")
+        ref = np.lexsort((-lin, -vals))
+        # Keys (vals, lin) are unique per candidate (lin is a permutation),
+        # so the total orders must agree element-wise.
+        np.testing.assert_array_equal(
+            np.stack([vals[order], lin[order]]),
+            np.stack([vals[ref], lin[ref]]),
+        )
