@@ -28,6 +28,7 @@ Semantics matched to the reference:
 
 from __future__ import annotations
 
+import os as _os
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -291,45 +292,50 @@ def _min_distance_suppress(
     )
 
 
+def _fused_native_enabled() -> bool:
+    """The fused C sort/order reroutes honour a kill switch like every
+    other performance reroute (POLYCHASE_SCAN_TRACK, POLYCHASE_LK_SORT,
+    ...) so A/B timing and field debugging can restore the numpy
+    behavioural reference at runtime."""
+    return _os.environ.get("POLYCHASE_GFTT_FUSED", "1") != "0"
+
+
 def _native_suppress(xs, ys, vals, w, h, min_distance, max_corners):
     """C-accelerated greedy suppression; None when the lib is absent."""
-    try:
-        import ctypes
+    import ctypes
 
-        from .. import native
+    from .. import native
 
-        if not native.available():
-            return None
-        lib = native._load_library()
-        if not hasattr(lib, "gftt_min_distance_suppress"):
-            return None
-        lib.gftt_min_distance_suppress.restype = ctypes.c_uint32
-        lib.gftt_min_distance_suppress.argtypes = [
+    fn = native.native_fn(
+        "gftt_min_distance_suppress",
+        ctypes.c_uint32,
+        [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
             ctypes.c_int32, ctypes.c_void_p,
-        ]
-        xs_f = np.ascontiguousarray(xs, np.float32)
-        ys_f = np.ascontiguousarray(ys, np.float32)
-        out = np.empty(len(xs_f), np.uint32)
-        count = lib.gftt_min_distance_suppress(
-            xs_f.ctypes.data_as(ctypes.c_void_p),
-            ys_f.ctypes.data_as(ctypes.c_void_p),
-            ctypes.c_uint32(len(xs_f)),
-            ctypes.c_int32(int(w)),
-            ctypes.c_int32(int(h)),
-            ctypes.c_float(float(min_distance)),
-            ctypes.c_int32(int(max_corners)),
-            out.ctypes.data_as(ctypes.c_void_p),
-        )
-        idx = out[:count]
-        return (
-            xs_f[idx],
-            ys_f[idx],
-            np.ascontiguousarray(vals, np.float32)[idx],
-        )
-    except Exception:
+        ],
+    )
+    if fn is None:
         return None
+    xs_f = np.ascontiguousarray(xs, np.float32)
+    ys_f = np.ascontiguousarray(ys, np.float32)
+    out = np.empty(len(xs_f), np.uint32)
+    count = fn(
+        xs_f.ctypes.data_as(ctypes.c_void_p),
+        ys_f.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_uint32(len(xs_f)),
+        ctypes.c_int32(int(w)),
+        ctypes.c_int32(int(h)),
+        ctypes.c_float(float(min_distance)),
+        ctypes.c_int32(int(max_corners)),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    idx = out[:count]
+    return (
+        xs_f[idx],
+        ys_f[idx],
+        np.ascontiguousarray(vals, np.float32)[idx],
+    )
 
 
 def _native_sort_suppress(vals, lin, w, h, min_distance, max_corners):
@@ -339,72 +345,71 @@ def _native_sort_suppress(vals, lin, w, h, min_distance, max_corners):
     candidates) with one C call; ordering is exactly the reference's
     (quality desc, ties later-row-major first).  Returns accepted
     candidate indices in acceptance order, or None when the lib is
-    absent (callers keep the numpy path as the behavioural reference).
+    absent or POLYCHASE_GFTT_FUSED=0 (callers keep the numpy path as
+    the behavioural reference).
     """
-    try:
-        import ctypes
+    import ctypes
 
-        from .. import native
+    from .. import native
 
-        if not native.available():
-            return None
-        lib = native._load_library()
-        if not hasattr(lib, "gftt_sort_suppress"):
-            return None
-        lib.gftt_sort_suppress.restype = ctypes.c_uint32
-        lib.gftt_sort_suppress.argtypes = [
+    if not _fused_native_enabled():
+        return None
+    fn = native.native_fn(
+        "gftt_sort_suppress",
+        ctypes.c_uint32,
+        [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
             ctypes.c_int32, ctypes.c_void_p,
-        ]
-        vals_f = np.ascontiguousarray(vals, np.float32)
-        lin_i = np.ascontiguousarray(lin, np.int64)
-        out = np.empty(len(vals_f), np.uint32)
-        count = lib.gftt_sort_suppress(
-            vals_f.ctypes.data_as(ctypes.c_void_p),
-            lin_i.ctypes.data_as(ctypes.c_void_p),
-            ctypes.c_uint32(len(vals_f)),
-            ctypes.c_int32(int(w)),
-            ctypes.c_int32(int(h)),
-            ctypes.c_float(float(min_distance)),
-            ctypes.c_int32(int(max_corners)),
-            out.ctypes.data_as(ctypes.c_void_p),
-        )
-        return out[:count]
-    except Exception:
+        ],
+    )
+    if fn is None:
         return None
+    vals_f = np.ascontiguousarray(vals, np.float32)
+    lin_i = np.ascontiguousarray(lin, np.int64)
+    out = np.empty(len(vals_f), np.uint32)
+    count = fn(
+        vals_f.ctypes.data_as(ctypes.c_void_p),
+        lin_i.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_uint32(len(vals_f)),
+        ctypes.c_int32(int(w)),
+        ctypes.c_int32(int(h)),
+        ctypes.c_float(float(min_distance)),
+        ctypes.c_int32(int(max_corners)),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out[:count]
 
 
 def _native_quality_order(vals, lin):
     """C quality-desc ordering (np.lexsort((-lin, -vals)) equivalent);
-    None when the lib is absent."""
-    try:
-        import ctypes
+    None when the lib is absent or POLYCHASE_GFTT_FUSED=0."""
+    import ctypes
 
-        from .. import native
+    from .. import native
 
-        if not native.available():
-            return None
-        lib = native._load_library()
-        if not hasattr(lib, "gftt_quality_order"):
-            return None
-        lib.gftt_quality_order.restype = None
-        lib.gftt_quality_order.argtypes = [
+    if not _fused_native_enabled():
+        return None
+    fn = native.native_fn(
+        "gftt_quality_order",
+        None,
+        [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
             ctypes.c_void_p,
-        ]
-        vals_f = np.ascontiguousarray(vals, np.float32)
-        lin_i = np.ascontiguousarray(lin, np.int64)
-        out = np.empty(len(vals_f), np.uint32)
-        lib.gftt_quality_order(
-            vals_f.ctypes.data_as(ctypes.c_void_p),
-            lin_i.ctypes.data_as(ctypes.c_void_p),
-            ctypes.c_uint32(len(vals_f)),
-            out.ctypes.data_as(ctypes.c_void_p),
-        )
-        return out
-    except Exception:
+        ],
+    )
+    if fn is None:
         return None
+    vals_f = np.ascontiguousarray(vals, np.float32)
+    lin_i = np.ascontiguousarray(lin, np.int64)
+    out = np.empty(len(vals_f), np.uint32)
+    fn(
+        vals_f.ctypes.data_as(ctypes.c_void_p),
+        lin_i.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_uint32(len(vals_f)),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
 
 
 @partial(
@@ -789,6 +794,12 @@ def gftt_finish(d: GFTTDispatch) -> Tuple[np.ndarray, np.ndarray]:
         packed_np = np.asarray(packed)
         ys, xs = np.nonzero(packed_np)
         vals = packed_np[ys, xs]
+        # Same val>0 filter as the top-k branch: a NaN response (possible
+        # only from non-finite float input) is "nonzero" but would order
+        # differently in the C packed-key sort vs np.lexsort — drop it
+        # consistently before either path sees it.
+        keep = vals > 0.0
+        ys, xs, vals = ys[keep], xs[keep], vals[keep]
     else:
         keep = vals > 0.0
         vals = vals[keep]
@@ -806,6 +817,7 @@ def gftt_finish(d: GFTTDispatch) -> Tuple[np.ndarray, np.ndarray]:
 
     # Fused C sort+suppress (min_distance < 1 degenerates to sort+cap
     # inside the C call, matching the else-branch below).
+    vals = np.ascontiguousarray(vals, np.float32)
     acc = _native_sort_suppress(
         vals, lin, d.shape[1], d.shape[0],
         float(options.min_distance), int(options.max_corners),
@@ -816,7 +828,7 @@ def gftt_finish(d: GFTTDispatch) -> Tuple[np.ndarray, np.ndarray]:
                 [xs[acc].astype(np.float32), ys[acc].astype(np.float32)],
                 axis=-1,
             ),
-            np.ascontiguousarray(vals, np.float32)[acc],
+            vals[acc],
         )
 
     order = np.lexsort((-lin, -vals))

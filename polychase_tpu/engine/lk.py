@@ -843,8 +843,13 @@ def _spatial_sort(pts: np.ndarray):
         return pts, None
     # Single packed-key argsort == np.lexsort((x, y)) but ~3x faster on
     # the 1-core host: IEEE bits of a float are order-preserving once
-    # sign-magnitude is mapped to biased-unsigned.
+    # sign-magnitude is mapped to biased-unsigned.  -0.0 is collapsed to
+    # +0.0 first (lexsort compares them equal; the raw bit patterns do
+    # not) — same fix as the C packed key in native/bvh.cc.  NaN
+    # coordinates are out of scope: the order is inverted back after the
+    # dispatch, so any total order is semantics-preserving.
     b = np.ascontiguousarray(pts, np.float32).view(np.uint32)
+    b = np.where(b == np.uint32(0x80000000), np.uint32(0), b)
     b = np.where(b & 0x80000000, ~b, b | np.uint32(0x80000000))
     key = (b[:, 1].astype(np.uint64) << np.uint64(32)) | b[:, 0]
     order = np.argsort(key, kind="stable")  # radix for ints == lexsort order

@@ -64,6 +64,36 @@ def available() -> bool:
     return _load_library() is not None
 
 
+_FN_CACHE: dict = {}
+_FN_LOCK = threading.Lock()
+
+
+def native_fn(name: str, restype, argtypes):
+    """Bind exported function ``name`` once and cache it.
+
+    Returns the bound ctypes function, or None when the library or the
+    symbol is absent (logged once so a silent reroute to a slower numpy
+    fallback is visible in the logs rather than only in a profile).
+    """
+    with _FN_LOCK:
+        if name in _FN_CACHE:
+            return _FN_CACHE[name]
+        fn = None
+        lib = _load_library()
+        if lib is not None and hasattr(lib, name):
+            fn = getattr(lib, name)
+            fn.restype = restype
+            fn.argtypes = argtypes
+        else:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "native symbol %s unavailable; numpy fallback in use", name
+            )
+        _FN_CACHE[name] = fn
+        return fn
+
+
 class BvhRaycaster:
     """Host-side BVH over a triangle mesh (Embree-replacement,
     cpp/ray_casting.cc:21-121)."""

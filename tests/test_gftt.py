@@ -374,12 +374,23 @@ class TestFusedNativeSortSuppress:
             pytest.skip("native library unavailable")
         img = synth_image(rng, 160, 200)
         fused_xy, fused_q = G.gftt_finish(G.gftt_dispatch(img, None, opts))
-        orig = G._native_sort_suppress
+        # The reference run must be the PURE numpy/Python path — null every
+        # native reroute (including the inner greedy-grid C pass), else the
+        # "bit-equal" claim is C compared against C.
+        orig = (
+            G._native_sort_suppress, G._native_suppress,
+            G._native_quality_order,
+        )
         G._native_sort_suppress = lambda *a, **k: None
+        G._native_suppress = lambda *a, **k: None
+        G._native_quality_order = lambda *a, **k: None
         try:
             ref_xy, ref_q = G.gftt_finish(G.gftt_dispatch(img, None, opts))
         finally:
-            G._native_sort_suppress = orig
+            (
+                G._native_sort_suppress, G._native_suppress,
+                G._native_quality_order,
+            ) = orig
         np.testing.assert_array_equal(fused_xy, ref_xy)
         np.testing.assert_array_equal(fused_q, ref_q)
 
