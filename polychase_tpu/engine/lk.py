@@ -228,7 +228,14 @@ def _lk_level(
         (ixp >= -win) & (ixp < W) & (iyp >= -win) & (iyp < H)
     )
 
-    Ipatch = _bilerp(_gather_patches(img_prev_pad, ixp, iyp, pad, win), ax, ay)
+    # Images may be stored bf16 (storage-only: _lk_bf16_enabled); the
+    # blend and all downstream math run f32.
+    Ipatch = _bilerp(
+        _gather_patches(img_prev_pad, ixp, iyp, pad, win).astype(
+            jnp.float32
+        ),
+        ax, ay,
+    )
     dxI = _bilerp(_gather_patches(dx_pad, ixp, iyp, pad, win), ax, ay)
     dyI = _bilerp(_gather_patches(dy_pad, ixp, iyp, pad, win), ax, ay)
 
@@ -261,7 +268,10 @@ def _lk_level(
         active = active & ~oob
 
         Jp = _bilerp(
-            _gather_patches(img_next_pad, ixn, iyn, pad, win), bx, by
+            _gather_patches(img_next_pad, ixn, iyn, pad, win).astype(
+                jnp.float32
+            ),
+            bx, by,
         )
         # OpenCV stores patches in ×32 fixed point, putting the residual on
         # the same scale as the ×32 Scharr derivatives; replicate that so
@@ -305,7 +315,10 @@ def _lk_level(
         ixn = inx[:, 0].astype(jnp.int32)
         iyn = inx[:, 1].astype(jnp.int32)
         Jp = _bilerp(
-            _gather_patches(img_next_pad, ixn, iyn, pad, win), bx, by
+            _gather_patches(img_next_pad, ixn, iyn, pad, win).astype(
+                jnp.float32
+            ),
+            bx, by,
         )
         return jnp.sum(jnp.abs(Jp - Ipatch), axis=(1, 2)) / win_area
 
@@ -318,17 +331,35 @@ def _lk_level(
     return next_pts, status, err
 
 
-@partial(jax.jit, static_argnames=("win", "levels"))
-def _prepare_levels(pyr: Tuple[jax.Array, ...], *, win: int, levels: int):
+def _lk_bf16_enabled() -> bool:
+    """Store pyramid IMAGE levels as bfloat16 (POLYCHASE_LK_BF16=1
+    enables; default f32).
+
+    Measured NEUTRAL and therefore off by default (sixth
+    counter-experiment, BENCHMARKS.md): halving the patch bytes moved
+    the 640p 8-target dispatch 126.0 → 123.8 ms (~2%) and the 4K/101k-
+    feature HBM-DMA dispatch 0.284 → 0.288 s (~-1%), so the iterate's
+    bound is the per-iteration unpack/blend issue rate, not patch-read
+    bytes.  Kept as an option: uint8 source pixels are EXACT in bf16
+    and all arithmetic stays f32 (storage-only; Scharr derivatives stay
+    f32), and the footprint halving may matter on VMEM-tighter parts."""
+    return os.environ.get("POLYCHASE_LK_BF16", "0") == "1"
+
+
+@partial(jax.jit, static_argnames=("win", "levels", "bf16"))
+def _prepare_levels(
+    pyr: Tuple[jax.Array, ...], *, win: int, levels: int, bf16: bool = False
+):
     """Pad images + compute/pad Scharr derivatives for every level."""
     pad = win + 2
+    img_t = jnp.bfloat16 if bf16 else jnp.float32
     out = []
     for lvl in range(levels):
         img = pyr[lvl]
         dx, dy = _scharr_derivs(img)
         out.append(
             (
-                _pad_level(img, pad, zero=False),
+                _pad_level(img, pad, zero=False).astype(img_t),
                 _pad_level(dx, pad, zero=True),
                 _pad_level(dy, pad, zero=True),
                 jnp.array(img.shape, jnp.int32),
@@ -368,12 +399,13 @@ def pallas_enabled() -> bool:
     return lkp.pallas_supported()
 
 
-@partial(jax.jit, static_argnames=("levels",))
-def _prepare_levels_pallas(pyr, *, levels: int):
+@partial(jax.jit, static_argnames=("levels", "bf16"))
+def _prepare_levels_pallas(pyr, *, levels: int, bf16: bool = False):
     """Pallas-flavor padding: 16px borders, 8-aligned rows, 128-aligned
     cols (see kernels/lk_pallas.py layout requirements)."""
     from polychase_tpu.kernels import lk_pallas as lkp
 
+    img_t = jnp.bfloat16 if bf16 else jnp.float32
     out = []
     for lvl in range(levels):
         img = pyr[lvl]
@@ -384,7 +416,9 @@ def _prepare_levels_pallas(pyr, *, levels: int):
         dx, dy = _scharr_derivs(img)
         out.append(
             (
-                _pad_level_asym(img, top, bottom, left, right, zero=False),
+                _pad_level_asym(
+                    img, top, bottom, left, right, zero=False
+                ).astype(img_t),
                 _pad_level_asym(dx, top, bottom, left, right, zero=True),
                 _pad_level_asym(dy, top, bottom, left, right, zero=True),
             )
@@ -404,8 +438,10 @@ class PyramidCache:
         self.dims = dims  # per-level (H, W), pallas flavor only
 
 
-@partial(jax.jit, static_argnames=("levels", "pallas", "win"))
-def _prepare_pyramid_program(img, *, levels: int, pallas: bool, win: int):
+@partial(jax.jit, static_argnames=("levels", "pallas", "win", "bf16"))
+def _prepare_pyramid_program(
+    img, *, levels: int, pallas: bool, win: int, bf16: bool = False
+):
     """Whole pyramid prep (f32 convert → pyrDown chain → Scharr → pad) as
     ONE device program.
 
@@ -415,8 +451,8 @@ def _prepare_pyramid_program(img, *, levels: int, pallas: bool, win: int):
     conversion), with the convert running on device."""
     pyr = build_pyramid(img.astype(jnp.float32), levels)
     if pallas:
-        return _prepare_levels_pallas(pyr, levels=levels)
-    return _prepare_levels(pyr, win=win, levels=levels)
+        return _prepare_levels_pallas(pyr, levels=levels, bf16=bf16)
+    return _prepare_levels(pyr, win=win, levels=levels, bf16=bf16)
 
 
 def prepare_pyramid(image, opts: LKOptions = LKOptions()) -> PyramidCache:
@@ -431,7 +467,8 @@ def prepare_pyramid(image, opts: LKOptions = LKOptions()) -> PyramidCache:
     levels = num_pyramid_levels(img.shape[0], img.shape[1], opts)
     use_pallas = pallas_enabled()
     data = _prepare_pyramid_program(
-        img, levels=levels, pallas=use_pallas, win=opts.window_size
+        img, levels=levels, pallas=use_pallas, win=opts.window_size,
+        bf16=_lk_bf16_enabled(),
     )
     if use_pallas:
         dims = []
@@ -759,6 +796,32 @@ def _dispatch_multi_xla(prev_pyr, stacked, pts_p, eps, opts, levels, T):
     )
 
 
+def _lk_compress_enabled() -> bool:
+    """Compress the multi-target result transfer (POLYCHASE_LK_COMPRESS=0
+    restores raw f32).  Worth ~9 ms/frame on a 36 MB/s remote-chip link;
+    free but pointless on directly-attached HBM."""
+    return os.environ.get("POLYCHASE_LK_COMPRESS", "1") != "0"
+
+
+@jax.jit
+def _pack_lk_results(nxt, status, err, pts):
+    """Shrink the device→host result transfer 638→~300 KB per dispatch.
+
+    Positions travel as float16 DELTAS from the (f32) input points — the
+    tracked motion is tens of pixels, so the f16 mantissa keeps ~0.01 px
+    (absolute f16 positions would be 0.25 px at x=640, useless).  err is
+    magnitude-only (IRLS weights downstream) so f16's 1e-3 relative is
+    plenty; status bools pack 8-per-byte.  The host side reconstructs
+    with the SAME f32 points, so the only loss is the delta rounding.
+    """
+    delta = (nxt - pts[None]).astype(jnp.float16)
+    T, N = status.shape
+    bits = status.reshape(T, N // 8, 8).astype(jnp.int32)
+    weights = (1 << jnp.arange(8, dtype=jnp.int32))
+    packed = jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)
+    return delta, packed, err.astype(jnp.float16)
+
+
 def calc_optical_flow_multi_async(
     prev_pyr: PyramidCache,
     next_pyrs: List[PyramidCache],
@@ -784,15 +847,27 @@ def calc_optical_flow_multi_async(
 
     if prev_pyr.flavor == "pallas":
         out = _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels)
+    else:
+        stacked = tuple(
+            jnp.stack([p.levels[lvl][0] for p in next_pyrs])
+            for lvl in range(levels)
+        )
+        eps = min(max(opts.term_epsilon, 0.0), 10.0)
+        out = _dispatch_multi_xla(
+            prev_pyr, stacked, pts_p, eps, opts, levels, T
+        )
+    if _lk_compress_enabled():
+        # Feature-sharded paths pad beyond the bucket (to a multiple of
+        # devices×GROUP); match the points to the dispatched width so
+        # the host can reconstruct absolute positions.
+        n_out = out[0].shape[1]
+        if n_out != pts_p.shape[0]:
+            pts_p = np.concatenate(
+                [pts_p, np.zeros((n_out - pts_p.shape[0], 2), np.float32)]
+            )
+        out = _pack_lk_results(out[0], out[1], out[2], jnp.asarray(pts_p))
         _start_host_copies(out)
-        return ("dev", n, out, inv)
-
-    stacked = tuple(
-        jnp.stack([p.levels[lvl][0] for p in next_pyrs])
-        for lvl in range(levels)
-    )
-    eps = min(max(opts.term_epsilon, 0.0), 10.0)
-    out = _dispatch_multi_xla(prev_pyr, stacked, pts_p, eps, opts, levels, T)
+        return ("devc", n, out, inv, pts_p)
     _start_host_copies(out)
     return ("dev", n, out, inv)
 
@@ -817,8 +892,17 @@ def calc_optical_flow_multi_finish(handle):
             np.empty((T, 0), bool),
             np.empty((T, 0), np.float32),
         )
-    _, n, out, inv = handle
-    nxt, status, err = jax.device_get(out)
+    if handle[0] == "devc":
+        _, n, out, inv, pts_p = handle
+        delta, packed, errh = jax.device_get(out)
+        nxt = pts_p[None] + delta.astype(np.float32)
+        status = np.unpackbits(
+            packed, axis=-1, bitorder="little"
+        ).astype(bool)
+        err = errh.astype(np.float32)
+    else:
+        _, n, out, inv = handle
+        nxt, status, err = jax.device_get(out)
     if inv is None:
         return nxt[:, :n], status[:, :n], err[:, :n]
     return nxt[:, inv], status[:, inv], err[:, inv]

@@ -116,10 +116,12 @@ IMG_VMEM_LIMIT = 3 * (1 << 20)
 FORCE_HBM_FOR_TESTS = False
 
 
-def _use_hbm(Hp: int, Wp: int, interpret: bool) -> bool:
+def _use_hbm(
+    Hp: int, Wp: int, interpret: bool, itemsize: int = 4
+) -> bool:
     if interpret:
         return FORCE_HBM_FOR_TESTS
-    return Hp * Wp * 4 > IMG_VMEM_LIMIT
+    return Hp * Wp * itemsize > IMG_VMEM_LIMIT
 
 
 def _dedup_slots(by, bx, sel_i):
@@ -448,12 +450,22 @@ def _make_iter_kernel(
                         blk = read_h(sl, buf)
                     else:
                         blk = grab(b, yb, xc, buf, sems)
-                    tmp[b] = pltpu.roll(blk, (256 - rx) % 256, 1)[:, :PC]
+                    # Mosaic's dynamic_rotate is 32-bit only: rotate in
+                    # f32 (tmp is f32 staging; extraction is off the
+                    # per-iteration path, so the upcast is cheap).
+                    tmp[b] = pltpu.roll(
+                        blk.astype(jnp.float32), (256 - rx) % 256, 1
+                    )[:, :PC]
 
                 return 0
 
             jax.lax.fori_loop(0, GROUP, per_track, 0)
-            patch[:] = jnp.transpose(tmp[:], (1, 2, 0))
+            # Narrowing store: the transpose itself stays f32 (a bf16
+            # relayout costs Mosaic extra staging stack), only the
+            # iteration-resident patch is narrow.
+            patch[:] = jnp.transpose(tmp[:], (1, 2, 0)).astype(
+                patch.dtype
+            )
 
         def local_coords(pxv, pyv):
             lyf = (pyv - half + PADY) - by_ref[:].astype(jnp.float32)
@@ -605,7 +617,12 @@ def lk_iterate_level_multi(
     T, Hp, Wp = imgs_pad.shape
     n = pts.shape[1]
     assert n % GROUP == 0, n
-    img_in_hbm = _use_hbm(Hp, Wp, interpret)
+    # Images may arrive bf16 (engine.lk._lk_bf16_enabled): the patch/DMA
+    # scratch follows the image dtype — the sliding-window blend reads,
+    # the measured bound of this kernel, then move half the bytes.  All
+    # arithmetic still runs f32 (jnp promotion at the weight multiply).
+    img_t = imgs_pad.dtype
+    img_in_hbm = _use_hbm(Hp, Wp, interpret, imgs_pad.dtype.itemsize)
     kernel, PR, PC = _make_iter_kernel(
         win, Hp, Wp, H, W, max_iters, eps2, level_is_zero, img_in_hbm
     )
@@ -647,12 +664,12 @@ def lk_iterate_level_multi(
         ),
         scratch_shapes=[
             pltpu.VMEM((GROUP, PR, PC), jnp.float32),
-            pltpu.VMEM((PR, PC, GROUP), jnp.float32),
+            pltpu.VMEM((PR, PC, GROUP), img_t),
             pltpu.VMEM((1, GROUP), jnp.int32),
             pltpu.VMEM((1, GROUP), jnp.int32),
             pltpu.VMEM(
                 (GROUP, PR, 256) if img_in_hbm else (1, 8, 128),
-                jnp.float32,
+                img_t,
             ),
             pltpu.SemaphoreType.DMA((GROUP,)),
             pltpu.VMEM((5, GROUP), jnp.int32),
