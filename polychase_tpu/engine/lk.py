@@ -519,6 +519,156 @@ def _lk_pallas_program(
     )
 
 
+# ---------------------------------------------------------------------------
+# Chained skip-fan initialization
+# ---------------------------------------------------------------------------
+#
+# The analyze fan solves the SAME features into targets at skips
+# ±{1,2,4,8}.  The reference (cpp/opticalflow.cc:269-309) and cv2 solve
+# every pair independently, each paying a full coarse-to-fine pyramid
+# from zero init.  But flow is near-linear over small windows: the
+# skip-2k flow ≈ 2× the already-solved skip-k flow, and with that seed
+# the per-group early exit collapses most iterations at every level.
+# Phases run in |skip| order (one dispatch each, results stay on
+# device), so only the ±1 phase pays the cold start.  Features whose
+# seed pair FAILED fall back to zero init (status-gated), preserving
+# cv2 robustness semantics; final positions converge to the same local
+# optima, so DB flows stay within LK's existing tolerance of cv2.
+
+
+def _lk_chain_enabled() -> bool:
+    """POLYCHASE_LK_CHAIN=0 restores independent per-pair solves."""
+    return os.environ.get("POLYCHASE_LK_CHAIN", "1") != "0"
+
+
+def _chain_plan(skips):
+    """Group a skip fan into chained phases of same-|skip| targets.
+
+    Returns a list of phases; each phase is a list of exactly
+    ``_CHAIN_T`` slots ``(orig_idx | None, src (phase, col) | None,
+    scale)``.  ``orig_idx`` indexes the caller's target list (None =
+    padding: the source frame itself, zero seed).  ``src`` points at
+    the same-sign seed solved in an earlier phase; ``scale`` is the
+    skip ratio applied to that seed's flow.
+    """
+    mags = sorted({abs(s) for s in skips})
+    solved: dict = {}   # sign -> (mag, phase, col)
+    plan = []
+    for p, mag in enumerate(mags):
+        slots = []
+        for i, s in enumerate(skips):
+            if abs(s) != mag:
+                continue
+            sign = s > 0
+            src = solved.get(sign)
+            if src is None:
+                slots.append((i, None, 0.0))
+            else:
+                slots.append((i, (src[1], src[2]), mag / src[0]))
+            solved[sign] = (mag, p, len(slots) - 1)
+        while len(slots) < _CHAIN_T:
+            slots.append((None, None, 0.0))
+        plan.append(slots)
+    return plan
+
+
+_CHAIN_T = 2   # slots per phase: one per sign of the skip
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "dims", "win", "max_iters", "eps2", "min_eig_thr", "levels",
+        "pallas",
+    ),
+)
+def _lk_chain_phase_program(
+    prev_levels, next_images, pts, src_nxt, src_status, scales, *,
+    dims, win, max_iters, eps2, min_eig_thr, levels, pallas,
+):
+    """One chained phase: compute the status-gated seed from the source
+    slots' results, then run the standard multi-target solve.  Phase 1
+    passes ``src_nxt == pts`` / ``src_status == False`` and degenerates
+    to the unseeded program, so every phase reuses ONE compile."""
+    init = jnp.where(
+        src_status[..., None],
+        (src_nxt - pts[None]) * scales[:, None, None],
+        0.0,
+    )
+    if pallas:
+        from polychase_tpu.kernels import lk_pallas as lkp
+
+        return lkp.lk_all_levels_pallas(
+            prev_levels, next_images, pts,
+            dims=dims, win=win, max_iters=max_iters, eps2=eps2,
+            min_eig_thr=min_eig_thr, init_flow=init,
+        )
+    return _lk_all_levels_multi(
+        prev_levels, next_images, pts,
+        jnp.float32(eps2), jnp.float32(min_eig_thr), init_flow=init,
+        win=win, max_iters=max_iters, levels=levels,
+    )
+
+
+def _chained_dispatch(prev_pyr, next_pyrs, skips, pts_p, opts, levels):
+    """Dispatch the skip fan as chained phases (device-resident seeds).
+
+    Returns ``(phase_outs, slot_map)``: per-phase (nxt, status, err)
+    device triples plus, per phase, the original target index of every
+    slot (None = padding).  All phases are queued without host syncs —
+    phase k+1's program consumes phase k's output arrays directly.
+    """
+    plan = _chain_plan(skips)
+    pts_dev = jnp.asarray(pts_p)
+    m = pts_p.shape[0]
+    eps = min(max(opts.term_epsilon, 0.0), 10.0)
+    pallas = prev_pyr.flavor == "pallas"
+    kw = dict(
+        dims=tuple(prev_pyr.dims[:levels]) if pallas else None,
+        win=opts.window_size, max_iters=opts.term_max_iters,
+        eps2=float(eps * eps),
+        min_eig_thr=float(opts.min_eigen_threshold),
+        levels=levels, pallas=pallas,
+    )
+    zero_status = jnp.zeros((_CHAIN_T, m), bool)
+    pts_bcast = jnp.broadcast_to(pts_dev[None], (_CHAIN_T, m, 2))
+
+    phase_outs = []
+    slot_map = []
+    for slots in plan:
+        pyrs = [
+            next_pyrs[i] if i is not None else prev_pyr
+            for (i, _, _) in slots
+        ]
+        if pallas:
+            next_images = tuple(
+                tuple(p.levels[lvl][0] for p in pyrs)
+                for lvl in range(levels)
+            )
+        else:
+            next_images = tuple(
+                jnp.stack([p.levels[lvl][0] for p in pyrs])
+                for lvl in range(levels)
+            )
+        src_nxt, src_st = [], []
+        for (_, src, _) in slots:
+            if src is None:
+                src_nxt.append(pts_dev)
+                src_st.append(zero_status[0])
+            else:
+                pnxt, pst, _ = phase_outs[src[0]]
+                src_nxt.append(pnxt[src[1]])
+                src_st.append(pst[src[1]])
+        scales = jnp.asarray([sc for (_, _, sc) in slots], jnp.float32)
+        out = _lk_chain_phase_program(
+            tuple(prev_pyr.levels[:levels]), next_images, pts_dev,
+            jnp.stack(src_nxt), jnp.stack(src_st), scales, **kw,
+        )
+        phase_outs.append(out)
+        slot_map.append([i for (i, _, _) in slots])
+    return phase_outs, slot_map
+
+
 def _feat_shard_min() -> int:
     """Feature count above which Analyze shards the FEATURE axis over the
     mesh instead of the (≤8-wide) target axis — the feature axis is the
@@ -665,11 +815,15 @@ def _lk_all_levels(
 
 
 def _lk_core(prev_levels, next_images, pts, eps2, min_eig_thr, win,
-             max_iters, levels):
-    """Coarse-to-fine chain over one (prev, next) pyramid pair."""
+             max_iters, levels, init_flow=None):
+    """Coarse-to-fine chain over one (prev, next) pyramid pair.
+
+    ``init_flow`` (N, 2), when given, seeds the top-level guess (chained
+    skip initialization); None reproduces cv2's from-scratch start."""
     n = pts.shape[0]
     top = levels - 1
-    cur_next = pts * (1.0 / (1 << top))
+    start = pts if init_flow is None else pts + init_flow
+    cur_next = start * (1.0 / (1 << top))
     status = jnp.ones((n,), bool)
     err = jnp.zeros((n,), jnp.float32)
 
@@ -695,6 +849,7 @@ def _lk_all_levels_multi(
     pts,
     eps2,
     min_eig_thr,
+    init_flow=None,        # optional (T, N, 2) top-level seed
     *,
     win: int,
     max_iters: int,
@@ -707,16 +862,25 @@ def _lk_all_levels_multi(
     batches only the iteration (XLA keeps the unbatched prep shared).
     One dispatch covers a full ±{1,2,4,8} skip fan-out — the reference's
     per-pair thread pool (cpp/opticalflow.cc:269-309) becomes a batch
-    dimension.
+    dimension.  ``init_flow`` (T, N, 2) optionally seeds each target's
+    top-level guess (chained skip initialization).
     """
+    if init_flow is None:
+        def solve_one(next_images):
+            return _lk_core(
+                prev_levels, next_images, pts, eps2, min_eig_thr, win,
+                max_iters, levels,
+            )
 
-    def solve_one(next_images):
+        return jax.vmap(solve_one)(next_images_stacked)
+
+    def solve_seeded(next_images, init):
         return _lk_core(
             prev_levels, next_images, pts, eps2, min_eig_thr, win,
-            max_iters, levels,
+            max_iters, levels, init_flow=init,
         )
 
-    return jax.vmap(solve_one)(next_images_stacked)
+    return jax.vmap(solve_seeded)(next_images_stacked, init_flow)
 
 
 def _analyze_mesh():
@@ -822,17 +986,32 @@ def _pack_lk_results(nxt, status, err, pts):
     return delta, packed, err.astype(jnp.float16)
 
 
+def chain_engages(skips) -> bool:
+    """True when a fan with these skips will route through the chained
+    dispatch (callers then skip their own target padding — phases pad
+    internally)."""
+    if skips is None or not _lk_chain_enabled():
+        return False
+    if len({abs(s) for s in skips}) < 2:
+        return False
+    mesh = _analyze_mesh()
+    return mesh is None or int(mesh.devices.size) <= 1
+
+
 def calc_optical_flow_multi_async(
     prev_pyr: PyramidCache,
     next_pyrs: List[PyramidCache],
     prev_pts: np.ndarray,
     opts: LKOptions = LKOptions(),
+    skips=None,
 ):
     """Dispatch a multi-target solve without blocking.
 
     Returns an opaque handle for :func:`calc_optical_flow_multi_finish`;
     the device work and the result transfer overlap subsequent host work
-    (JAX dispatch is asynchronous).
+    (JAX dispatch is asynchronous).  ``skips`` (frame offsets aligned
+    with ``next_pyrs``) enables chained skip initialization on a single
+    device (see :func:`_chained_dispatch`).
     """
     pts = np.ascontiguousarray(prev_pts, np.float32).reshape(-1, 2)
     n = pts.shape[0]
@@ -844,6 +1023,23 @@ def calc_optical_flow_multi_async(
     m = _bucket(n)
     pts_p = np.zeros((m, 2), np.float32)
     pts_p[:n] = pts
+
+    if skips is not None and len(skips) == T and chain_engages(skips):
+        phase_outs, slot_map = _chained_dispatch(
+            prev_pyr, next_pyrs, list(skips), pts_p, opts, levels
+        )
+        compress = _lk_compress_enabled()
+        if compress:
+            pts_dev = jnp.asarray(pts_p)
+            phase_outs = [
+                _pack_lk_results(o[0], o[1], o[2], pts_dev)
+                for o in phase_outs
+            ]
+        for o in phase_outs:
+            _start_host_copies(o)
+        return (
+            "devch", n, phase_outs, slot_map, inv, pts_p, T, compress
+        )
 
     if prev_pyr.flavor == "pallas":
         out = _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels)
@@ -892,7 +1088,30 @@ def calc_optical_flow_multi_finish(handle):
             np.empty((T, 0), bool),
             np.empty((T, 0), np.float32),
         )
-    if handle[0] == "devc":
+    if handle[0] == "devch":
+        _, n, phase_outs, slot_map, inv, pts_p, T, compress = handle
+        m = pts_p.shape[0]
+        nxt = np.zeros((T, m, 2), np.float32)
+        status = np.zeros((T, m), bool)
+        err = np.zeros((T, m), np.float32)
+        fetched = jax.device_get(phase_outs)
+        for slots, out in zip(slot_map, fetched):
+            if compress:
+                delta, packed, errh = out
+                pnxt = pts_p[None] + delta.astype(np.float32)
+                pst = np.unpackbits(
+                    packed, axis=-1, bitorder="little"
+                ).astype(bool)
+                perr = errh.astype(np.float32)
+            else:
+                pnxt, pst, perr = out
+            for col, orig in enumerate(slots):
+                if orig is None:
+                    continue
+                nxt[orig] = pnxt[col]
+                status[orig] = pst[col]
+                err[orig] = perr[col]
+    elif handle[0] == "devc":
         _, n, out, inv, pts_p = handle
         delta, packed, errh = jax.device_get(out)
         nxt = pts_p[None] + delta.astype(np.float32)

@@ -37,6 +37,7 @@ from .lk import (
     calc_optical_flow_multi,
     calc_optical_flow_multi_async,
     calc_optical_flow_multi_finish,
+    chain_engages,
     prepare_pyramid,
 )
 
@@ -292,7 +293,10 @@ def _run(
             continue
         pyr1 = get_pyramid(frame_id1)
         pyrs2 = [get_pyramid(f2) for f2 in targets]
-        if pyr1.flavor == "pallas":
+        skips = [f2 - frame_id1 for f2 in targets]
+        if not chain_engages(skips):
+            skips = None
+        if pyr1.flavor == "pallas" and skips is None:
             # Pad the target fan-out to one of two compiled shapes (4 or
             # 8): clip-edge frames would otherwise each compile their own
             # T (minutes each over a remote-compile TPU link), while
@@ -302,6 +306,8 @@ def _run(
             # Trade-off: a clip long enough to have both edge (<=4) and
             # interior (8-target) frames compiles BOTH shapes, adding one
             # extra ~30-60 s remote AOT compile on first run.
+            # (The chained dispatch pads internally — phases are always
+            # 2 wide — so it skips this entirely.)
             bucket = 4 if len(pyrs2) <= 4 else len(IMAGE_SKIPS)
             while len(pyrs2) < bucket:
                 pyrs2.append(pyr1)
@@ -311,7 +317,7 @@ def _run(
         )
         with profile_region("analyze.lk"):
             handle = calc_optical_flow_multi_async(
-                pyr1, pyrs2, features, flow_options
+                pyr1, pyrs2, features, flow_options, skips=skips
             )
         pending_flows.append((frame_id1, targets, handle))
 

@@ -700,17 +700,21 @@ def lk_all_levels_pallas(
     eps2: float,
     min_eig_thr: float,
     interpret: bool = False,
+    init_flow=None,             # optional (T, N, 2) full-res starting flow
 ):
     """Coarse-to-fine pyramidal LK for T targets sharing one source frame.
 
     Returns (next_pts (T,N,2), status (T,N) bool, err (T,N) f32) with the
-    same conventions as ``engine.lk._lk_all_levels_multi``.
+    same conventions as ``engine.lk._lk_all_levels_multi``.  A per-target
+    ``init_flow`` seeds the top-level guess (chained skip initialization);
+    zero/None reproduces cv2's from-scratch coarse-to-fine.
     """
     levels = len(prev_levels)
     T = len(next_images[0])
     top = levels - 1
+    start = pts[None] if init_flow is None else pts[None] + init_flow
     cur = jnp.broadcast_to(
-        pts[None] * (1.0 / (1 << top)), (T,) + pts.shape
+        start * (1.0 / (1 << top)), (T,) + pts.shape
     )
     status = err = None
 

@@ -212,3 +212,47 @@ def test_bf16_storage_optin_matches_f32(rng):
     assert both.sum() > 40
     d = np.linalg.norm(np.asarray(nb)[both] - np.asarray(nf)[both], axis=1)
     assert np.median(d) < 0.05, np.median(d)
+
+
+def test_chained_skip_fan_nonlinear_motion(rng, monkeypatch):
+    """Chained seeding extrapolates linearly; when the true motion is NOT
+    linear in the skip (seed lands far from the optimum) the pyramid
+    start must still recover the true flow, matching the unchained path."""
+    import os
+
+    monkeypatch.setenv("POLYCHASE_SHARD_ANALYZE", "0")
+    from polychase_tpu.engine.lk import (
+        calc_optical_flow_multi_async,
+        calc_optical_flow_multi_finish,
+        chain_engages,
+    )
+
+    img1 = textured(rng)
+    # skip-2 motion is NOT 2x skip-1, skip-4 reverses direction entirely
+    shifts = {1: (1.5, -1.0), 2: (7.0, 3.5), 4: (-5.0, 4.0)}
+    skips = [1, 2, 4]
+    tgts = [shift_image(img1, *shifts[s]) for s in skips]
+    pts, _ = good_features_to_track(img1, None, GFTTOptions(min_distance=9))
+    pts = pts[:120]
+    opts = LKOptions()
+    p1 = prepare_pyramid(img1, opts)
+    pyrs = [prepare_pyramid(t, opts) for t in tgts]
+
+    assert chain_engages(skips)
+    h = calc_optical_flow_multi_async(p1, pyrs, pts, opts, skips=skips)
+    assert h[0] == "devch"
+    cn, cs, _ = calc_optical_flow_multi_finish(h)
+
+    monkeypatch.setenv("POLYCHASE_LK_CHAIN", "0")
+    h = calc_optical_flow_multi_async(p1, pyrs, pts, opts, skips=skips)
+    assert h[0] != "devch"
+    un, us, _ = calc_optical_flow_multi_finish(h)
+
+    for i, s in enumerate(skips):
+        # the chained run must still find the true (nonlinear) motion
+        med = np.median(cn[i][cs[i]] - pts[cs[i]], axis=0)
+        np.testing.assert_allclose(med, shifts[s], atol=0.15)
+        both = cs[i] & us[i]
+        assert both.sum() > 0.8 * len(pts)
+        d = np.linalg.norm(cn[i][both] - un[i][both], axis=1)
+        assert np.median(d) < 0.05, (s, np.median(d))

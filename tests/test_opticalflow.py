@@ -114,3 +114,56 @@ def test_missing_frame_raises(tmp_path):
         generate_optical_flow_database(
             info, lambda f: None, None, str(tmp_path / "flow.db")
         )
+
+
+def test_chained_skip_fan_analyze_parity(tmp_path, rng, monkeypatch):
+    """Chained skip initialization (POLYCHASE_LK_CHAIN, single-device)
+    must produce per-pair flows equivalent to the independent solves:
+    the seed only moves the start of the iteration, the converged
+    optimum is the same (within the f16 transfer rounding)."""
+    monkeypatch.setenv("POLYCHASE_SHARD_ANALYZE", "0")
+    frames = make_clip(rng)
+    info = VideoInfo(width=160, height=120, first_frame=0, num_frames=10)
+
+    def generate(path):
+        generate_optical_flow_database(
+            info,
+            lambda fid: frames[fid] if 0 <= fid < len(frames) else None,
+            None,
+            path,
+            GFTTOptions(min_distance=7),
+        )
+        return Database(path)
+
+    from polychase_tpu.engine.lk import chain_engages
+
+    monkeypatch.setenv("POLYCHASE_LK_CHAIN", "1")
+    assert chain_engages([-2, -1, 1, 2, 4, 8])
+    db_c = generate(str(tmp_path / "chain.db"))
+    monkeypatch.setenv("POLYCHASE_LK_CHAIN", "0")
+    assert not chain_engages([-2, -1, 1, 2, 4, 8])
+    db_u = generate(str(tmp_path / "plain.db"))
+
+    agree = total = 0
+    for f in range(10):
+        np.testing.assert_array_equal(
+            db_c.read_keypoints(f), db_u.read_keypoints(f)
+        )
+        for s in IMAGE_SKIPS:
+            if not (0 <= f + s < 10):
+                continue
+            fc = db_c.read_image_pair_flow(f, f + s)
+            fu = db_u.read_image_pair_flow(f, f + s)
+            # status sets may differ on marginal features; the shared
+            # survivors must land on the same optimum
+            ic = {int(i): k for i, k in zip(fc.src_kps_indices, fc.tgt_kps)}
+            iu = {int(i): k for i, k in zip(fu.src_kps_indices, fu.tgt_kps)}
+            shared = set(ic) & set(iu)
+            total += max(len(ic), len(iu))
+            agree += len(shared)
+            d = np.array([ic[i] - iu[i] for i in shared])
+            if len(shared):
+                assert np.median(np.linalg.norm(d, axis=1)) < 0.05
+    assert agree / total > 0.97, (agree, total)
+    db_c.close()
+    db_u.close()
