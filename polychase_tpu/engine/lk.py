@@ -577,19 +577,36 @@ _CHAIN_T = 2   # slots per phase: one per sign of the skip
 
 @partial(
     jax.jit,
+    static_argnames=("dims", "win", "min_eig_thr"),
+)
+def _lk_chain_prep_program(prev_levels, pts, *, dims, win, min_eig_thr):
+    """Hoisted source-frame prep for a chained fan: patches, derivative
+    patches and normal matrices depend only on the source pyramid and
+    the points, so all phases share ONE prep dispatch."""
+    from polychase_tpu.kernels import lk_pallas as lkp
+
+    return lkp.lk_prep_levels_pallas(
+        prev_levels, pts, dims=dims, win=win, min_eig_thr=min_eig_thr,
+    )
+
+
+@partial(
+    jax.jit,
     static_argnames=(
         "dims", "win", "max_iters", "eps2", "min_eig_thr", "levels",
         "pallas",
     ),
 )
 def _lk_chain_phase_program(
-    prev_levels, next_images, pts, src_nxt, src_status, scales, *,
+    prep_or_levels, next_images, pts, src_nxt, src_status, scales, *,
     dims, win, max_iters, eps2, min_eig_thr, levels, pallas,
 ):
     """One chained phase: compute the status-gated seed from the source
-    slots' results, then run the standard multi-target solve.  Phase 1
-    passes ``src_nxt == pts`` / ``src_status == False`` and degenerates
-    to the unseeded program, so every phase reuses ONE compile."""
+    slots' results, then run the multi-target solve.  Phase 1 passes
+    ``src_nxt == pts`` / ``src_status == False`` and degenerates to the
+    unseeded program, so every phase reuses ONE compile.  The pallas
+    flavor receives hoisted per-level preps; the XLA flavor receives
+    the prev levels (its prep is fused into the level solve)."""
     init = jnp.where(
         src_status[..., None],
         (src_nxt - pts[None]) * scales[:, None, None],
@@ -598,13 +615,13 @@ def _lk_chain_phase_program(
     if pallas:
         from polychase_tpu.kernels import lk_pallas as lkp
 
-        return lkp.lk_all_levels_pallas(
-            prev_levels, next_images, pts,
+        return lkp.lk_iter_levels_pallas(
+            prep_or_levels, next_images, pts,
             dims=dims, win=win, max_iters=max_iters, eps2=eps2,
-            min_eig_thr=min_eig_thr, init_flow=init,
+            init_flow=init,
         )
     return _lk_all_levels_multi(
-        prev_levels, next_images, pts,
+        prep_or_levels, next_images, pts,
         jnp.float32(eps2), jnp.float32(min_eig_thr), init_flow=init,
         win=win, max_iters=max_iters, levels=levels,
     )
@@ -631,7 +648,15 @@ def _chained_dispatch(prev_pyr, next_pyrs, skips, pts_p, opts, levels):
         levels=levels, pallas=pallas,
     )
     zero_status = jnp.zeros((_CHAIN_T, m), bool)
-    pts_bcast = jnp.broadcast_to(pts_dev[None], (_CHAIN_T, m, 2))
+
+    if pallas:
+        first = _lk_chain_prep_program(
+            tuple(prev_pyr.levels[:levels]), pts_dev,
+            dims=kw["dims"], win=opts.window_size,
+            min_eig_thr=float(opts.min_eigen_threshold),
+        )
+    else:
+        first = tuple(prev_pyr.levels[:levels])
 
     phase_outs = []
     slot_map = []
@@ -661,7 +686,7 @@ def _chained_dispatch(prev_pyr, next_pyrs, skips, pts_p, opts, levels):
                 src_st.append(pst[src[1]])
         scales = jnp.asarray([sc for (_, _, sc) in slots], jnp.float32)
         out = _lk_chain_phase_program(
-            tuple(prev_pyr.levels[:levels]), next_images, pts_dev,
+            first, next_images, pts_dev,
             jnp.stack(src_nxt), jnp.stack(src_st), scales, **kw,
         )
         phase_outs.append(out)

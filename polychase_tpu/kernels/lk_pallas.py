@@ -709,7 +709,44 @@ def lk_all_levels_pallas(
     ``init_flow`` seeds the top-level guess (chained skip initialization);
     zero/None reproduces cv2's from-scratch coarse-to-fine.
     """
-    levels = len(prev_levels)
+    preps = lk_prep_levels_pallas(
+        prev_levels, pts,
+        dims=dims, win=win, min_eig_thr=min_eig_thr, interpret=interpret,
+    )
+    return lk_iter_levels_pallas(
+        preps, next_images, pts,
+        dims=dims, win=win, max_iters=max_iters, eps2=eps2,
+        interpret=interpret, init_flow=init_flow,
+    )
+
+
+def lk_prep_levels_pallas(
+    prev_levels, pts, *, dims, win: int, min_eig_thr: float,
+    interpret: bool = False,
+):
+    """Source-frame prep (template patches, derivative patches, normal
+    matrices) for every level.  Depends only on the source pyramid and
+    the points, so chained dispatches hoist it and share one prep across
+    all phases of a skip fan."""
+    out = []
+    for lvl in range(len(prev_levels)):
+        H, W = dims[lvl]
+        prev_pts = pts * (1.0 / (1 << lvl))
+        img_p, dx_p, dy_p = prev_levels[lvl]
+        out.append(lk_prepare_level(
+            img_p, dx_p, dy_p, prev_pts,
+            win=win, H=H, W=W, min_eig_thr=min_eig_thr,
+            interpret=interpret,
+        ))
+    return tuple(out)
+
+
+def lk_iter_levels_pallas(
+    preps, next_images, pts, *, dims, win: int, max_iters: int,
+    eps2: float, interpret: bool = False, init_flow=None,
+):
+    """Coarse-to-fine iterate chain over precomputed per-level preps."""
+    levels = len(preps)
     T = len(next_images[0])
     top = levels - 1
     start = pts[None] if init_flow is None else pts[None] + init_flow
@@ -720,14 +757,9 @@ def lk_all_levels_pallas(
 
     for lvl in range(top, -1, -1):
         H, W = dims[lvl]
-        prev_pts = pts * (1.0 / (1 << lvl))
         if lvl != top:
             cur = cur * 2.0
-        img_p, dx_p, dy_p = prev_levels[lvl]
-        ip, dxi, dyi, a11, a12, a22, invd, ok = lk_prepare_level(
-            img_p, dx_p, dy_p, prev_pts,
-            win=win, H=H, W=W, min_eig_thr=min_eig_thr, interpret=interpret,
-        )
+        ip, dxi, dyi, a11, a12, a22, invd, ok = preps[lvl]
         imgs = next_images[lvl]
         if not isinstance(imgs, jax.Array):
             imgs = jnp.stack(imgs)
