@@ -256,3 +256,34 @@ def test_chained_skip_fan_nonlinear_motion(rng, monkeypatch):
         assert both.sum() > 0.8 * len(pts)
         d = np.linalg.norm(cn[i][both] - un[i][both], axis=1)
         assert np.median(d) < 0.05, (s, np.median(d))
+
+
+def test_chain_plan_structure():
+    """Phase/seed bookkeeping for the chained dispatch (pure host)."""
+    from polychase_tpu.engine.lk import _chain_plan
+
+    # Full mid-clip fan: 4 phases, each one negative + one positive slot,
+    # every later phase seeded from the previous same-sign slot at 2x.
+    plan = _chain_plan([-8, -4, -2, -1, 1, 2, 4, 8])
+    assert len(plan) == 4
+    assert plan[0] == [(3, None, 0.0), (4, None, 0.0)]
+    assert plan[1] == [(2, (0, 0), 2.0), (5, (0, 1), 2.0)]
+    assert plan[2] == [(1, (1, 0), 2.0), (6, (1, 1), 2.0)]
+    assert plan[3] == [(0, (2, 0), 2.0), (7, (2, 1), 2.0)]
+
+    # Clip start: positive-only chain, negative slots become padding.
+    plan = _chain_plan([1, 2, 4, 8])
+    assert [s[0] for p in plan for s in p] == [0, None, 1, None, 2, None,
+                                               3, None]
+    assert plan[1][0][1:] == ((0, 0), 2.0)
+
+    # A missing middle magnitude seeds across the gap with the ratio.
+    plan = _chain_plan([-1, 1, 4])
+    assert len(plan) == 2
+    assert plan[1][0] == (2, (0, 1), 4.0)
+    assert plan[1][1][0] is None
+
+    # Single magnitude: one unseeded phase (chain_engages gates this off).
+    plan = _chain_plan([-1, 1])
+    assert len(plan) == 1
+    assert all(src is None for (_, src, _) in plan[0])
