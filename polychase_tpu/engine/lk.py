@@ -630,18 +630,32 @@ def _lk_chain_phase_program(
 def _chained_dispatch(prev_pyr, next_pyrs, skips, pts_p, opts, levels):
     """Dispatch the skip fan as chained phases (device-resident seeds).
 
-    Returns ``(phase_outs, slot_map)``: per-phase (nxt, status, err)
-    device triples plus, per phase, the original target index of every
-    slot (None = padding).  All phases are queued without host syncs —
-    phase k+1's program consumes phase k's output arrays directly.
+    Returns ``(phase_outs, slot_map, pts_p)``: per-phase
+    (nxt, status, err) device triples plus, per phase, the original
+    target index of every slot (None = padding).  All phases are queued
+    without host syncs — phase k+1's program consumes phase k's output
+    arrays directly.  On a multi-chip mesh the feature axis is sharded
+    (seeds shard with the features; ``pts_p`` comes back re-padded to
+    the shard step).
     """
     plan = _chain_plan(skips)
-    pts_dev = jnp.asarray(pts_p)
-    m = pts_p.shape[0]
     eps = min(max(opts.term_epsilon, 0.0), 10.0)
     pallas = prev_pyr.flavor == "pallas"
+    mesh = _analyze_mesh()
+    sharded = mesh is not None and int(mesh.devices.size) > 1
+    if sharded:
+        D = int(mesh.devices.size)
+        step = D * (128 if pallas else 8)
+        m2 = -(-pts_p.shape[0] // step) * step
+        if m2 != pts_p.shape[0]:
+            pts_p = np.concatenate(
+                [pts_p, np.zeros((m2 - pts_p.shape[0], 2), np.float32)]
+            )
+    pts_dev = jnp.asarray(pts_p)
+    m = pts_p.shape[0]
+    dims = tuple(prev_pyr.dims[:levels]) if pallas else None
     kw = dict(
-        dims=tuple(prev_pyr.dims[:levels]) if pallas else None,
+        dims=dims,
         win=opts.window_size, max_iters=opts.term_max_iters,
         eps2=float(eps * eps),
         min_eig_thr=float(opts.min_eigen_threshold),
@@ -649,10 +663,24 @@ def _chained_dispatch(prev_pyr, next_pyrs, skips, pts_p, opts, levels):
     )
     zero_status = jnp.zeros((_CHAIN_T, m), bool)
 
-    if pallas:
+    if sharded:
+        from ..parallel.analyze import (
+            sharded_lk_chain_phase, sharded_lk_chain_prep,
+        )
+
+        if pallas:
+            first = sharded_lk_chain_prep(
+                mesh, tuple(prev_pyr.levels[:levels]), pts_dev,
+                dims=dims, win=opts.window_size,
+                min_eig_thr=float(opts.min_eigen_threshold),
+                levels=levels,
+            )
+        else:
+            first = tuple(prev_pyr.levels[:levels])
+    elif pallas:
         first = _lk_chain_prep_program(
             tuple(prev_pyr.levels[:levels]), pts_dev,
-            dims=kw["dims"], win=opts.window_size,
+            dims=dims, win=opts.window_size,
             min_eig_thr=float(opts.min_eigen_threshold),
         )
     else:
@@ -665,14 +693,14 @@ def _chained_dispatch(prev_pyr, next_pyrs, skips, pts_p, opts, levels):
             next_pyrs[i] if i is not None else prev_pyr
             for (i, _, _) in slots
         ]
-        if pallas:
+        if sharded or not pallas:
             next_images = tuple(
-                tuple(p.levels[lvl][0] for p in pyrs)
+                jnp.stack([p.levels[lvl][0] for p in pyrs])
                 for lvl in range(levels)
             )
         else:
             next_images = tuple(
-                jnp.stack([p.levels[lvl][0] for p in pyrs])
+                tuple(p.levels[lvl][0] for p in pyrs)
                 for lvl in range(levels)
             )
         src_nxt, src_st = [], []
@@ -685,13 +713,19 @@ def _chained_dispatch(prev_pyr, next_pyrs, skips, pts_p, opts, levels):
                 src_nxt.append(pnxt[src[1]])
                 src_st.append(pst[src[1]])
         scales = jnp.asarray([sc for (_, _, sc) in slots], jnp.float32)
-        out = _lk_chain_phase_program(
-            first, next_images, pts_dev,
-            jnp.stack(src_nxt), jnp.stack(src_st), scales, **kw,
-        )
+        if sharded:
+            out = sharded_lk_chain_phase(
+                mesh, first, next_images, pts_dev,
+                jnp.stack(src_nxt), jnp.stack(src_st), scales, **kw,
+            )
+        else:
+            out = _lk_chain_phase_program(
+                first, next_images, pts_dev,
+                jnp.stack(src_nxt), jnp.stack(src_st), scales, **kw,
+            )
         phase_outs.append(out)
         slot_map.append([i for (i, _, _) in slots])
-    return phase_outs, slot_map
+    return phase_outs, slot_map, pts_p
 
 
 def _feat_shard_min() -> int:
@@ -1011,16 +1045,24 @@ def _pack_lk_results(nxt, status, err, pts):
     return delta, packed, err.astype(jnp.float16)
 
 
-def chain_engages(skips) -> bool:
+def chain_engages(skips, n_features=None) -> bool:
     """True when a fan with these skips will route through the chained
     dispatch (callers then skip their own target padding — phases pad
-    internally)."""
+    internally).
+
+    On a multi-chip mesh, chaining engages only in the feature-shard
+    regime (``n_features`` ≥ POLYCHASE_FEAT_SHARD_MIN): seeds are
+    per-feature so they shard with the features at zero collectives,
+    while below the threshold the target-sharded independent solves
+    use the mesh better than 2-wide chained phases would."""
     if skips is None or not _lk_chain_enabled():
         return False
     if len({abs(s) for s in skips}) < 2:
         return False
     mesh = _analyze_mesh()
-    return mesh is None or int(mesh.devices.size) <= 1
+    if mesh is None or int(mesh.devices.size) <= 1:
+        return True
+    return n_features is not None and n_features >= _feat_shard_min()
 
 
 def calc_optical_flow_multi_async(
@@ -1049,8 +1091,8 @@ def calc_optical_flow_multi_async(
     pts_p = np.zeros((m, 2), np.float32)
     pts_p[:n] = pts
 
-    if skips is not None and len(skips) == T and chain_engages(skips):
-        phase_outs, slot_map = _chained_dispatch(
+    if skips is not None and len(skips) == T and chain_engages(skips, n):
+        phase_outs, slot_map, pts_p = _chained_dispatch(
             prev_pyr, next_pyrs, list(skips), pts_p, opts, levels
         )
         compress = _lk_compress_enabled()

@@ -294,7 +294,7 @@ def _run(
         pyr1 = get_pyramid(frame_id1)
         pyrs2 = [get_pyramid(f2) for f2 in targets]
         skips = [f2 - frame_id1 for f2 in targets]
-        if not chain_engages(skips):
+        if not chain_engages(skips, features.shape[0]):
             skips = None
         if pyr1.flavor == "pallas" and skips is None:
             # Pad the target fan-out to one of two compiled shapes (4 or

@@ -250,3 +250,129 @@ def sharded_lk_multi_pallas(mesh, prev_levels, next_images_stacked, pts,
         if kw.get("interpret") else _sharded_lk_multi_pallas_jit
     )
     return fn(mesh, prev_levels, next_images_stacked, pts, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Chained skip-fan phases with the feature axis sharded: chaining
+# (engine.lk._chained_dispatch) composes with feature sharding because
+# seeds are per-feature — each chip seeds its own shard from its own
+# shard of the previous phase's result, still with zero collectives.
+# ---------------------------------------------------------------------------
+
+
+def _prep_specs(levels: int):
+    """shard_map specs for hoisted per-level preps: patch arrays are
+    (win, win, N) — sharded on the trailing feature axis — and the
+    normal-matrix vectors are (N,)."""
+    feat3 = PSpec(None, None, TARGET_AXIS)
+    feat1 = PSpec(TARGET_AXIS)
+    return tuple(
+        (feat3, feat3, feat3, feat1, feat1, feat1, feat1, feat1)
+        for _ in range(levels)
+    )
+
+
+def _sharded_lk_chain_prep(
+    mesh: Mesh, prev_levels, pts, *, dims, win, min_eig_thr, levels,
+    interpret=False,
+):
+    """Hoisted source-frame prep, feature-sharded (pallas flavor)."""
+    from ..kernels.lk_pallas import lk_prep_levels_pallas
+
+    def body(pts_local):
+        return lk_prep_levels_pallas(
+            prev_levels, pts_local, dims=dims, win=win,
+            min_eig_thr=min_eig_thr, interpret=interpret,
+        )
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(PSpec(TARGET_AXIS),),
+        out_specs=_prep_specs(levels),
+        check_vma=False,
+    )
+    return fn(pts)
+
+
+def _sharded_lk_chain_phase(
+    mesh: Mesh, first, next_images_stacked, pts, src_nxt, src_status,
+    scales, *, pallas, dims, win, max_iters, eps2, min_eig_thr, levels,
+    interpret=False,
+):
+    """One chained phase (T slots), feature-sharded.
+
+    ``first`` is the hoisted prep tuple (pallas flavor, sharded on the
+    feature axis) or the replicated prev levels (XLA flavor); seeds
+    shard with the features."""
+    feat = PSpec(TARGET_AXIS)
+    tfeat = PSpec(None, TARGET_AXIS)
+
+    def body(first_l, pts_local, src_nxt_l, src_st_l):
+        init = jnp.where(
+            src_st_l[..., None],
+            (src_nxt_l - pts_local[None]) * scales[:, None, None],
+            0.0,
+        )
+        if pallas:
+            from ..kernels.lk_pallas import lk_iter_levels_pallas
+
+            return lk_iter_levels_pallas(
+                first_l, next_images_stacked, pts_local,
+                dims=dims, win=win, max_iters=max_iters, eps2=eps2,
+                interpret=interpret, init_flow=init,
+            )
+        return _lk._lk_all_levels_multi(
+            first_l, next_images_stacked, pts_local,
+            jnp.float32(eps2), jnp.float32(min_eig_thr), init_flow=init,
+            win=win, max_iters=max_iters, levels=levels,
+        )
+
+    first_spec = (
+        _prep_specs(levels) if pallas
+        else jax.tree.map(lambda _: PSpec(), first)
+    )
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(first_spec, feat, tfeat, tfeat),
+        out_specs=(tfeat, tfeat, tfeat),
+        check_vma=False,
+    )
+    return fn(first, pts, src_nxt, src_status)
+
+
+_sharded_lk_chain_prep_jit = partial(
+    jax.jit,
+    static_argnames=("mesh", "dims", "win", "min_eig_thr", "levels",
+                     "interpret"),
+)(_sharded_lk_chain_prep)
+
+
+def sharded_lk_chain_prep(mesh, prev_levels, pts, **kw):
+    """Jitted on real backends; interpret mode (CPU tests) stays eager —
+    jit-of-shard_map-of-interpreted-pallas miscomputes."""
+    fn = (
+        _sharded_lk_chain_prep
+        if kw.get("interpret") else _sharded_lk_chain_prep_jit
+    )
+    return fn(mesh, prev_levels, pts, **kw)
+
+
+_sharded_lk_chain_phase_jit = partial(
+    jax.jit,
+    static_argnames=("mesh", "pallas", "dims", "win", "max_iters", "eps2",
+                     "min_eig_thr", "levels", "interpret"),
+)(_sharded_lk_chain_phase)
+
+
+def sharded_lk_chain_phase(mesh, first, next_images_stacked, pts, src_nxt,
+                           src_status, scales, **kw):
+    """Jitted on real backends; eager in interpret mode (see above)."""
+    fn = (
+        _sharded_lk_chain_phase
+        if kw.get("interpret") and kw.get("pallas")
+        else _sharded_lk_chain_phase_jit
+    )
+    return fn(mesh, first, next_images_stacked, pts, src_nxt, src_status,
+              scales, **kw)

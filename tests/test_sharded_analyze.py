@@ -311,3 +311,37 @@ def test_pipeline_env_gated_sharding_matches_default(tmp_path, monkeypatch):
         total += max(len(fa.src_kps_indices), 1)
         agree += len(common)
     assert agree / total > 0.99, agree / total
+
+
+def test_chained_feature_sharded_matches_single_device(rng, monkeypatch):
+    """Chained skip phases with the feature axis sharded over the mesh
+    must match the single-device chained solve: seeds are per-feature,
+    so sharding them adds no collectives and no numeric difference
+    beyond the (shared) f16 transfer rounding."""
+    assert jax.device_count() >= 8
+    monkeypatch.setenv("POLYCHASE_FEAT_SHARD_MIN", "64")
+    frames = _clip(rng)
+    opts = lk.LKOptions()
+    caches = [lk.prepare_pyramid(f.astype(np.uint8), opts) for f in frames]
+    pts = rng.uniform((12, 12), (148, 84), (300, 2)).astype(np.float32)
+    prev = caches[1]
+    skips = [-1, 1, 2, 4, 8]
+    targets = [caches[1 + s] for s in skips]
+
+    assert lk.chain_engages(skips, len(pts))
+    h = lk.calc_optical_flow_multi_async(prev, targets, pts, opts,
+                                         skips=skips)
+    assert h[0] == "devch"
+    sn, ss, se = lk.calc_optical_flow_multi_finish(h)
+
+    # Single-device chained reference (mesh off).
+    monkeypatch.setenv("POLYCHASE_SHARD_ANALYZE", "0")
+    h = lk.calc_optical_flow_multi_async(prev, targets, pts, opts,
+                                         skips=skips)
+    assert h[0] == "devch"
+    rn, rs, re = lk.calc_optical_flow_multi_finish(h)
+
+    for i in range(len(skips)):
+        np.testing.assert_array_equal(ss[i], rs[i])
+        both = ss[i] & rs[i]
+        np.testing.assert_allclose(sn[i][both], rn[i][both], atol=0.02)
