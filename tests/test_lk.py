@@ -287,3 +287,41 @@ def test_chain_plan_structure():
     plan = _chain_plan([-1, 1])
     assert len(plan) == 1
     assert all(src is None for (_, src, _) in plan[0])
+
+
+def test_chained_resume_shaped_fan(rng, monkeypatch):
+    """A resume run can present gap-ridden fans (e.g. only skips {2, 8}
+    missing): the chain seeds across the gap with the skip ratio and
+    must still match the independent solves."""
+    monkeypatch.setenv("POLYCHASE_SHARD_ANALYZE", "0")
+    from polychase_tpu.engine.lk import (
+        calc_optical_flow_multi_async,
+        calc_optical_flow_multi_finish,
+        chain_engages,
+    )
+
+    img1 = textured(rng)
+    shifts = {2: (1.6, -1.2), 8: (6.4, -4.8)}   # linear in the skip
+    skips = [2, 8]
+    tgts = [shift_image(img1, *shifts[s]) for s in skips]
+    pts, _ = good_features_to_track(img1, None, GFTTOptions(min_distance=9))
+    pts = pts[:100]
+    opts = LKOptions()
+    p1 = prepare_pyramid(img1, opts)
+    pyrs = [prepare_pyramid(t, opts) for t in tgts]
+
+    assert chain_engages(skips)
+    h = calc_optical_flow_multi_async(p1, pyrs, pts, opts, skips=skips)
+    assert h[0] == "devch"
+    cn, cs, _ = calc_optical_flow_multi_finish(h)
+
+    monkeypatch.setenv("POLYCHASE_LK_CHAIN", "0")
+    h = calc_optical_flow_multi_async(p1, pyrs, pts, opts, skips=skips)
+    un, us, _ = calc_optical_flow_multi_finish(h)
+
+    for i, s in enumerate(skips):
+        med = np.median(cn[i][cs[i]] - pts[cs[i]], axis=0)
+        np.testing.assert_allclose(med, shifts[s], atol=0.1)
+        both = cs[i] & us[i]
+        d = np.linalg.norm(cn[i][both] - un[i][both], axis=1)
+        assert np.median(d) < 0.05
