@@ -532,8 +532,16 @@ def _lk_pallas_program(
 # Phases run in |skip| order (one dispatch each, results stay on
 # device), so only the ±1 phase pays the cold start.  Features whose
 # seed pair FAILED fall back to zero init (status-gated), preserving
-# cv2 robustness semantics; final positions converge to the same local
-# optima, so DB flows stay within LK's existing tolerance of cv2.
+# cv2 robustness semantics.
+#
+# Known trade-off: on REPETITIVE texture (period ≲ the extrapolation
+# error) a seeded solve can lock onto a different lattice optimum than
+# the zero-init solve, with status=True and low err — the same
+# ambiguity zero-init has, just resolved toward the extrapolated motion
+# instead of toward zero.  Downstream PnP/BA consume these flows
+# through inlier gating and robust (Huber/Cauchy) losses — the defense
+# the reference relies on for cv2's own lattice mismatches.
+# POLYCHASE_LK_CHAIN=0 restores independent solves.
 
 
 def _lk_chain_enabled() -> bool:
@@ -630,7 +638,7 @@ def _lk_chain_phase_program(
 def _chained_dispatch(prev_pyr, next_pyrs, skips, pts_p, opts, levels):
     """Dispatch the skip fan as chained phases (device-resident seeds).
 
-    Returns ``(phase_outs, slot_map, pts_p)``: per-phase
+    Returns ``(phase_outs, slot_map, pts_dev, pts_p)``: per-phase
     (nxt, status, err) device triples plus, per phase, the original
     target index of every slot (None = padding).  All phases are queued
     without host syncs — phase k+1's program consumes phase k's output
@@ -645,12 +653,7 @@ def _chained_dispatch(prev_pyr, next_pyrs, skips, pts_p, opts, levels):
     sharded = mesh is not None and int(mesh.devices.size) > 1
     if sharded:
         D = int(mesh.devices.size)
-        step = D * (128 if pallas else 8)
-        m2 = -(-pts_p.shape[0] // step) * step
-        if m2 != pts_p.shape[0]:
-            pts_p = np.concatenate(
-                [pts_p, np.zeros((m2 - pts_p.shape[0], 2), np.float32)]
-            )
+        pts_p = _pad_pts(pts_p, D * (128 if pallas else 1))
     pts_dev = jnp.asarray(pts_p)
     m = pts_p.shape[0]
     dims = tuple(prev_pyr.dims[:levels]) if pallas else None
@@ -725,7 +728,7 @@ def _chained_dispatch(prev_pyr, next_pyrs, skips, pts_p, opts, levels):
             )
         phase_outs.append(out)
         slot_map.append([i for (i, _, _) in slots])
-    return phase_outs, slot_map, pts_p
+    return phase_outs, slot_map, pts_dev, pts_p
 
 
 def _feat_shard_min() -> int:
@@ -736,6 +739,8 @@ def _feat_shard_min() -> int:
 
 
 def _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels):
+    """Pallas-flavor multi dispatch; returns ``(out, pts_dev, pts_p)``
+    like :func:`_dispatch_multi_xla`."""
     eps = min(max(opts.term_epsilon, 0.0), 10.0)
     T = len(next_pyrs)
     mesh = _analyze_mesh()
@@ -746,24 +751,22 @@ def _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels):
         from ..parallel.analyze import sharded_lk_multi_pallas_feat
 
         D = int(mesh.devices.size)
-        step = D * GROUP
-        m2 = -(-pts_p.shape[0] // step) * step
-        if m2 != pts_p.shape[0]:
-            pts_p = np.concatenate(
-                [pts_p, np.zeros((m2 - pts_p.shape[0], 2), np.float32)]
-            )
+        pts_p = _pad_pts(pts_p, D * GROUP)
+        pts_dev = jnp.asarray(pts_p)
         stacked = tuple(
             jnp.stack([p.levels[lvl][0] for p in next_pyrs])
             for lvl in range(levels)
         )
-        return sharded_lk_multi_pallas_feat(
+        out = sharded_lk_multi_pallas_feat(
             mesh, tuple(prev_pyr.levels[:levels]), stacked,
-            jnp.asarray(pts_p),
+            pts_dev,
             dims=tuple(prev_pyr.dims[:levels]),
             win=opts.window_size, max_iters=opts.term_max_iters,
             eps2=float(eps * eps),
             min_eig_thr=float(opts.min_eigen_threshold),
         )
+        return out, pts_dev, pts_p
+    pts_dev = jnp.asarray(pts_p)
     if mesh is not None and T >= 2:
         from ..parallel.analyze import shard_targets, sharded_lk_multi_pallas
 
@@ -776,21 +779,21 @@ def _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels):
         )
         nxt, status, err = sharded_lk_multi_pallas(
             mesh, tuple(prev_pyr.levels[:levels]),
-            shard_targets(mesh, stacked), jnp.asarray(pts_p),
+            shard_targets(mesh, stacked), pts_dev,
             dims=tuple(prev_pyr.dims[:levels]),
             win=opts.window_size, max_iters=opts.term_max_iters,
             eps2=float(eps * eps),
             min_eig_thr=float(opts.min_eigen_threshold),
         )
-        return nxt[:T], status[:T], err[:T]
+        return (nxt[:T], status[:T], err[:T]), pts_dev, pts_p
 
     next_images = tuple(
         tuple(p.levels[lvl][0] for p in next_pyrs) for lvl in range(levels)
     )
-    return _lk_pallas_program(
+    out = _lk_pallas_program(
         tuple(prev_pyr.levels[:levels]),
         next_images,
-        jnp.asarray(pts_p),
+        pts_dev,
         dims=tuple(prev_pyr.dims[:levels]),
         win=opts.window_size,
         max_iters=opts.term_max_iters,
@@ -799,6 +802,7 @@ def _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels):
         levels=levels,
         T=T,
     )
+    return out, pts_dev, pts_p
 
 
 def calc_optical_flow(
@@ -827,10 +831,8 @@ def calc_optical_flow(
     pts_p[:n] = pts
 
     if prev_pyr.flavor == "pallas":
-        nxt, status, err = _run_pallas(
-            prev_pyr, [next_pyr], pts_p, opts, levels
-        )
-        nxt, status, err = jax.device_get((nxt, status, err))
+        out, _, _ = _run_pallas(prev_pyr, [next_pyr], pts_p, opts, levels)
+        nxt, status, err = jax.device_get(out)
         return nxt[0, :n], status[0, :n], err[0, :n]
 
     eps = min(max(opts.term_epsilon, 0.0), 10.0)
@@ -965,7 +967,11 @@ def _analyze_mesh():
 
 def _dispatch_multi_xla(prev_pyr, stacked, pts_p, eps, opts, levels, T):
     """Multi-target dispatch; shards the target axis over a device mesh
-    when enabled (the reference's per-pair thread pool becomes chips)."""
+    when enabled (the reference's per-pair thread pool becomes chips).
+
+    Returns ``(out, pts_dev, pts_p)`` — the device-resident (possibly
+    re-padded) points ride along so the compress pack reuses the upload
+    instead of crossing the link again."""
     kw = dict(
         win=opts.window_size, max_iters=opts.term_max_iters, levels=levels
     )
@@ -976,24 +982,19 @@ def _dispatch_multi_xla(prev_pyr, stacked, pts_p, eps, opts, levels, T):
         from ..parallel.analyze import sharded_lk_multi_feat
 
         D = int(mesh.devices.size)
-        m2 = -(-pts_p.shape[0] // D) * D
-        pts2 = pts_p
-        if m2 != pts_p.shape[0]:
-            pts2 = np.concatenate(
-                [pts_p, np.zeros((m2 - pts_p.shape[0], 2), np.float32)]
-            )
-        return sharded_lk_multi_feat(
+        pts_p = _pad_pts(pts_p, D)
+        pts_dev = jnp.asarray(pts_p)
+        out = sharded_lk_multi_feat(
             mesh, tuple(prev_pyr.levels[:levels]), stacked,
-            jnp.asarray(pts2),
+            pts_dev,
             jnp.float32(eps * eps),
             jnp.float32(opts.min_eigen_threshold),
             **kw,
         )
-    # Build the shared args lazily: the feature-shard branch above
-    # uploads its own padded copy, and uploading both would waste a
-    # full-size host->device transfer per dispatch.
+        return out, pts_dev, pts_p
+    pts_dev = jnp.asarray(pts_p)
     args = (
-        jnp.asarray(pts_p),
+        pts_dev,
         jnp.float32(eps * eps),
         jnp.float32(opts.min_eigen_threshold),
     )
@@ -1013,10 +1014,11 @@ def _dispatch_multi_xla(prev_pyr, stacked, pts_p, eps, opts, levels, T):
             mesh, tuple(prev_pyr.levels[:levels]),
             shard_targets(mesh, stacked), *args, **kw,
         )
-        return nxt[:T], status[:T], err[:T]
-    return _lk_all_levels_multi(
+        return (nxt[:T], status[:T], err[:T]), pts_dev, pts_p
+    out = _lk_all_levels_multi(
         tuple(prev_pyr.levels[:levels]), stacked, *args, **kw
     )
+    return out, pts_dev, pts_p
 
 
 def _lk_compress_enabled() -> bool:
@@ -1030,19 +1032,24 @@ def _lk_compress_enabled() -> bool:
 def _pack_lk_results(nxt, status, err, pts):
     """Shrink the device→host result transfer 638→~300 KB per dispatch.
 
-    Positions travel as float16 DELTAS from the (f32) input points — the
-    tracked motion is tens of pixels, so the f16 mantissa keeps ~0.01 px
-    (absolute f16 positions would be 0.25 px at x=640, useless).  err is
-    magnitude-only (IRLS weights downstream) so f16's 1e-3 relative is
-    plenty; status bools pack 8-per-byte.  The host side reconstructs
-    with the SAME f32 points, so the only loss is the delta rounding.
+    Positions travel as int16 DELTAS from the (f32) input points with a
+    per-dispatch dynamic scale: quantization is max|delta|/32700 — about
+    0.001 px on a typical 640p fan and still ≤0.04 px for a 1200 px
+    4K fast-pan skip-8 flow (a fixed f16 encoding would quantize large
+    flows to a 0.25-0.5 px grid).  err is magnitude-only (IRLS weights
+    downstream) so f16's 1e-3 relative is plenty; status bools pack
+    8-per-byte.  The host reconstructs with the SAME f32 points and the
+    transferred scale, so the only loss is the delta rounding.
     """
-    delta = (nxt - pts[None]).astype(jnp.float16)
+    delta = nxt - pts[None]
+    dmax = jnp.maximum(jnp.max(jnp.abs(delta)), 1e-3)
+    scale = 32700.0 / dmax
+    q = jnp.round(delta * scale).astype(jnp.int16)
     T, N = status.shape
     bits = status.reshape(T, N // 8, 8).astype(jnp.int32)
     weights = (1 << jnp.arange(8, dtype=jnp.int32))
     packed = jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)
-    return delta, packed, err.astype(jnp.float16)
+    return q, scale.astype(jnp.float32), packed, err.astype(jnp.float16)
 
 
 def chain_engages(skips, n_features=None) -> bool:
@@ -1092,12 +1099,11 @@ def calc_optical_flow_multi_async(
     pts_p[:n] = pts
 
     if skips is not None and len(skips) == T and chain_engages(skips, n):
-        phase_outs, slot_map, pts_p = _chained_dispatch(
+        phase_outs, slot_map, pts_dev, pts_p = _chained_dispatch(
             prev_pyr, next_pyrs, list(skips), pts_p, opts, levels
         )
         compress = _lk_compress_enabled()
         if compress:
-            pts_dev = jnp.asarray(pts_p)
             phase_outs = [
                 _pack_lk_results(o[0], o[1], o[2], pts_dev)
                 for o in phase_outs
@@ -1109,26 +1115,20 @@ def calc_optical_flow_multi_async(
         )
 
     if prev_pyr.flavor == "pallas":
-        out = _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels)
+        out, pts_dev, pts_p = _run_pallas(
+            prev_pyr, next_pyrs, pts_p, opts, levels
+        )
     else:
         stacked = tuple(
             jnp.stack([p.levels[lvl][0] for p in next_pyrs])
             for lvl in range(levels)
         )
         eps = min(max(opts.term_epsilon, 0.0), 10.0)
-        out = _dispatch_multi_xla(
+        out, pts_dev, pts_p = _dispatch_multi_xla(
             prev_pyr, stacked, pts_p, eps, opts, levels, T
         )
     if _lk_compress_enabled():
-        # Feature-sharded paths pad beyond the bucket (to a multiple of
-        # devices×GROUP); match the points to the dispatched width so
-        # the host can reconstruct absolute positions.
-        n_out = out[0].shape[1]
-        if n_out != pts_p.shape[0]:
-            pts_p = np.concatenate(
-                [pts_p, np.zeros((n_out - pts_p.shape[0], 2), np.float32)]
-            )
-        out = _pack_lk_results(out[0], out[1], out[2], jnp.asarray(pts_p))
+        out = _pack_lk_results(out[0], out[1], out[2], pts_dev)
         _start_host_copies(out)
         return ("devc", n, out, inv, pts_p)
     _start_host_copies(out)
@@ -1144,6 +1144,29 @@ def _start_host_copies(out) -> None:
             arr.copy_to_host_async()
         except Exception:  # pragma: no cover - backend without support
             break
+
+
+def _unpack_lk_results(fetched, pts_p):
+    """Host half of :func:`_pack_lk_results`."""
+    q, scale, packed, errh = fetched
+    nxt = pts_p[None] + q.astype(np.float32) * (1.0 / float(scale))
+    status = np.unpackbits(packed, axis=-1, bitorder="little").astype(bool)
+    return nxt, status, errh.astype(np.float32)
+
+
+def _pad_pts(pts_p: np.ndarray, step: int) -> np.ndarray:
+    """Zero-pad (N, 2) points to a multiple of ``step``.
+
+    Every padded width must ALSO be a multiple of 8 — the packed-status
+    transfer reshapes (T, N//8, 8) — so the step is rounded up to the
+    lcm with 8 (matters for non-power-of-2 device counts)."""
+    step = step * 8 // np.gcd(step, 8)
+    m = -(-pts_p.shape[0] // step) * step
+    if m == pts_p.shape[0]:
+        return pts_p
+    return np.concatenate(
+        [pts_p, np.zeros((m - pts_p.shape[0], 2), np.float32)]
+    )
 
 
 def calc_optical_flow_multi_finish(handle):
@@ -1164,12 +1187,7 @@ def calc_optical_flow_multi_finish(handle):
         fetched = jax.device_get(phase_outs)
         for slots, out in zip(slot_map, fetched):
             if compress:
-                delta, packed, errh = out
-                pnxt = pts_p[None] + delta.astype(np.float32)
-                pst = np.unpackbits(
-                    packed, axis=-1, bitorder="little"
-                ).astype(bool)
-                perr = errh.astype(np.float32)
+                pnxt, pst, perr = _unpack_lk_results(out, pts_p)
             else:
                 pnxt, pst, perr = out
             for col, orig in enumerate(slots):
@@ -1180,12 +1198,7 @@ def calc_optical_flow_multi_finish(handle):
                 err[orig] = perr[col]
     elif handle[0] == "devc":
         _, n, out, inv, pts_p = handle
-        delta, packed, errh = jax.device_get(out)
-        nxt = pts_p[None] + delta.astype(np.float32)
-        status = np.unpackbits(
-            packed, axis=-1, bitorder="little"
-        ).astype(bool)
-        err = errh.astype(np.float32)
+        nxt, status, err = _unpack_lk_results(jax.device_get(out), pts_p)
     else:
         _, n, out, inv = handle
         nxt, status, err = jax.device_get(out)

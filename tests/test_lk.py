@@ -325,3 +325,39 @@ def test_chained_resume_shaped_fan(rng, monkeypatch):
         both = cs[i] & us[i]
         d = np.linalg.norm(cn[i][both] - un[i][both], axis=1)
         assert np.median(d) < 0.05
+
+
+def test_pack_roundtrip_large_flows():
+    """The compressed transfer uses a per-dispatch dynamic int16 scale:
+    quantization must stay proportional to the LARGEST delta (a fixed
+    f16 encoding would snap a 1200 px 4K fast-pan flow to 0.5 px)."""
+    import jax
+
+    from polychase_tpu.engine.lk import _pack_lk_results, _unpack_lk_results
+
+    rng = np.random.default_rng(0)
+    T, m = 3, 256
+    pts = rng.uniform(0, 3800, (m, 2)).astype(np.float32)
+    deltas = rng.uniform(-1200, 1200, (T, m, 2)).astype(np.float32)
+    nxt = pts[None] + deltas
+    status = rng.random((T, m)) > 0.3
+    err = rng.uniform(0, 30, (T, m)).astype(np.float32)
+
+    out = jax.device_get(_pack_lk_results(
+        jax.numpy.asarray(nxt), jax.numpy.asarray(status),
+        jax.numpy.asarray(err), jax.numpy.asarray(pts),
+    ))
+    rn, rs, re = _unpack_lk_results(out, pts)
+    np.testing.assert_array_equal(rs, status)
+    step = np.abs(deltas).max() / 32700.0
+    assert np.abs(rn - nxt).max() <= step * 0.75 + 1e-4
+    np.testing.assert_allclose(re, err, rtol=2e-3, atol=1e-2)
+
+    # Small-flow dispatch: quantization shrinks with the dispatch
+    small = pts[None] + rng.uniform(-8, 8, (T, m, 2)).astype(np.float32)
+    out = jax.device_get(_pack_lk_results(
+        jax.numpy.asarray(small), jax.numpy.asarray(status),
+        jax.numpy.asarray(err), jax.numpy.asarray(pts),
+    ))
+    rn, _, _ = _unpack_lk_results(out, pts)
+    assert np.abs(rn - small).max() < 2e-3
