@@ -49,21 +49,21 @@ def drain(outs):
         jax.device_get(o.ravel()[:8])
 
 
-def lk_all(fetch=True):
+def lk_all(fetch=True, chain=False):
     handles = []
     for i in range(len(frames)):
-        targets = [
-            i + s for s in IMAGE_SKIPS if 0 <= i + s < len(frames)
-        ]
+        skips = [s for s in IMAGE_SKIPS if 0 <= i + s < len(frames)]
+        targets = [i + s for s in skips]
         h = L.calc_optical_flow_multi_async(
-            pyrs[i], [pyrs[t] for t in targets], feats[i], opts
+            pyrs[i], [pyrs[t] for t in targets], feats[i], opts,
+            skips=skips if chain else None,
         )
         handles.append(h)
     if fetch:
         return [L.calc_optical_flow_multi_finish(h) for h in handles]
     drain(
         jax.tree.leaves(
-            [h[2] for h in handles if h[0] != "empty"]
+            [h[2] for h in handles if h[0] not in ("empty",)]
         )
     )
     return handles
@@ -87,6 +87,16 @@ print(
 mn, med = timeit(lambda: lk_all(fetch=True))
 print(
     f"LK + result device_get   : min {mn*1e3:7.1f} ms"
+    f"  ({len(frames)/mn:.2f} fps)  med {med*1e3:.1f}"
+)
+mn, med = timeit(lambda: lk_all(fetch=False, chain=True))
+print(
+    f"LK chained, no fetch     : min {mn*1e3:7.1f} ms"
+    f"  ({len(frames)/mn:.2f} fps ceiling)  med {med*1e3:.1f}"
+)
+mn, med = timeit(lambda: lk_all(fetch=True, chain=True))
+print(
+    f"LK chained + device_get  : min {mn*1e3:7.1f} ms"
     f"  ({len(frames)/mn:.2f} fps)  med {med*1e3:.1f}"
 )
 
