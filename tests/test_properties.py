@@ -1,0 +1,170 @@
+"""Property-based invariants for the math core (hypothesis).
+
+These pin algebraic laws the solvers rely on — quaternion group
+structure, pose composition round-trips, projection inverses, greedy
+suppression invariants — over randomized inputs rather than the
+hand-picked cases in the unit suites.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from polychase_tpu.engine import camera as C
+from polychase_tpu.engine import pose as P
+
+finite = st.floats(-10.0, 10.0, allow_nan=False, width=32)
+
+
+def _quat(draw_vals):
+    q = np.asarray(draw_vals, np.float32)
+    n = np.linalg.norm(q)
+    if n < 1e-3:
+        q = np.array([0.0, 0.0, 0.0, 1.0], np.float32)
+        n = 1.0
+    return q / n
+
+
+quat_st = st.lists(finite, min_size=4, max_size=4).map(_quat)
+vec3_st = st.lists(finite, min_size=3, max_size=3).map(
+    lambda v: np.asarray(v, np.float32)
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(quat_st, vec3_st)
+def test_quat_rotation_preserves_norm_and_inverts(q, v):
+    r = np.asarray(P.quat_rotate(q, v))
+    np.testing.assert_allclose(
+        np.linalg.norm(r), np.linalg.norm(v), rtol=1e-4, atol=1e-4
+    )
+    back = np.asarray(P.quat_rotate(P.quat_conj(q), r))
+    np.testing.assert_allclose(back, v, rtol=1e-3, atol=1e-3)
+
+
+@settings(max_examples=40, deadline=None)
+@given(quat_st, quat_st, vec3_st)
+def test_quat_mul_is_composition(qa, qb, v):
+    ab = np.asarray(P.quat_rotate(P.quat_mul(qa, qb), v))
+    seq = np.asarray(P.quat_rotate(qa, P.quat_rotate(qb, v)))
+    np.testing.assert_allclose(ab, seq, rtol=1e-3, atol=1e-3)
+
+
+@settings(max_examples=40, deadline=None)
+@given(quat_st, vec3_st, vec3_st)
+def test_pose_inverse_round_trip(q, t, p):
+    pose = P.Pose(q=np.asarray(q), t=np.asarray(t))
+    fwd = P.pose_apply(pose, p)
+    back = np.asarray(P.pose_apply(P.pose_inverse(pose), fwd))
+    np.testing.assert_allclose(back, p, rtol=1e-3, atol=1e-3)
+
+
+@settings(max_examples=40, deadline=None)
+@given(quat_st, vec3_st)
+def test_pose_matrix_round_trip(q, t):
+    pose = P.Pose(q=np.asarray(q), t=np.asarray(t))
+    mat = P.pose_rt4x4(pose)
+    back = P.pose_from_rt(mat)
+    # q and -q encode the same rotation
+    qb = np.asarray(back.q)
+    if np.dot(qb, q) < 0:
+        qb = -qb
+    np.testing.assert_allclose(qb, q, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(back.t), t, rtol=1e-3, atol=1e-3)
+
+
+@settings(max_examples=40, deadline=None)
+@given(quat_st, vec3_st)
+def test_quat_exp_step_consistency(q, w):
+    w = w * 0.01  # small tangent step
+    stepped = np.asarray(P.quat_step_post(q, w))
+    np.testing.assert_allclose(np.linalg.norm(stepped), 1.0, atol=1e-4)
+    # zero step is the identity
+    same = np.asarray(P.quat_step_post(q, np.zeros(3, np.float32)))
+    np.testing.assert_allclose(same, q, atol=1e-6)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.sampled_from([C.OPENGL, C.OPENCV]),
+    st.floats(50, 2000), st.floats(50, 2000),
+    st.floats(100, 700), st.floats(100, 500),
+)
+def test_project_unproject_inverse(conv, fx, fy, px, py):
+    intr = C.Intrinsics.create(
+        fx=fx, fy=fy, cx=320.0, cy=240.0,
+        aspect_ratio=fx / fy, width=640, height=480, convention=conv,
+    )
+    p = np.array([px, py], np.float32)
+    d = np.asarray(C.unproject(intr, p))
+    # the ray direction must reproject onto the source pixel for any
+    # positive depth along it
+    for depth in (0.5, 1.0, 7.0):
+        rp = np.asarray(C.project(intr, d * depth))
+        np.testing.assert_allclose(rp, p, rtol=1e-3, atol=2e-2)
+    assert not bool(np.asarray(C.is_behind(intr, d)))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.floats(3.0, 25.0))
+def test_gftt_suppression_invariants(seed, min_distance):
+    from polychase_tpu.engine.gftt import _min_distance_suppress
+
+    rng = np.random.default_rng(seed)
+    n = 400
+    xs = rng.uniform(0, 320, n).astype(np.float32)
+    ys = rng.uniform(0, 240, n).astype(np.float32)
+    vals = np.sort(rng.uniform(0.1, 10, n).astype(np.float32))[::-1]
+    ox, oy, oq = _min_distance_suppress(
+        xs, ys, vals, 320, 240, float(min_distance), 0
+    )
+    # kept corners are pairwise >= min_distance apart
+    pts = np.stack([ox, oy], -1)
+    if len(pts) > 1:
+        d2 = np.sum((pts[None] - pts[:, None]) ** 2, -1)
+        d2[np.arange(len(pts)), np.arange(len(pts))] = np.inf
+        assert d2.min() >= float(min_distance) ** 2 - 1e-3
+    # visiting order: kept qualities are non-increasing
+    assert np.all(np.diff(oq) <= 1e-6)
+    # every dropped corner is within min_distance of some kept one
+    kept = set(zip(ox.tolist(), oy.tolist()))
+    for x, y in zip(xs, ys):
+        if (x, y) in kept:
+            continue
+        dd = np.min((ox - x) ** 2 + (oy - y) ** 2)
+        assert dd < float(min_distance) ** 2 + 1e-3
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 400))
+def test_spatial_sort_inverse_permutation(seed, n):
+    from polychase_tpu.engine.lk import _spatial_sort
+
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-5, 500, (n, 2)).astype(np.float32)
+    pts[rng.random(n) < 0.05] = -0.0
+    srt, inv = _spatial_sort(pts)
+    if inv is None:
+        np.testing.assert_array_equal(srt, pts)
+    else:
+        np.testing.assert_array_equal(srt[inv], pts)
+        ref = np.lexsort((pts[:, 0], pts[:, 1]))
+        np.testing.assert_array_equal(srt, pts[ref])
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(1, 5000), st.integers(1, 12))
+def test_pad_pts_step_and_eight_aligned(n, d):
+    from polychase_tpu.engine.lk import _pad_pts
+
+    pts = np.ones((n, 2), np.float32)
+    out = _pad_pts(pts, d)
+    assert out.shape[0] % d == 0
+    assert out.shape[0] % 8 == 0
+    assert out.shape[0] >= n
+    np.testing.assert_array_equal(out[:n], pts)
+    assert not out[n:].any()
