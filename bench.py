@@ -109,7 +109,43 @@ def bench_opencv(frames):
     return len(frames) / dt
 
 
+def _require_device(timeout_s: int = 180) -> bool:
+    """Fail FAST when the accelerator backend is unreachable.
+
+    A dead TPU tunnel blocks ``jax.devices()`` forever inside a C gRPC
+    call that Python signals cannot interrupt, so the probe runs in a
+    killable subprocess; the bench then emits its one JSON line (with
+    an error marker) instead of hanging the driver."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _require_device():
+        print(
+            json.dumps(
+                {
+                    "metric": "analyze_fps_640x480",
+                    "value": None,
+                    "unit": "frames/sec",
+                    "vs_baseline": None,
+                    "error": "accelerator backend unreachable "
+                             "(device init timed out)",
+                    "host_nproc": os.cpu_count(),
+                    "host_loadavg_1m": round(os.getloadavg()[0], 2),
+                }
+            )
+        )
+        return
     frames = make_clip()
     ours_fps = bench_ours(frames)
     # The TPU number must survive a baseline failure: compute the ratio
