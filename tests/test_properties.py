@@ -168,3 +168,58 @@ def test_pad_pts_step_and_eight_aligned(n, d):
     assert out.shape[0] >= n
     np.testing.assert_array_equal(out[:n], pts)
     assert not out[n:].any()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.sampled_from([0, 1, 2]),
+    st.floats(0.1, 10.0),
+    st.lists(st.floats(0.0, 1e4), min_size=1, max_size=32),
+)
+def test_robust_loss_laws(loss_type, scale, r2s):
+    """ρ must be non-decreasing with ρ(r²) ≤ r² (robustness), the IRLS
+    weight in (0, 1] and non-increasing, and w = ρ' numerically."""
+    from polychase_tpu.engine.levmarq import loss_value, loss_weight
+
+    r2 = np.sort(np.asarray(r2s, np.float64))
+    v = np.asarray(loss_value(loss_type, scale, r2), np.float64)
+    w = np.asarray(loss_weight(loss_type, scale, r2), np.float64)
+    assert np.all(np.diff(v) >= -1e-6 * np.maximum(1, v[:-1]))
+    assert np.all(v <= r2 * (1 + 1e-5) + 1e-6)
+    assert np.all(w > 0) and np.all(w <= 1 + 1e-6)
+    assert np.all(np.diff(w) <= 1e-9)
+    # w ≈ dρ/d(r²) by central differences away from the Huber kink
+    h = np.maximum(r2 * 1e-4, 1e-6)
+    lo = np.asarray(loss_value(loss_type, scale, r2 - h), np.float64)
+    hi = np.asarray(loss_value(loss_type, scale, r2 + h), np.float64)
+    num = (hi - lo) / (2 * h)
+    kink = np.abs(r2 - scale * scale) < 10 * h
+    ok = ~kink & (r2 > 1e-3)
+    np.testing.assert_allclose(w[ok], num[ok], rtol=5e-2, atol=1e-4)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(0, 300))
+def test_database_flow_round_trip(seed, n):
+    import tempfile
+
+    from polychase_tpu.io.database import Database
+
+    rng = np.random.default_rng(seed)
+    kps = rng.uniform(0, 4096, (max(n, 1), 2)).astype(np.float32)
+    idx = np.sort(
+        rng.choice(max(n, 1), size=rng.integers(0, max(n, 1) + 1),
+                   replace=False)
+    ).astype(np.uint32)
+    tgt = rng.uniform(-100, 4200, (len(idx), 2)).astype(np.float32)
+    err = rng.uniform(0, 50, len(idx)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as td:
+        db = Database(td + "/f.db")
+        db.write_keypoints(7, kps)
+        db.write_image_pair_flow(7, 9, idx, tgt, err)
+        np.testing.assert_array_equal(db.read_keypoints(7), kps)
+        flow = db.read_image_pair_flow(7, 9)
+        np.testing.assert_array_equal(flow.src_kps_indices, idx)
+        np.testing.assert_array_equal(flow.tgt_kps, tgt)
+        np.testing.assert_array_equal(flow.flow_errors, err)
+        db.close()
