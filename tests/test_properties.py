@@ -223,3 +223,58 @@ def test_database_flow_round_trip(seed, n):
         np.testing.assert_array_equal(flow.tgt_kps, tgt)
         np.testing.assert_array_equal(flow.flow_errors, err)
         db.close()
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 2**32 - 1))
+def test_raycast_three_backends_agree(seed):
+    """Fused device sweep, grid-DDA, and the native C++ BVH must agree
+    on random triangle soups: identical hit sets, matching t (prim ids
+    may differ only on exact-t ties, which random soups don't produce)."""
+    import jax.numpy as jnp
+
+    from polychase_tpu import native
+    from polychase_tpu.engine.geometry import Mesh
+    from polychase_tpu.engine.gridcast import build_grid_accel, grid_raycast
+    from polychase_tpu.engine.raycast import raycast
+
+    rng = np.random.default_rng(seed)
+    n_tri = 120
+    centers = rng.uniform(-2, 2, (n_tri, 1, 3))
+    tris_v = centers + rng.uniform(-0.4, 0.4, (n_tri, 3, 3))
+    verts = tris_v.reshape(-1, 3).astype(np.float32)
+    tris = np.arange(3 * n_tri, dtype=np.uint32).reshape(-1, 3)
+    mesh = Mesh.create(verts, tris)
+
+    n_rays = 64
+    o = rng.normal(size=(n_rays, 3))
+    o = 5.0 * o / np.linalg.norm(o, axis=-1, keepdims=True)
+    d = rng.normal(0, 1.0, (n_rays, 3)) - o
+    o32, d32 = o.astype(np.float32), d.astype(np.float32)
+
+    sweep = raycast(mesh, jnp.asarray(o32), jnp.asarray(d32))
+    grid = grid_raycast(
+        mesh, build_grid_accel(verts, tris), jnp.asarray(o32),
+        jnp.asarray(d32),
+    )
+    sv, gv = np.asarray(sweep.valid), np.asarray(grid.valid)
+    np.testing.assert_array_equal(sv, gv)
+    np.testing.assert_allclose(
+        np.asarray(sweep.t)[sv], np.asarray(grid.t)[sv], rtol=1e-4,
+        atol=1e-4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sweep.prim_id)[sv], np.asarray(grid.prim_id)[sv]
+    )
+
+    if native.available():
+        _, _, _, bt, bprim = native.BvhRaycaster(verts, tris).raycast(
+            o32, d32
+        )
+        bvalid = bprim != 0xFFFFFFFF
+        np.testing.assert_array_equal(sv, bvalid)
+        np.testing.assert_allclose(
+            np.asarray(sweep.t)[sv], bt[sv], rtol=1e-3, atol=1e-3
+        )
+        np.testing.assert_array_equal(np.asarray(sweep.prim_id)[sv],
+                                      bprim[sv])
