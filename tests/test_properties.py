@@ -278,3 +278,52 @@ def test_raycast_three_backends_agree(seed):
         )
         np.testing.assert_array_equal(np.asarray(sweep.prim_id)[sv],
                                       bprim[sv])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(6, 40),
+    st.floats(0.0, 0.25),
+)
+def test_pnp_host_recovers_random_poses(seed, n, pert):
+    """Randomized PnP recovery: noiseless correspondences from a random
+    pose must be recovered by the host solver from a perturbed start
+    within the basin (sub-1e-3 pose error, inlier ratio 1)."""
+    import jax.numpy as jnp
+
+    from polychase_tpu.engine import camera as C
+    from polychase_tpu.engine import pose as P
+    from polychase_tpu.engine.pnp import PnPOptions
+    from polychase_tpu.engine.pnp_host import solve_pnp_host
+    from synthetic import make_intrinsics
+
+    rng = np.random.default_rng(seed)
+    intr = make_intrinsics()
+    X = rng.normal(0.0, 0.5, (n, 3)).astype(np.float32)
+    w = rng.normal(0, 0.08, 3).astype(np.float32)
+    q_true = np.asarray(P.quat_step_post(
+        jnp.asarray([1.0, 0, 0, 0], jnp.float32), jnp.asarray(w)))
+    t_true = np.array(
+        [rng.uniform(-0.3, 0.3), rng.uniform(-0.3, 0.3),
+         rng.uniform(2.2, 4.5)], np.float32)
+    pose_true = P.Pose(jnp.asarray(q_true), jnp.asarray(t_true))
+    x = np.asarray(C.project(intr, P.pose_apply(pose_true, jnp.asarray(X))))
+    # drop configurations that project off-frame (unconstrained columns)
+    if not (
+        (x[:, 0] > 5).all() and (x[:, 0] < intr.width - 5).all()
+        and (x[:, 1] > 5).all() and (x[:, 1] < intr.height - 5).all()
+    ):
+        return
+    dq = rng.normal(0, pert * 0.3, 3).astype(np.float32)
+    q0 = np.asarray(P.quat_step_post(jnp.asarray(q_true), jnp.asarray(dq)))
+    t0 = t_true + rng.normal(0, pert, 3).astype(np.float32)
+    cam0 = C.CameraState(intr, P.Pose(jnp.asarray(q0), jnp.asarray(t0)))
+
+    res = solve_pnp_host(X, x, cam0, PnPOptions())
+    qr = np.asarray(res.camera.pose.q)
+    if np.dot(qr, q_true) < 0:
+        qr = -qr
+    assert np.linalg.norm(qr - q_true) < 2e-3, (qr, q_true)
+    assert np.linalg.norm(np.asarray(res.camera.pose.t) - t_true) < 5e-3
+    assert float(res.inlier_ratio) == 1.0
