@@ -327,3 +327,63 @@ def test_pnp_host_recovers_random_poses(seed, n, pert):
     assert np.linalg.norm(qr - q_true) < 2e-3, (qr, q_true)
     assert np.linalg.norm(np.asarray(res.camera.pose.t) - t_true) < 5e-3
     assert float(res.inlier_ratio) == 1.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 500))
+def test_mask_bitmask_round_trip(seed, n_tris):
+    """set/clear on the packed u32 triangle mask must round-trip per
+    triangle and never disturb neighbors."""
+    from polychase_tpu.engine.geometry import (
+        Mesh, mask_array_size, set_mask_bits,
+    )
+
+    rng = np.random.default_rng(seed)
+    masked = np.zeros(mask_array_size(n_tris), np.uint32)
+    want = np.zeros(n_tris, bool)
+    for _ in range(40):
+        idx = int(rng.integers(0, n_tris))
+        op = rng.choice(["mask", "unmask"])
+        masked = set_mask_bits(masked, idx, op)
+        want[idx] = op == "mask"
+    verts = rng.normal(size=(3 * n_tris, 3)).astype(np.float32)
+    tris = np.arange(3 * n_tris, dtype=np.uint32).reshape(-1, 3)
+    mesh = Mesh.create(verts, tris, masked)
+    got = np.asarray(
+        mesh.is_triangle_masked(np.arange(n_tris, dtype=np.int32))
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(-20, 20), st.integers(0, 40), st.integers(0, 2**32 - 1))
+def test_trajectory_fill_clear_semantics(first, count, seed):
+    from polychase_tpu.engine import camera as C
+    from polychase_tpu.engine import pose as P
+    from polychase_tpu.engine.trajectory import CameraTrajectory
+    from synthetic import make_intrinsics
+
+    rng = np.random.default_rng(seed)
+    traj = CameraTrajectory(first, count)
+    intr = make_intrinsics()
+    filled = set()
+    for _ in range(min(count, 15)):
+        fid = int(rng.integers(first, first + count))
+        traj.set(fid, C.CameraState(intr, P.Pose.identity()))
+        filled.add(fid)
+    for fid in range(first - 2, first + count + 2):
+        inside = first <= fid < first + count
+        assert traj.is_valid_frame(fid) == inside
+        if not inside:
+            # out-of-range access raises (reference semantics)
+            with pytest.raises(IndexError):
+                traj.get(fid)
+            continue
+        assert traj.is_frame_filled(fid) == (fid in filled)
+        assert (traj.get(fid) is not None) == (fid in filled)
+    if filled:
+        fid = next(iter(filled))
+        traj.clear(fid)
+        assert not traj.is_frame_filled(fid)
+    assert traj.count == count
+    assert traj.first_frame == first
