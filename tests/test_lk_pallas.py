@@ -360,3 +360,46 @@ def test_pallas_bf16_storage_matches_f32():
     # bf16 pixel rounding (~0.2% on filtered levels) perturbs converged
     # positions by well under 0.1 px on textured patches.
     assert np.median(d) < 0.05, np.median(d)
+
+
+def test_pallas_bf16_hbm_path_matches_f32(monkeypatch):
+    """bf16 storage through the HBM/DMA fetch path (per-feature async
+    copies with bf16 buffers), forced in interpret mode."""
+    monkeypatch.setattr(lkp, "FORCE_HBM_FOR_TESTS", True)
+    opts = lk.LKOptions()
+    img1, img2 = _make_pair(seed=11)
+    h, w = img1.shape
+    rng = np.random.default_rng(5)
+    n = lkp.GROUP
+    pts = rng.uniform((12, 12), (w - 12, h - 12), (n, 2)).astype(np.float32)
+
+    def run(bf16):
+        d1 = lk._prepare_levels_pallas(
+            lk.build_pyramid(jnp.asarray(img1), 2), levels=2, bf16=bf16
+        )
+        d2 = lk._prepare_levels_pallas(
+            lk.build_pyramid(jnp.asarray(img2), 2), levels=2, bf16=bf16
+        )
+        dims, hh, ww = [], h, w
+        for _ in range(2):
+            dims.append((hh, ww))
+            hh, ww = (hh + 1) // 2, (ww + 1) // 2
+        return lkp.lk_all_levels_pallas(
+            tuple(d1[:2]),
+            tuple((d2[lvl][0],) for lvl in range(2)),
+            jnp.asarray(pts),
+            dims=tuple(dims),
+            win=opts.window_size,
+            max_iters=opts.term_max_iters,
+            eps2=float(opts.term_epsilon**2),
+            min_eig_thr=float(opts.min_eigen_threshold),
+            interpret=True,
+        )
+
+    nb, sb, _ = (np.asarray(a) for a in run(True))
+    nf, sf, _ = (np.asarray(a) for a in run(False))
+    assert np.mean(sb[0] == sf[0]) > 0.97
+    both = sb[0] & sf[0]
+    assert both.sum() > n // 2
+    d = np.linalg.norm(nb[0][both] - nf[0][both], axis=1)
+    assert np.median(d) < 0.05, np.median(d)
