@@ -122,12 +122,18 @@ def test_gftt_suppression_invariants(seed, min_distance):
     ox, oy, oq = _min_distance_suppress(
         xs, ys, vals, 320, 240, float(min_distance), 0
     )
-    # kept corners are pairwise >= min_distance apart
+    # Kept corners are pairwise >= min(min_distance, round(min_distance))
+    # apart: the greedy grid checks only the 3x3 cell neighborhood with
+    # cell = round(min_distance) (cpp gftt / cv2 use cvRound), so for
+    # FRACTIONAL min_distance a pair in cells two apart can be up to
+    # 0.5 px closer than min_distance — OpenCV's own blind spot, which
+    # the bit-equal reimplementation must reproduce, not fix.
     pts = np.stack([ox, oy], -1)
+    guaranteed = min(float(min_distance), float(round(min_distance)))
     if len(pts) > 1:
         d2 = np.sum((pts[None] - pts[:, None]) ** 2, -1)
         d2[np.arange(len(pts)), np.arange(len(pts))] = np.inf
-        assert d2.min() >= float(min_distance) ** 2 - 1e-3
+        assert d2.min() >= guaranteed**2 - 1e-3
     # visiting order: kept qualities are non-increasing
     assert np.all(np.diff(oq) <= 1e-6)
     # every dropped corner is within min_distance of some kept one
