@@ -155,8 +155,44 @@ def _metric_analyze_fps():
     return run
 
 
+def _metric_lk_chain_seeded():
+    """The chained-seeding variant of the 12-frame LK fan (the default
+    analyze route; `_metric_lk_chain` keeps the independent solves)."""
+    import jax
+
+    import bench as B
+    from polychase_tpu.engine import gftt as G
+    from polychase_tpu.engine import lk as L
+    from polychase_tpu.engine.opticalflow import IMAGE_SKIPS
+
+    frames = B.make_clip()
+    opts = L.LKOptions()
+    feats = [
+        G.good_features_to_track(f, None, G.GFTTOptions())[0]
+        for f in frames
+    ]
+    devs = [jax.device_put(f) for f in frames]
+    pyrs = [L.prepare_pyramid(d, opts) for d in devs]
+
+    def run():
+        t0 = time.perf_counter()
+        handles = []
+        for i in range(len(frames)):
+            skips = [s for s in IMAGE_SKIPS if 0 <= i + s < len(frames)]
+            handles.append(L.calc_optical_flow_multi_async(
+                pyrs[i], [pyrs[i + s] for s in skips], feats[i], opts,
+                skips=skips,
+            ))
+        for h in handles:
+            L.calc_optical_flow_multi_finish(h)
+        return (time.perf_counter() - t0) * 1e3
+
+    return run
+
+
 METRICS = {
     "lk_chain_ms": _metric_lk_chain,
+    "lk_chain_seeded_ms": _metric_lk_chain_seeded,
     "raycast_sweep_ms": _metric_raycast_sweep,
     "tracking_ms": _metric_tracking,
     "analyze_clip_ms": _metric_analyze_fps,
