@@ -75,3 +75,24 @@ def test_bvh_empty_mesh():
         np.zeros((2, 3), np.float32), np.ones((2, 3), np.float32)
     )
     assert (prim == 0xFFFFFFFF).all()
+
+
+def test_native_fn_binding_cache():
+    """native_fn binds once (cached), returns None for absent symbols
+    without raising, and the cache holds the None too."""
+    from polychase_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    import ctypes
+
+    f1 = native.native_fn(
+        "gftt_quality_order", None,
+        [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p],
+    )
+    f2 = native.native_fn("gftt_quality_order", None, [])
+    assert f1 is not None and f1 is f2  # argtypes of the first call win
+    assert native.native_fn("no_such_symbol_xyz", None, []) is None
+    assert "no_such_symbol_xyz" in native._FN_CACHE

@@ -167,3 +167,38 @@ def test_chained_skip_fan_analyze_parity(tmp_path, rng, monkeypatch):
     assert agree / total > 0.97, (agree, total)
     db_c.close()
     db_u.close()
+
+
+def test_chained_cancel_and_resume(tmp_path, rng, monkeypatch):
+    """Cancel mid-run and resume with the CHAINED dispatch active
+    (single-device routing): partially-written fans must resume to the
+    exact full result set without re-decoding completed frames."""
+    monkeypatch.setenv("POLYCHASE_SHARD_ANALYZE", "0")
+    from polychase_tpu.engine.lk import chain_engages
+
+    assert chain_engages([-2, -1, 1, 2, 4, 8])
+    frames = make_clip(rng)
+    info = VideoInfo(160, 120, 0, 10)
+    db_path = str(tmp_path / "flow.db")
+
+    seen = []
+
+    def cb(p, msg):
+        seen.append(msg)
+        return len(seen) < 4
+
+    generate_optical_flow_database(
+        info, lambda f: frames[f], cb, db_path, GFTTOptions(min_distance=7)
+    )
+    assert seen[-1] == "Cancelled"
+
+    generate_optical_flow_database(
+        info, lambda f: frames[f], None, db_path,
+        GFTTOptions(min_distance=7),
+    )
+    db = Database(db_path)
+    for f in range(10):
+        assert db.read_keypoints(f).shape[0] > 10
+        expected = {f + s for s in IMAGE_SKIPS if 0 <= f + s < 10}
+        assert set(db.find_optical_flows_from_image(f)) == expected
+    db.close()
