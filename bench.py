@@ -109,24 +109,43 @@ def bench_opencv(frames):
     return len(frames) / dt
 
 
-def _require_device(timeout_s: int = 180) -> bool:
-    """Fail FAST when the accelerator backend is unreachable.
+def _require_device(
+    timeout_s: int = 180,
+    attempts: int = 3,
+    backoff_s: float = 120.0,
+    _probe=None,
+) -> bool:
+    """Fail when the accelerator backend is unreachable — but not fast.
 
     A dead TPU tunnel blocks ``jax.devices()`` forever inside a C gRPC
     call that Python signals cannot interrupt, so the probe runs in a
-    killable subprocess; the bench then emits its one JSON line (with
-    an error marker) instead of hanging the driver."""
+    killable subprocess.  Tunnel outages are usually transient while the
+    driver's capture window is a single moment (round 3 lost its
+    scoreboard entry to exactly this), so the probe retries with a
+    bounded backoff: ``attempts`` tries, ``backoff_s`` sleep between
+    them — worst case ~10 min with the defaults — before the bench
+    emits its error-marked JSON line instead of hanging the driver.
+    """
     import subprocess
     import sys
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, capture_output=True,
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    def probe() -> bool:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout_s, capture_output=True,
+            )
+            return r.returncode == 0
+        except subprocess.TimeoutExpired:
+            return False
+
+    probe = _probe or probe
+    for attempt in range(attempts):
+        if probe():
+            return True
+        if attempt + 1 < attempts:
+            time.sleep(backoff_s)
+    return False
 
 
 def main():

@@ -39,8 +39,9 @@ def _wireframe_shader() -> gpu.types.GPUShader:
         """
     void main()
     {
-        gl_Position = mvp * vec4(position, 1.0f);
-        gl_Position.z += bias * gl_Position.w;
+        vec4 clip = mvp * vec4(position, 1.0);
+        clip.z += bias * clip.w;   /* wireframe depth bias */
+        gl_Position = clip;
     }
     """
     )
@@ -48,23 +49,17 @@ def _wireframe_shader() -> gpu.types.GPUShader:
         """
     void main()
     {
-        if (!useMask) {
-            fragColor = color;
-        } else {
-            int vec_idx = gl_PrimitiveID / 128;
-            int component_idx = (gl_PrimitiveID % 128) / 32;
-            int bit_idx = (gl_PrimitiveID % 128) % 32;
-
-            bool is_masked =
-                (u_maskData.data[vec_idx][component_idx]
-                 & (1u << bit_idx)) != 0;
-
-            if (is_masked) {
-                fragColor = mask_color;
-            } else {
-                fragColor = color;
-            }
+        /* One bit per triangle, little-endian within each u32, u32s
+           packed 4-per-uvec4 (the engine's geometry.py bitmask layout):
+           u32 index = prim >> 5, then row = index >> 2, lane = index & 3. */
+        bool masked = false;
+        if (useMask) {
+            uint prim = uint(gl_PrimitiveID);
+            uint word = prim >> 5u;
+            uint bits = u_maskData.data[word >> 2u][word & 3u];
+            masked = ((bits >> (prim & 31u)) & 1u) != 0u;
         }
+        fragColor = masked ? mask_color : color;
     }
     """
     )
@@ -87,8 +82,8 @@ def _pin_shader() -> gpu.types.GPUShader:
         """
     void main()
     {
-        gl_Position = mvp * vec4(position, 1.0f);
         gl_PointSize = point_size;
+        gl_Position = mvp * vec4(position, 1.0);
     }
     """
     )
@@ -120,7 +115,7 @@ def _circle_shader() -> gpu.types.GPUShader:
         """
     void main()
     {
-        gl_Position = vec4(position, 0.0, 1.0);
+        gl_Position = vec4(position.xy, 0.0, 1.0);
     }
     """
     )
@@ -128,13 +123,11 @@ def _circle_shader() -> gpu.types.GPUShader:
         """
     void main()
     {
-        const float width = 1.5f;
-        float d = abs(distance(vec2(gl_FragCoord), center) - radius);
-        if (d < width) {
-            fragColor = vec4(1.0, 1.0, 1.0, 1.0 - d / width);
-        } else {
-            discard;
-        }
+        const float kRing = 1.5f;
+        float r = distance(gl_FragCoord.xy, center);
+        float t = abs(r - radius);
+        if (t >= kRing) { discard; }
+        fragColor = vec4(vec3(1.0), 1.0 - t / kRing);
     }
     """
     )

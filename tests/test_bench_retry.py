@@ -1,0 +1,79 @@
+"""bench.py device-probe retry semantics (VERDICT r3 item 2).
+
+Round 3 lost its scoreboard entry because a transient tunnel outage hit
+exactly the driver's capture moment and bench.py failed fast.  The probe
+now retries with a bounded backoff; these tests simulate outages without
+touching any real backend.
+"""
+
+import importlib.util
+import sys
+import time
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", "/root/repo/bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench_under_test"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+bench = _load_bench()
+
+
+def test_transient_outage_recovers():
+    """Probe fails twice, succeeds on the third try -> True overall."""
+    calls = []
+
+    def flaky():
+        calls.append(time.monotonic())
+        return len(calls) >= 3
+
+    assert bench._require_device(
+        attempts=3, backoff_s=0.01, _probe=flaky
+    )
+    assert len(calls) == 3
+
+
+def test_persistent_outage_bounded():
+    """Probe always fails -> False after exactly `attempts` tries."""
+    calls = []
+
+    def dead():
+        calls.append(1)
+        return False
+
+    t0 = time.monotonic()
+    assert not bench._require_device(
+        attempts=3, backoff_s=0.05, _probe=dead
+    )
+    assert len(calls) == 3
+    # Two backoffs between three attempts; no sleep after the last.
+    assert 0.1 <= time.monotonic() - t0 < 5.0
+
+
+def test_immediate_success_no_backoff():
+    t0 = time.monotonic()
+    assert bench._require_device(
+        attempts=3, backoff_s=60.0, _probe=lambda: True
+    )
+    assert time.monotonic() - t0 < 1.0
+
+
+def test_error_json_shape(capsys, monkeypatch):
+    """On final failure main() emits ONE JSON line with an error marker."""
+    import json
+
+    monkeypatch.setattr(
+        bench, "_require_device", lambda *a, **k: False
+    )
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    rec = json.loads(out[0])
+    assert rec["metric"] == "analyze_fps_640x480"
+    assert rec["value"] is None
+    assert "error" in rec
