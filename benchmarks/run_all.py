@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 MEASURE_BASELINE = True
+RESULTS: list = []  # every emitted record, persisted by --json
 
 
 def emit(metric, value, unit, vs_baseline=None, baseline_value=None):
@@ -44,6 +45,7 @@ def emit(metric, value, unit, vs_baseline=None, baseline_value=None):
     # record the environment each ratio was measured in.
     rec["host_nproc"] = os.cpu_count()
     rec["host_loadavg_1m"] = round(os.getloadavg()[0], 2)
+    RESULTS.append(rec)
     print(json.dumps(rec), flush=True)
 
 
@@ -574,6 +576,52 @@ def bench_4k_pipeline():
         )
 
 
+def _run_headline_analyze():
+    """Run /bench.py, re-print its JSON line and capture it in RESULTS."""
+    import contextlib
+    import io
+
+    import bench
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench.main()
+    out = buf.getvalue()
+    print(out, end="", flush=True)
+    for line in out.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                RESULTS.append(json.loads(line))
+            except json.JSONDecodeError:
+                pass
+
+
+def _write_results(path):
+    """Persist the full battery as a per-round artifact (VERDICT r3 #8)."""
+    import platform
+    import subprocess
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ).stdout.strip()
+    except OSError:
+        commit = None
+    doc = {
+        "commit": commit,
+        "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "host_nproc": os.cpu_count(),
+        "platform": platform.platform(),
+        "results": RESULTS,
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"# wrote {path} ({len(RESULTS)} records)", file=sys.stderr)
+
+
 def main():
     global MEASURE_BASELINE
     ap = argparse.ArgumentParser()
@@ -587,6 +635,11 @@ def main():
         choices=["pin", "track", "refine", "analyze", "analyze1080",
                  "full4k", "segpar"],
     )
+    ap.add_argument(
+        "--json", metavar="PATH",
+        help="also write all records (plus commit/host context) to PATH, "
+             "e.g. benchmarks/results_r04.json",
+    )
     args = ap.parse_args()
     MEASURE_BASELINE = not args.no_baseline
 
@@ -597,18 +650,20 @@ def main():
          "segpar": bench_segment_parallel,
          }.get(args.only, lambda: None)()
         if args.only == "analyze":
-            import bench
-            bench.main()
+            _run_headline_analyze()
+        if args.json:
+            _write_results(args.json)
         return
 
     if not args.skip_analyze:
-        import bench
-        bench.main()
+        _run_headline_analyze()
     bench_pin_drag()
     bench_tracking()
     bench_refine()
     bench_4k_pipeline()
     bench_segment_parallel()
+    if args.json:
+        _write_results(args.json)
 
 
 if __name__ == "__main__":
