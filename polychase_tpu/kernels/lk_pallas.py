@@ -34,6 +34,7 @@ dynamic lane roll, then one transpose per group.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Sequence, Tuple
 
@@ -114,6 +115,41 @@ IMG_VMEM_LIMIT = 3 * (1 << 20)
 # Test hook: force the HBM/DMA path in interpret mode (it is otherwise
 # only reachable on real hardware at 1080p+).
 FORCE_HBM_FOR_TESTS = False
+
+
+def _narrow_enabled() -> bool:
+    """Dynamic-span row blend (POLYCHASE_LK_NARROW=1, experiment).
+
+    The full blend spans every possible per-lane row offset (Dy terms)
+    because offsets are per-feature.  Active offsets cluster: right
+    after a group extraction they span <=8 rows (the 8-aligned block
+    base) plus the drift since.  The narrow path computes the group's
+    live offset range each iteration and, when it fits NARROW_SPAN,
+    blends only that dynamically-based band.  The skipped terms all
+    carry zero tent weight, so the math is identical term-for-term;
+    outputs agree to float reassociation (~1e-5 px — XLA fuses the
+    12-term and Dy-term sums differently).  Parity is pinned by the
+    interpret test; the default flips only on a measured interleaved
+    A/B win (BENCHMARKS.md).
+    """
+    return os.environ.get("POLYCHASE_LK_NARROW", "0") == "1"
+
+
+def _narrow_span() -> int:
+    return int(os.environ.get("POLYCHASE_LK_NARROW_SPAN", "12"))
+
+
+def _mxu_enabled() -> bool:
+    """MXU bilinear blend (POLYCHASE_LK_MXU=1, counter-experiment 8).
+
+    Routes the separable blend through the MXU as two small matmuls per
+    feature (row-weight matrix x patch x col-weight matrix, f32
+    accumulate).  Per-feature weights block a shared-operand matmul, so
+    this is a fori_loop of GROUP tiny dots over the (GROUP, PR, PC)
+    staging layout — the measured question is whether MXU throughput
+    beats the VPU tent-span blend despite the batching loop.
+    """
+    return os.environ.get("POLYCHASE_LK_MXU", "0") == "1"
 
 
 def _use_hbm(
@@ -371,6 +407,7 @@ def lk_prepare_level(
 def _make_iter_kernel(
     win: int, Hp: int, Wp: int, H: int, W: int,
     max_iters: int, eps2: float, level_is_zero: bool, img_in_hbm: bool,
+    narrow: bool = False, nspan: int = 12, mxu: bool = False,
 ):
     PR = _patch_rows(win)
     PC = _patch_cols(win)
@@ -381,6 +418,7 @@ def _make_iter_kernel(
     half = (win - 1) * 0.5
     ly_max = float(PR - win - 1)
     lx_max = float(PC - win - 1)
+    nspan = min(nspan, Dy)
 
     def kernel(
         ip_ref, dxi_ref, dyi_ref, a11_ref, a12_ref, a22_ref, invd_ref,
@@ -388,6 +426,7 @@ def _make_iter_kernel(
         img_ref,
         xo_ref, yo_ref, st_ref, err_ref,
         tmp, patch, by_ref, bx_ref, buf, sems, vtmp, smem, vsem,
+        *extra,
     ):
         issue, grab = _block_fetcher(
             img_ref, img_in_hbm, PR, pl.program_id(0)
@@ -472,6 +511,15 @@ def _make_iter_kernel(
             lxf = (pxv - half + PADX) - bx_ref[:].astype(jnp.float32)
             return lyf, lxf
 
+        def _col_blend(rows, lxf):
+            jw = jnp.zeros((win, win, GROUP), jnp.float32)
+            for e in range(Dx):
+                we = jnp.maximum(0.0, 1.0 - jnp.abs(lxf - e)).reshape(
+                    1, 1, GROUP
+                )
+                jw = jw + we * rows[:, e : e + win, :]
+            return jw
+
         def sample(lyf, lxf):
             p = patch[:]
             rows = jnp.zeros((win, PC, GROUP), jnp.float32)
@@ -480,13 +528,89 @@ def _make_iter_kernel(
                     1, 1, GROUP
                 )
                 rows = rows + wd * p[d : d + win, :, :]
-            jw = jnp.zeros((win, win, GROUP), jnp.float32)
-            for e in range(Dx):
-                we = jnp.maximum(0.0, 1.0 - jnp.abs(lxf - e)).reshape(
-                    1, 1, GROUP
+            return _col_blend(rows, lxf)
+
+        if narrow:
+            rows_scr = extra[0]
+
+            def sample_narrow(lyf, lxf, active):
+                """Row blend over a dynamically-based band of nspan
+                shifts when every active lane's tent fits it; same
+                nonzero terms as ``sample`` (the skipped ones have zero
+                weight), equal up to compiler reassociation."""
+                big = jnp.float32(3.0e38)
+                mn = jnp.min(jnp.where(active, lyf, big))
+                mx = jnp.max(jnp.where(active, lyf, -big))
+                has = jnp.any(active)
+                # Guard the empty-active case before the int cast.
+                kb = jnp.clip(
+                    jnp.minimum(mn, jnp.float32(PR)).astype(jnp.int32),
+                    0, PR - win - nspan + 1,
                 )
-                jw = jw + we * rows[:, e : e + win, :]
-            return jw
+                fits = has & (mx <= kb.astype(jnp.float32) + (nspan - 1))
+
+                @pl.when(fits)
+                def _():
+                    # Axis-0 slice = whole (PC, GROUP) planes: vreg
+                    # granular for f32, no sub-register shuffling.
+                    sub = patch[pl.ds(kb, win + nspan - 1)].astype(
+                        jnp.float32
+                    )
+                    lrel = lyf - kb.astype(jnp.float32)
+                    r = jnp.zeros((win, PC, GROUP), jnp.float32)
+                    for d in range(nspan):
+                        wd = jnp.maximum(
+                            0.0, 1.0 - jnp.abs(lrel - d)
+                        ).reshape(1, 1, GROUP)
+                        r = r + wd * sub[d : d + win, :, :]
+                    rows_scr[:] = r
+
+                @pl.when(~fits)
+                def _():
+                    p = patch[:]
+                    r = jnp.zeros((win, PC, GROUP), jnp.float32)
+                    for d in range(Dy):
+                        wd = jnp.maximum(
+                            0.0, 1.0 - jnp.abs(lyf - d)
+                        ).reshape(1, 1, GROUP)
+                        r = r + wd * p[d : d + win, :, :]
+                    rows_scr[:] = r
+
+                return _col_blend(rows_scr[:], lxf)
+
+        if mxu:
+            jw_scr, vtmpf, smemf, vsemf = extra[-4:]
+            # j - i row-weight index grid and c - k col-weight index grid
+            # (see sample(): rows[i] = sum_d tent(lyf-d) p[d+i], d = j-i).
+            dmat = (
+                jax.lax.broadcasted_iota(jnp.float32, (win, PR), 1)
+                - jax.lax.broadcasted_iota(jnp.float32, (win, PR), 0)
+            )
+            cmat = (
+                jax.lax.broadcasted_iota(jnp.float32, (PC, win), 0)
+                - jax.lax.broadcasted_iota(jnp.float32, (PC, win), 1)
+            )
+
+            def sample_mxu(lyf, lxf):
+                """Blend as two per-feature matmuls on the (GROUP, PR,
+                PC) staging layout (``tmp`` always mirrors the patch)."""
+                _to_smem([lyf, lxf], vtmpf, smemf, vsemf)
+
+                def per_feat(b, _):
+                    ly = smemf[0, b]
+                    lx = smemf[1, b]
+                    mrow = jnp.maximum(0.0, 1.0 - jnp.abs(ly - dmat))
+                    mcol = jnp.maximum(0.0, 1.0 - jnp.abs(lx - cmat))
+                    t1 = jnp.dot(
+                        mrow, tmp[b], preferred_element_type=jnp.float32
+                    )
+                    jw_scr[b] = jnp.dot(
+                        t1, mcol, preferred_element_type=jnp.float32
+                    )
+                    return 0
+
+                jax.lax.fori_loop(0, GROUP, per_feat, 0)
+                return jnp.transpose(jw_scr[:], (1, 2, 0))
 
         ipatch = ip_ref[:]
         dxi = dxi_ref[:]
@@ -527,7 +651,12 @@ def _make_iter_kernel(
                 extract(px, py, esc)
 
             lyf, lxf = local_coords(px, py)
-            jw = sample(lyf, lxf)
+            if mxu:
+                jw = sample_mxu(lyf, lxf)
+            elif narrow:
+                jw = sample_narrow(lyf, lxf, active)
+            else:
+                jw = sample(lyf, lxf)
             diff = (jw - ipatch) * 32.0
             b1 = (jnp.sum(diff * dxi, axis=(0, 1)) * _FLT_SCALE).reshape(
                 1, GROUP
@@ -605,6 +734,7 @@ def lk_iterate_level_multi(
     imgs_pad, ipatch, dxi, dyi, a11, a12, a22, invd, ok, pts, *,
     win: int, H: int, W: int, max_iters: int, eps2: float,
     level_is_zero: bool, interpret: bool = False,
+    narrow: bool | None = None, mxu: bool | None = None,
 ):
     """Run the LK iteration loop for one level against T stacked targets.
 
@@ -623,8 +753,18 @@ def lk_iterate_level_multi(
     # arithmetic still runs f32 (jnp promotion at the weight multiply).
     img_t = imgs_pad.dtype
     img_in_hbm = _use_hbm(Hp, Wp, interpret, imgs_pad.dtype.itemsize)
+    if narrow is None:
+        narrow = _narrow_enabled()
+    if mxu is None:
+        mxu = _mxu_enabled()
+    if narrow and mxu:
+        raise ValueError(
+            "POLYCHASE_LK_NARROW and POLYCHASE_LK_MXU are exclusive"
+        )
+    nspan = _narrow_span()
     kernel, PR, PC = _make_iter_kernel(
-        win, Hp, Wp, H, W, max_iters, eps2, level_is_zero, img_in_hbm
+        win, Hp, Wp, H, W, max_iters, eps2, level_is_zero, img_in_hbm,
+        narrow=narrow, nspan=nspan, mxu=mxu,
     )
     grid = (T, n // GROUP)
     vec = lambda: pl.BlockSpec(
@@ -675,7 +815,18 @@ def lk_iterate_level_multi(
             pltpu.VMEM((5, GROUP), jnp.int32),
             pltpu.SMEM((5, GROUP), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
-        ],
+        ]
+        + ([pltpu.VMEM((win, PC, GROUP), jnp.float32)] if narrow else [])
+        + (
+            [
+                pltpu.VMEM((GROUP, win, win), jnp.float32),
+                pltpu.VMEM((2, GROUP), jnp.float32),
+                pltpu.SMEM((2, GROUP), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ]
+            if mxu
+            else []
+        ),
         interpret=interpret,
     )(ipatch, dxi, dyi, a11r, a12r, a22r, invdr, okf, x0, y0, imgs_pad)
 

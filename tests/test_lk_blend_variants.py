@@ -1,0 +1,153 @@
+"""Parity for the LK blend experiment paths (interpret mode on CPU).
+
+- POLYCHASE_LK_NARROW (dynamic-span row blend): term-for-term the same
+  math as the default tent-span blend — every skipped term carries zero
+  weight — but XLA compiles the shorter sum with different fusion, so
+  outputs agree to float reassociation (~1e-5 px), not bit-for-bit.
+- POLYCHASE_LK_MXU (counter-experiment 8, per-feature matmul blend):
+  same arithmetic in a different contraction order — tolerance parity.
+
+Both flags are perf experiments resolved per dispatch; the measured
+A/B lives in BENCHMARKS.md.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import scipy.ndimage as ndi
+
+from polychase_tpu.engine import lk
+from polychase_tpu.kernels import lk_pallas as lkp
+
+POS_ATOL = 1e-3   # px; observed reassociation noise is ~1e-5
+ERR_ATOL = 5e-3   # err is a mean |diff| over the window, same scale
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def _scene(rng, H=120, W=200, shift=(12, 16)):
+    big = ndi.gaussian_filter(
+        rng.uniform(0, 255, (H + 80, W + 80)).astype(np.float32), 2.0
+    )
+    prev = np.ascontiguousarray(big[:H, :W])
+    nxt = np.ascontiguousarray(
+        big[shift[0] : shift[0] + H, shift[1] : shift[1] + W]
+    )
+    pyr_prev = lk._prepare_levels_pallas(
+        lk.build_pyramid(jnp.asarray(prev), 1), levels=1
+    )
+    pyr_next = lk._prepare_levels_pallas(
+        lk.build_pyramid(jnp.asarray(nxt), 1), levels=1
+    )
+    pts = rng.uniform((30, 30), (W - 30, H - 30), (128, 2)).astype(
+        np.float32
+    )
+    return pyr_prev, pyr_next, pts, (H, W)
+
+
+def _run(pyr_prev, pyr_next, pts, dims, **kw):
+    out = lkp.lk_all_levels_pallas(
+        tuple(pyr_prev[:1]), ((pyr_next[0][0],),),
+        jnp.asarray(pts), dims=(dims,), win=10, max_iters=40,
+        eps2=1e-4, min_eig_thr=1e-4, interpret=True, **kw,
+    )
+    return jax.device_get(out)
+
+
+def _run_flagged(monkeypatch, scene, **env):
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    try:
+        return _run(*scene)
+    finally:
+        for k in env:
+            monkeypatch.delenv(k, raising=False)
+
+
+def _assert_close(base, other, pos_atol=POS_ATOL, err_atol=ERR_ATOL):
+    p_b, s_b, e_b = (np.asarray(a[0]) for a in base)
+    p_o, s_o, e_o = (np.asarray(a[0]) for a in other)
+    assert np.array_equal(s_b, s_o)
+    np.testing.assert_allclose(p_o, p_b, atol=pos_atol)
+    np.testing.assert_allclose(e_o[s_b], e_b[s_b], atol=err_atol)
+
+
+def test_narrow_blend_parity(rng, monkeypatch):
+    scene = _scene(rng)
+    base = _run(*scene)
+    narrow = _run_flagged(monkeypatch, scene, POLYCHASE_LK_NARROW="1")
+    _assert_close(base, narrow)
+
+
+def test_narrow_blend_parity_with_escapes(rng, monkeypatch):
+    """Wander beyond the slack forces re-extractions mid-loop — lane
+    offsets then spread across the group and the narrow path must fall
+    back per iteration without changing the result."""
+    scene = _scene(rng, shift=(16, 12))
+    base = _run(*scene)
+    narrow = _run_flagged(monkeypatch, scene, POLYCHASE_LK_NARROW="1")
+    disp = np.linalg.norm(np.asarray(base[0][0]) - scene[2], axis=-1)
+    assert (disp > 10).sum() > 20  # escapes actually happened
+    _assert_close(base, narrow)
+
+
+def test_narrow_blend_full_span_bit_equal(rng, monkeypatch):
+    """span=Dy compiles the identical full blend inside the narrow
+    machinery — this one IS bit-equal, isolating the reassociation
+    noise to the shorter sum."""
+    scene = _scene(rng)
+    base = _run(*scene)
+    narrow = _run_flagged(
+        monkeypatch, scene,
+        POLYCHASE_LK_NARROW="1", POLYCHASE_LK_NARROW_SPAN="64",
+    )
+    for a, b in zip(base, narrow):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_narrow_blend_tiny_span_forces_fallback(rng, monkeypatch):
+    """span=2 cannot cover the post-extraction 8-row alignment spread,
+    so nearly every iteration takes the full-blend branch."""
+    scene = _scene(rng)
+    base = _run(*scene)
+    narrow = _run_flagged(
+        monkeypatch, scene,
+        POLYCHASE_LK_NARROW="1", POLYCHASE_LK_NARROW_SPAN="2",
+    )
+    _assert_close(base, narrow)
+
+
+def test_narrow_blend_hbm_path(rng, monkeypatch):
+    scene = _scene(rng)
+    monkeypatch.setattr(lkp, "FORCE_HBM_FOR_TESTS", True)
+    base = _run(*scene)
+    narrow = _run_flagged(monkeypatch, scene, POLYCHASE_LK_NARROW="1")
+    _assert_close(base, narrow)
+
+
+def test_mxu_blend_parity(rng, monkeypatch):
+    scene = _scene(rng)
+    base = _run(*scene)
+    mxu = _run_flagged(monkeypatch, scene, POLYCHASE_LK_MXU="1")
+    st_b = np.asarray(base[1][0])
+    st_m = np.asarray(mxu[1][0])
+    assert np.mean(st_b == st_m) > 0.97
+    both = st_b & st_m
+    assert both.sum() > 64
+    np.testing.assert_allclose(
+        np.asarray(mxu[0][0])[both],
+        np.asarray(base[0][0])[both],
+        atol=5e-2,
+    )
+
+
+def test_narrow_and_mxu_exclusive(rng, monkeypatch):
+    scene = _scene(rng)
+    monkeypatch.setenv("POLYCHASE_LK_NARROW", "1")
+    monkeypatch.setenv("POLYCHASE_LK_MXU", "1")
+    with pytest.raises(ValueError):
+        _run(*scene)
