@@ -503,19 +503,20 @@ def _bucket(n: int) -> int:
 @partial(
     jax.jit,
     static_argnames=(
-        "dims", "win", "max_iters", "eps2", "min_eig_thr", "levels", "T"
+        "dims", "win", "max_iters", "eps2", "min_eig_thr", "levels", "T",
+        "blend",
     ),
 )
 def _lk_pallas_program(
     prev_levels, next_images, pts, *,
-    dims, win, max_iters, eps2, min_eig_thr, levels, T,
+    dims, win, max_iters, eps2, min_eig_thr, levels, T, blend="tent",
 ):
     from polychase_tpu.kernels import lk_pallas as lkp
 
     return lkp.lk_all_levels_pallas(
         prev_levels, next_images, pts,
         dims=dims, win=win, max_iters=max_iters, eps2=eps2,
-        min_eig_thr=min_eig_thr,
+        min_eig_thr=min_eig_thr, blend=blend,
     )
 
 
@@ -602,12 +603,13 @@ def _lk_chain_prep_program(prev_levels, pts, *, dims, win, min_eig_thr):
     jax.jit,
     static_argnames=(
         "dims", "win", "max_iters", "eps2", "min_eig_thr", "levels",
-        "pallas",
+        "pallas", "blend",
     ),
 )
 def _lk_chain_phase_program(
     prep_or_levels, next_images, pts, src_nxt, src_status, scales, *,
     dims, win, max_iters, eps2, min_eig_thr, levels, pallas,
+    blend="tent",
 ):
     """One chained phase: compute the status-gated seed from the source
     slots' results, then run the multi-target solve.  Phase 1 passes
@@ -626,7 +628,7 @@ def _lk_chain_phase_program(
         return lkp.lk_iter_levels_pallas(
             prep_or_levels, next_images, pts,
             dims=dims, win=win, max_iters=max_iters, eps2=eps2,
-            init_flow=init,
+            init_flow=init, blend=blend,
         )
     return _lk_all_levels_multi(
         prep_or_levels, next_images, pts,
@@ -657,12 +659,14 @@ def _chained_dispatch(prev_pyr, next_pyrs, skips, pts_p, opts, levels):
     pts_dev = jnp.asarray(pts_p)
     m = pts_p.shape[0]
     dims = tuple(prev_pyr.dims[:levels]) if pallas else None
+    from polychase_tpu.kernels.lk_pallas import blend_variant
+
     kw = dict(
         dims=dims,
         win=opts.window_size, max_iters=opts.term_max_iters,
         eps2=float(eps * eps),
         min_eig_thr=float(opts.min_eigen_threshold),
-        levels=levels, pallas=pallas,
+        levels=levels, pallas=pallas, blend=blend_variant(),
     )
     zero_status = jnp.zeros((_CHAIN_T, m), bool)
 
@@ -757,6 +761,8 @@ def _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels):
             jnp.stack([p.levels[lvl][0] for p in next_pyrs])
             for lvl in range(levels)
         )
+        from polychase_tpu.kernels.lk_pallas import blend_variant
+
         out = sharded_lk_multi_pallas_feat(
             mesh, tuple(prev_pyr.levels[:levels]), stacked,
             pts_dev,
@@ -764,6 +770,7 @@ def _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels):
             win=opts.window_size, max_iters=opts.term_max_iters,
             eps2=float(eps * eps),
             min_eig_thr=float(opts.min_eigen_threshold),
+            blend=blend_variant(),
         )
         return out, pts_dev, pts_p
     pts_dev = jnp.asarray(pts_p)
@@ -777,6 +784,8 @@ def _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels):
             jnp.stack([p.levels[lvl][0] for p in pad_pyrs])
             for lvl in range(levels)
         )
+        from polychase_tpu.kernels.lk_pallas import blend_variant
+
         nxt, status, err = sharded_lk_multi_pallas(
             mesh, tuple(prev_pyr.levels[:levels]),
             shard_targets(mesh, stacked), pts_dev,
@@ -784,12 +793,15 @@ def _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels):
             win=opts.window_size, max_iters=opts.term_max_iters,
             eps2=float(eps * eps),
             min_eig_thr=float(opts.min_eigen_threshold),
+            blend=blend_variant(),
         )
         return (nxt[:T], status[:T], err[:T]), pts_dev, pts_p
 
     next_images = tuple(
         tuple(p.levels[lvl][0] for p in next_pyrs) for lvl in range(levels)
     )
+    from polychase_tpu.kernels.lk_pallas import blend_variant
+
     out = _lk_pallas_program(
         tuple(prev_pyr.levels[:levels]),
         next_images,
@@ -801,6 +813,7 @@ def _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels):
         min_eig_thr=float(opts.min_eigen_threshold),
         levels=levels,
         T=T,
+        blend=blend_variant(),
     )
     return out, pts_dev, pts_p
 

@@ -152,6 +152,28 @@ def _mxu_enabled() -> bool:
     return os.environ.get("POLYCHASE_LK_MXU", "0") == "1"
 
 
+def blend_variant() -> str:
+    """Resolve the active blend experiment from the environment.
+
+    Returned string ("tent" | "narrow" | "mxu") is hashable so the
+    engine's jitted wrappers can carry it as a static argument — env
+    flips then retrace instead of silently reusing a stale compile
+    (required for in-process interleaved A/Bs)."""
+    if _mxu_enabled():
+        return "mxu"
+    if _narrow_enabled():
+        return "narrow"
+    return "tent"
+
+
+def _blend_flags(blend):
+    if blend is None:
+        return None, None
+    if blend not in ("tent", "narrow", "mxu"):
+        raise ValueError(f"unknown blend variant: {blend!r}")
+    return blend == "narrow", blend == "mxu"
+
+
 def _use_hbm(
     Hp: int, Wp: int, interpret: bool, itemsize: int = 4
 ) -> bool:
@@ -852,6 +874,7 @@ def lk_all_levels_pallas(
     min_eig_thr: float,
     interpret: bool = False,
     init_flow=None,             # optional (T, N, 2) full-res starting flow
+    blend: str | None = None,   # "tent"|"narrow"|"mxu"; None = env
 ):
     """Coarse-to-fine pyramidal LK for T targets sharing one source frame.
 
@@ -867,7 +890,7 @@ def lk_all_levels_pallas(
     return lk_iter_levels_pallas(
         preps, next_images, pts,
         dims=dims, win=win, max_iters=max_iters, eps2=eps2,
-        interpret=interpret, init_flow=init_flow,
+        interpret=interpret, init_flow=init_flow, blend=blend,
     )
 
 
@@ -895,8 +918,10 @@ def lk_prep_levels_pallas(
 def lk_iter_levels_pallas(
     preps, next_images, pts, *, dims, win: int, max_iters: int,
     eps2: float, interpret: bool = False, init_flow=None,
+    blend: str | None = None,
 ):
     """Coarse-to-fine iterate chain over precomputed per-level preps."""
+    narrow, mxu = _blend_flags(blend)
     levels = len(preps)
     T = len(next_images[0])
     top = levels - 1
@@ -919,6 +944,7 @@ def lk_iter_levels_pallas(
             invd, ok, cur,
             win=win, H=H, W=W, max_iters=max_iters, eps2=eps2,
             level_is_zero=(lvl == 0), interpret=interpret,
+            narrow=narrow, mxu=mxu,
         )
         if lvl == 0:
             status, err = st, er

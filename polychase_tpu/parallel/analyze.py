@@ -141,6 +141,7 @@ def _sharded_lk_multi_pallas_feat(
     eps2: float,
     min_eig_thr: float,
     interpret: bool = False,
+    blend: str = "tent",
 ):
     """Feature-sharded Analyze over the Pallas kernel path.
 
@@ -155,7 +156,7 @@ def _sharded_lk_multi_pallas_feat(
         return lk_all_levels_pallas(
             prev_levels, next_images_stacked, pts_local,
             dims=dims, win=win, max_iters=max_iters, eps2=eps2,
-            min_eig_thr=min_eig_thr, interpret=interpret,
+            min_eig_thr=min_eig_thr, interpret=interpret, blend=blend,
         )
 
     fn = shard_map(
@@ -176,7 +177,7 @@ _sharded_lk_multi_pallas_feat_jit = partial(
     jax.jit,
     static_argnames=(
         "mesh", "dims", "win", "max_iters", "eps2", "min_eig_thr",
-        "interpret",
+        "interpret", "blend",
     ),
 )(_sharded_lk_multi_pallas_feat)
 
@@ -204,6 +205,7 @@ def _sharded_lk_multi_pallas(
     eps2: float,
     min_eig_thr: float,
     interpret: bool = False,
+    blend: str = "tent",
 ):
     """Target-sharded Analyze over the Pallas kernel path.
 
@@ -219,7 +221,7 @@ def _sharded_lk_multi_pallas(
         return lk_all_levels_pallas(
             prev_levels, next_images_local, pts,
             dims=dims, win=win, max_iters=max_iters, eps2=eps2,
-            min_eig_thr=min_eig_thr, interpret=interpret,
+            min_eig_thr=min_eig_thr, interpret=interpret, blend=blend,
         )
 
     fn = shard_map(
@@ -236,7 +238,7 @@ _sharded_lk_multi_pallas_jit = partial(
     jax.jit,
     static_argnames=(
         "mesh", "dims", "win", "max_iters", "eps2", "min_eig_thr",
-        "interpret",
+        "interpret", "blend",
     ),
 )(_sharded_lk_multi_pallas)
 
@@ -298,7 +300,7 @@ def _sharded_lk_chain_prep(
 def _sharded_lk_chain_phase(
     mesh: Mesh, first, next_images_stacked, pts, src_nxt, src_status,
     scales, *, pallas, dims, win, max_iters, eps2, min_eig_thr, levels,
-    interpret=False,
+    interpret=False, blend="tent",
 ):
     """One chained phase (T slots), feature-sharded.
 
@@ -320,7 +322,7 @@ def _sharded_lk_chain_phase(
             return lk_iter_levels_pallas(
                 first_l, next_images_stacked, pts_local,
                 dims=dims, win=win, max_iters=max_iters, eps2=eps2,
-                interpret=interpret, init_flow=init,
+                interpret=interpret, init_flow=init, blend=blend,
             )
         return _lk._lk_all_levels_multi(
             first_l, next_images_stacked, pts_local,
@@ -362,7 +364,7 @@ def sharded_lk_chain_prep(mesh, prev_levels, pts, **kw):
 _sharded_lk_chain_phase_jit = partial(
     jax.jit,
     static_argnames=("mesh", "pallas", "dims", "win", "max_iters", "eps2",
-                     "min_eig_thr", "levels", "interpret"),
+                     "min_eig_thr", "levels", "interpret", "blend"),
 )(_sharded_lk_chain_phase)
 
 
