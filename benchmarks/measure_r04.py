@@ -108,6 +108,14 @@ def run_script(tag, argv, timeout):
     print(f"({time.time() - t0:.0f}s)", flush=True)
 
 
+AB_COARSE_4K = AB_BLEND_4K.replace(
+    "POLYCHASE_LK_NARROW", "POLYCHASE_LK_COARSE_ITERS"
+).replace('"1"; run()', '"8"; run()').replace(
+    '"1"; a.append', '"8"; a.append'
+).replace("4k narrow=1", "4k coarse=8").replace(
+    "4k narrow=0", "4k coarse=0"
+)
+
 PHASES = [
     ("1 pending r3 battery (chain A/B + bench + 4K A/B)",
      lambda: run_script("measure_pending",
@@ -126,6 +134,9 @@ PHASES = [
      lambda: run_script("run_all --json",
                         [os.path.join(HERE, "run_all.py"), "--json",
                          os.path.join(HERE, "results_r04.json")], 7200)),
+    ("7 coarse-iteration cap A/B 4K (quality trade recorded in "
+     "tests/test_lk_blend_variants.py)",
+     lambda: run_code("coarse A/B 4K", AB_COARSE_4K, 4800)),
 ]
 
 

@@ -504,19 +504,20 @@ def _bucket(n: int) -> int:
     jax.jit,
     static_argnames=(
         "dims", "win", "max_iters", "eps2", "min_eig_thr", "levels", "T",
-        "blend",
+        "blend", "coarse_cap",
     ),
 )
 def _lk_pallas_program(
     prev_levels, next_images, pts, *,
     dims, win, max_iters, eps2, min_eig_thr, levels, T, blend="tent",
+    coarse_cap=0,
 ):
     from polychase_tpu.kernels import lk_pallas as lkp
 
     return lkp.lk_all_levels_pallas(
         prev_levels, next_images, pts,
         dims=dims, win=win, max_iters=max_iters, eps2=eps2,
-        min_eig_thr=min_eig_thr, blend=blend,
+        min_eig_thr=min_eig_thr, blend=blend, coarse_cap=coarse_cap,
     )
 
 
@@ -603,13 +604,13 @@ def _lk_chain_prep_program(prev_levels, pts, *, dims, win, min_eig_thr):
     jax.jit,
     static_argnames=(
         "dims", "win", "max_iters", "eps2", "min_eig_thr", "levels",
-        "pallas", "blend",
+        "pallas", "blend", "coarse_cap",
     ),
 )
 def _lk_chain_phase_program(
     prep_or_levels, next_images, pts, src_nxt, src_status, scales, *,
     dims, win, max_iters, eps2, min_eig_thr, levels, pallas,
-    blend="tent",
+    blend="tent", coarse_cap=0,
 ):
     """One chained phase: compute the status-gated seed from the source
     slots' results, then run the multi-target solve.  Phase 1 passes
@@ -628,7 +629,7 @@ def _lk_chain_phase_program(
         return lkp.lk_iter_levels_pallas(
             prep_or_levels, next_images, pts,
             dims=dims, win=win, max_iters=max_iters, eps2=eps2,
-            init_flow=init, blend=blend,
+            init_flow=init, blend=blend, coarse_cap=coarse_cap,
         )
     return _lk_all_levels_multi(
         prep_or_levels, next_images, pts,
@@ -659,7 +660,7 @@ def _chained_dispatch(prev_pyr, next_pyrs, skips, pts_p, opts, levels):
     pts_dev = jnp.asarray(pts_p)
     m = pts_p.shape[0]
     dims = tuple(prev_pyr.dims[:levels]) if pallas else None
-    from polychase_tpu.kernels.lk_pallas import blend_variant
+    from polychase_tpu.kernels.lk_pallas import blend_variant, coarse_iter_cap
 
     kw = dict(
         dims=dims,
@@ -667,6 +668,7 @@ def _chained_dispatch(prev_pyr, next_pyrs, skips, pts_p, opts, levels):
         eps2=float(eps * eps),
         min_eig_thr=float(opts.min_eigen_threshold),
         levels=levels, pallas=pallas, blend=blend_variant(),
+        coarse_cap=coarse_iter_cap() if pallas else 0,
     )
     zero_status = jnp.zeros((_CHAIN_T, m), bool)
 
@@ -761,7 +763,9 @@ def _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels):
             jnp.stack([p.levels[lvl][0] for p in next_pyrs])
             for lvl in range(levels)
         )
-        from polychase_tpu.kernels.lk_pallas import blend_variant
+        from polychase_tpu.kernels.lk_pallas import (
+            blend_variant, coarse_iter_cap,
+        )
 
         out = sharded_lk_multi_pallas_feat(
             mesh, tuple(prev_pyr.levels[:levels]), stacked,
@@ -770,7 +774,7 @@ def _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels):
             win=opts.window_size, max_iters=opts.term_max_iters,
             eps2=float(eps * eps),
             min_eig_thr=float(opts.min_eigen_threshold),
-            blend=blend_variant(),
+            blend=blend_variant(), coarse_cap=coarse_iter_cap(),
         )
         return out, pts_dev, pts_p
     pts_dev = jnp.asarray(pts_p)
@@ -784,7 +788,9 @@ def _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels):
             jnp.stack([p.levels[lvl][0] for p in pad_pyrs])
             for lvl in range(levels)
         )
-        from polychase_tpu.kernels.lk_pallas import blend_variant
+        from polychase_tpu.kernels.lk_pallas import (
+            blend_variant, coarse_iter_cap,
+        )
 
         nxt, status, err = sharded_lk_multi_pallas(
             mesh, tuple(prev_pyr.levels[:levels]),
@@ -793,14 +799,14 @@ def _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels):
             win=opts.window_size, max_iters=opts.term_max_iters,
             eps2=float(eps * eps),
             min_eig_thr=float(opts.min_eigen_threshold),
-            blend=blend_variant(),
+            blend=blend_variant(), coarse_cap=coarse_iter_cap(),
         )
         return (nxt[:T], status[:T], err[:T]), pts_dev, pts_p
 
     next_images = tuple(
         tuple(p.levels[lvl][0] for p in next_pyrs) for lvl in range(levels)
     )
-    from polychase_tpu.kernels.lk_pallas import blend_variant
+    from polychase_tpu.kernels.lk_pallas import blend_variant, coarse_iter_cap
 
     out = _lk_pallas_program(
         tuple(prev_pyr.levels[:levels]),
@@ -814,6 +820,7 @@ def _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels):
         levels=levels,
         T=T,
         blend=blend_variant(),
+        coarse_cap=coarse_iter_cap(),
     )
     return out, pts_dev, pts_p
 

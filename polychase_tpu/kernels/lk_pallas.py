@@ -152,6 +152,21 @@ def _mxu_enabled() -> bool:
     return os.environ.get("POLYCHASE_LK_MXU", "0") == "1"
 
 
+def coarse_iter_cap() -> int:
+    """Optional iteration cap for pyramid levels ABOVE level 0
+    (POLYCHASE_LK_COARSE_ITERS=n; 0 = off, cv2 semantics).
+
+    Coarse levels only seed the next level's guess — a cap there trades
+    a bounded seed error (halved per level by the 2x upsample, then
+    re-converged at level 0 under the full budget) for the straggler
+    tail of the per-group early exit, which dominates at 4K feature
+    counts (1300+ lane groups each iterating until their worst lane).
+    Level 0 always keeps the caller's budget, so convergence/status
+    semantics at the output resolution are unchanged.
+    """
+    return int(os.environ.get("POLYCHASE_LK_COARSE_ITERS", "0"))
+
+
 def blend_variant() -> str:
     """Resolve the active blend experiment from the environment.
 
@@ -875,6 +890,7 @@ def lk_all_levels_pallas(
     interpret: bool = False,
     init_flow=None,             # optional (T, N, 2) full-res starting flow
     blend: str | None = None,   # "tent"|"narrow"|"mxu"; None = env
+    coarse_cap: int | None = None,  # per-level iteration budget; None = env
 ):
     """Coarse-to-fine pyramidal LK for T targets sharing one source frame.
 
@@ -891,6 +907,7 @@ def lk_all_levels_pallas(
         preps, next_images, pts,
         dims=dims, win=win, max_iters=max_iters, eps2=eps2,
         interpret=interpret, init_flow=init_flow, blend=blend,
+        coarse_cap=coarse_cap,
     )
 
 
@@ -918,10 +935,12 @@ def lk_prep_levels_pallas(
 def lk_iter_levels_pallas(
     preps, next_images, pts, *, dims, win: int, max_iters: int,
     eps2: float, interpret: bool = False, init_flow=None,
-    blend: str | None = None,
+    blend: str | None = None, coarse_cap: int | None = None,
 ):
     """Coarse-to-fine iterate chain over precomputed per-level preps."""
     narrow, mxu = _blend_flags(blend)
+    if coarse_cap is None:
+        coarse_cap = coarse_iter_cap()
     levels = len(preps)
     T = len(next_images[0])
     top = levels - 1
@@ -939,10 +958,13 @@ def lk_iter_levels_pallas(
         imgs = next_images[lvl]
         if not isinstance(imgs, jax.Array):
             imgs = jnp.stack(imgs)
+        lvl_iters = max_iters
+        if lvl > 0 and coarse_cap:
+            lvl_iters = min(max_iters, coarse_cap)
         cur, st, er = lk_iterate_level_multi(
             imgs, ip, dxi, dyi, a11, a12, a22,
             invd, ok, cur,
-            win=win, H=H, W=W, max_iters=max_iters, eps2=eps2,
+            win=win, H=H, W=W, max_iters=lvl_iters, eps2=eps2,
             level_is_zero=(lvl == 0), interpret=interpret,
             narrow=narrow, mxu=mxu,
         )

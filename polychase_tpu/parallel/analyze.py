@@ -142,6 +142,7 @@ def _sharded_lk_multi_pallas_feat(
     min_eig_thr: float,
     interpret: bool = False,
     blend: str = "tent",
+    coarse_cap: int = 0,
 ):
     """Feature-sharded Analyze over the Pallas kernel path.
 
@@ -157,6 +158,7 @@ def _sharded_lk_multi_pallas_feat(
             prev_levels, next_images_stacked, pts_local,
             dims=dims, win=win, max_iters=max_iters, eps2=eps2,
             min_eig_thr=min_eig_thr, interpret=interpret, blend=blend,
+            coarse_cap=coarse_cap,
         )
 
     fn = shard_map(
@@ -177,7 +179,7 @@ _sharded_lk_multi_pallas_feat_jit = partial(
     jax.jit,
     static_argnames=(
         "mesh", "dims", "win", "max_iters", "eps2", "min_eig_thr",
-        "interpret", "blend",
+        "interpret", "blend", "coarse_cap",
     ),
 )(_sharded_lk_multi_pallas_feat)
 
@@ -206,6 +208,7 @@ def _sharded_lk_multi_pallas(
     min_eig_thr: float,
     interpret: bool = False,
     blend: str = "tent",
+    coarse_cap: int = 0,
 ):
     """Target-sharded Analyze over the Pallas kernel path.
 
@@ -222,6 +225,7 @@ def _sharded_lk_multi_pallas(
             prev_levels, next_images_local, pts,
             dims=dims, win=win, max_iters=max_iters, eps2=eps2,
             min_eig_thr=min_eig_thr, interpret=interpret, blend=blend,
+            coarse_cap=coarse_cap,
         )
 
     fn = shard_map(
@@ -238,7 +242,7 @@ _sharded_lk_multi_pallas_jit = partial(
     jax.jit,
     static_argnames=(
         "mesh", "dims", "win", "max_iters", "eps2", "min_eig_thr",
-        "interpret", "blend",
+        "interpret", "blend", "coarse_cap",
     ),
 )(_sharded_lk_multi_pallas)
 
@@ -300,7 +304,7 @@ def _sharded_lk_chain_prep(
 def _sharded_lk_chain_phase(
     mesh: Mesh, first, next_images_stacked, pts, src_nxt, src_status,
     scales, *, pallas, dims, win, max_iters, eps2, min_eig_thr, levels,
-    interpret=False, blend="tent",
+    interpret=False, blend="tent", coarse_cap=0,
 ):
     """One chained phase (T slots), feature-sharded.
 
@@ -323,6 +327,7 @@ def _sharded_lk_chain_phase(
                 first_l, next_images_stacked, pts_local,
                 dims=dims, win=win, max_iters=max_iters, eps2=eps2,
                 interpret=interpret, init_flow=init, blend=blend,
+                coarse_cap=coarse_cap,
             )
         return _lk._lk_all_levels_multi(
             first_l, next_images_stacked, pts_local,
@@ -364,7 +369,8 @@ def sharded_lk_chain_prep(mesh, prev_levels, pts, **kw):
 _sharded_lk_chain_phase_jit = partial(
     jax.jit,
     static_argnames=("mesh", "pallas", "dims", "win", "max_iters", "eps2",
-                     "min_eig_thr", "levels", "interpret", "blend"),
+                     "min_eig_thr", "levels", "interpret", "blend",
+                     "coarse_cap"),
 )(_sharded_lk_chain_phase)
 
 
