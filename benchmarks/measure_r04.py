@@ -108,6 +108,30 @@ def run_script(tag, argv, timeout):
     print(f"({time.time() - t0:.0f}s)", flush=True)
 
 
+AB_GFTT = r'''
+import os, sys, time, tempfile
+sys.path.insert(0, "/root/repo")
+import importlib
+bench = importlib.import_module("bench")
+frames = bench.make_clip()
+from polychase_tpu.engine.opticalflow import VideoInfo, generate_optical_flow_database
+info = VideoInfo(bench.W, bench.H, 0, len(frames))
+def run():
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "flow.db"); t0 = time.perf_counter()
+        generate_optical_flow_database(info, lambda fid: frames[fid], None, p)
+        return time.perf_counter() - t0
+# routing happens per dispatch (outside jit) -> in-process interleave is safe
+os.environ["POLYCHASE_GFTT_TOPK"] = "0"; run()
+os.environ["POLYCHASE_GFTT_TOPK"] = "1"; run()
+a, b = [], []
+for i in range(5):
+    os.environ["POLYCHASE_GFTT_TOPK"] = "0"; a.append(run())
+    os.environ["POLYCHASE_GFTT_TOPK"] = "1"; b.append(run())
+print("topk=0 (raw maps):", [round(x,3) for x in a], "min", round(min(a),3), "fps", round(12/min(a),2))
+print("topk=1 (default): ", [round(x,3) for x in b], "min", round(min(b),3), "fps", round(12/min(b),2))
+'''
+
 AB_COARSE_4K = AB_BLEND_4K.replace(
     "POLYCHASE_LK_NARROW", "POLYCHASE_LK_COARSE_ITERS"
 ).replace('"1"; run()', '"8"; run()').replace(
@@ -137,6 +161,8 @@ PHASES = [
     ("7 coarse-iteration cap A/B 4K (quality trade recorded in "
      "tests/test_lk_blend_variants.py)",
      lambda: run_code("coarse A/B 4K", AB_COARSE_4K, 4800)),
+    ("8 GFTT raw-maps-vs-topk A/B 640p",
+     lambda: run_code("gftt A/B", AB_GFTT, 3000)),
 ]
 
 

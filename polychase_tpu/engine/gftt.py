@@ -440,6 +440,22 @@ def gftt_candidates_topk(
     other frame pays a 4× smaller sort (measured ~7 → ~3 ms/frame at
     640p — the sort was half the GFTT device budget).
     """
+    bvals, blin, count = _candidates_reduced(
+        image, mask, quality_level, harris_k,
+        block_size=block_size, ksize=ksize, use_harris=use_harris,
+        grid_rows=grid_rows, grid_cols=grid_cols, is_8u=is_8u,
+    )
+    kk = min(k, bvals.shape[0])
+    vals, bidx = jax.lax.top_k(bvals, kk)
+    idx = blin[bidx]
+    return vals, idx.astype(jnp.int32), count
+
+
+def _candidates_reduced(
+    image, mask, quality_level, harris_k, *,
+    block_size, ksize, use_harris, grid_rows, grid_cols, is_8u,
+):
+    """Shared candidate compaction: response → NMS → 2×2 block-max."""
     eig, cand = gftt_response(
         image, mask, quality_level, harris_k,
         block_size=block_size, ksize=ksize, use_harris=use_harris,
@@ -474,10 +490,38 @@ def gftt_candidates_topk(
     collide = jnp.any(bcount > 1)
     count = jnp.sum(cand)
     count = jnp.where(collide, jnp.int32(2**30), count.astype(jnp.int32))
-    kk = min(k, bvals.shape[0])
-    vals, bidx = jax.lax.top_k(bvals, kk)
-    idx = blin[bidx]
-    return vals, idx.astype(jnp.int32), count
+    return bvals, blin.astype(jnp.int32), count
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "block_size", "ksize", "use_harris", "grid_rows", "grid_cols",
+        "is_8u",
+    ),
+)
+def gftt_candidates_reduced(
+    image, mask, quality_level, harris_k, *,
+    block_size=3, ksize=3, use_harris=False, grid_rows=4, grid_cols=4,
+    is_8u=True,
+):
+    """Unsorted device candidates: the raw 2×2-reduced (value, linear
+    index) maps plus the exact count.
+
+    The host finish re-sorts regardless (``_native_sort_suppress``
+    packed-key sort), so the device top-k's ORDER is discarded — this
+    variant skips the top-k sort entirely (~half the GFTT device budget
+    at 640p) at the cost of transferring H·W/4 pairs instead of k
+    (+~350 KB at 640p, asynchronous and prefetched 4 frames ahead).
+    Semantically identical downstream: non-candidates carry value 0 and
+    the finish's ``vals > 0`` filter drops them; 2×2 tie collisions set
+    the same overflowed count sentinel.  POLYCHASE_GFTT_TOPK=0 routes
+    here (frames below the device-suppression threshold only)."""
+    return _candidates_reduced(
+        image, mask, quality_level, harris_k,
+        block_size=block_size, ksize=ksize, use_harris=use_harris,
+        grid_rows=grid_rows, grid_cols=grid_cols, is_8u=is_8u,
+    )
 
 
 def _circle_offsets(min_distance: float) -> Tuple[Tuple[int, int], ...]:
@@ -704,6 +748,15 @@ def gftt_dispatch(
             jnp.float32(options.quality_level),
             jnp.float32(options.harris_k),
             k=k2, offsets=_circle_offsets(float(options.min_distance)),
+            **kw,
+        )
+    elif _os.environ.get("POLYCHASE_GFTT_TOPK", "1") == "0":
+        # Skip the device top-k sort: the host finish re-sorts anyway,
+        # so ship the raw 2×2-reduced maps (see gftt_candidates_reduced).
+        vals, idx, count = gftt_candidates_reduced(
+            imgf, maskj,
+            jnp.float32(options.quality_level),
+            jnp.float32(options.harris_k),
             **kw,
         )
     else:

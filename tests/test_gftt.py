@@ -415,3 +415,40 @@ class TestFusedNativeSortSuppress:
             np.stack([vals[order], lin[order]]),
             np.stack([vals[ref], lin[ref]]),
         )
+
+
+def test_unsorted_candidates_bit_equal_to_topk(rng, monkeypatch):
+    """POLYCHASE_GFTT_TOPK=0 ships the raw 2×2-reduced maps instead of a
+    device top-k; the host finish re-sorts either way, so detected
+    corners and qualities must be bit-identical."""
+    from polychase_tpu.engine import gftt as G
+
+    img = (rng.uniform(0, 255, (96, 128))).astype(np.uint8)
+
+    base = G.gftt_finish(G.gftt_dispatch(img, None, GFTTOptions()))
+    monkeypatch.setenv("POLYCHASE_GFTT_TOPK", "0")
+    nosort = G.gftt_finish(G.gftt_dispatch(img, None, GFTTOptions()))
+    assert np.array_equal(base[0], nosort[0])
+    assert np.array_equal(base[1], nosort[1])
+    assert base[0].shape[0] > 16
+
+
+def test_unsorted_candidates_tie_collision_falls_back(rng, monkeypatch):
+    """The 2×2 plateau-tie collision must trip the same overflowed-count
+    sentinel in the unsorted variant (gftt_finish then takes the exact
+    full-map path and both variants agree)."""
+    import jax.numpy as jnp
+
+    from polychase_tpu.engine import gftt as G
+
+    H, W = 16, 16
+    monkeypatch.setattr(
+        G, "gftt_response", lambda img, *a, **k: (img, img > 0)
+    )
+    reduced_eager = G.gftt_candidates_reduced.__wrapped__
+    eig = np.zeros((H, W), np.float32)
+    eig[5, 6] = eig[5, 7] = 3.0
+    vals, idx, count = reduced_eager(
+        jnp.asarray(eig), None, np.float32(0.01), np.float32(0.04),
+    )
+    assert int(count) > vals.shape[0]
