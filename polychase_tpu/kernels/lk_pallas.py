@@ -445,6 +445,7 @@ def _make_iter_kernel(
     win: int, Hp: int, Wp: int, H: int, W: int,
     max_iters: int, eps2: float, level_is_zero: bool, img_in_hbm: bool,
     narrow: bool = False, nspan: int = 12, mxu: bool = False,
+    with_iters: bool = False,
 ):
     PR = _patch_rows(win)
     PC = _patch_cols(win)
@@ -461,10 +462,14 @@ def _make_iter_kernel(
         ip_ref, dxi_ref, dyi_ref, a11_ref, a12_ref, a22_ref, invd_ref,
         ok_ref, x0_ref, y0_ref,
         img_ref,
-        xo_ref, yo_ref, st_ref, err_ref,
-        tmp, patch, by_ref, bx_ref, buf, sems, vtmp, smem, vsem,
-        *extra,
+        *rest,
     ):
+        n_out = 5 if with_iters else 4
+        xo_ref, yo_ref, st_ref, err_ref = rest[:4]
+        it_ref = rest[4] if with_iters else None
+        (tmp, patch, by_ref, bx_ref, buf, sems, vtmp, smem,
+         vsem) = rest[n_out : n_out + 9]
+        extra = rest[n_out + 9 :]
         issue, grab = _block_fetcher(
             img_ref, img_in_hbm, PR, pl.program_id(0)
         )
@@ -738,11 +743,17 @@ def _make_iter_kernel(
             jnp.zeros((1, GROUP), jnp.float32),
             status0,
         )
-        _, px, py, _, _, _, status_f = jax.lax.while_loop(cond, body, init)
+        it_fin, px, py, _, _, _, status_f = jax.lax.while_loop(
+            cond, body, init
+        )
 
         xo_ref[0] = px
         yo_ref[0] = py
         st_ref[0] = status_f
+        if with_iters:
+            # Per-group early-exit statistic (probe-only output): every
+            # lane of the group carries the group's final trip count.
+            it_ref[0] = jnp.full((1, GROUP), it_fin, jnp.float32)
         if level_is_zero:
             # Patches are only stale for features whose final position
             # left the slack window; skip the re-extraction otherwise.
@@ -772,6 +783,7 @@ def lk_iterate_level_multi(
     win: int, H: int, W: int, max_iters: int, eps2: float,
     level_is_zero: bool, interpret: bool = False,
     narrow: bool | None = None, mxu: bool | None = None,
+    with_iters: bool = False,
 ):
     """Run the LK iteration loop for one level against T stacked targets.
 
@@ -801,7 +813,7 @@ def lk_iterate_level_multi(
     nspan = _narrow_span()
     kernel, PR, PC = _make_iter_kernel(
         win, Hp, Wp, H, W, max_iters, eps2, level_is_zero, img_in_hbm,
-        narrow=narrow, nspan=nspan, mxu=mxu,
+        narrow=narrow, nspan=nspan, mxu=mxu, with_iters=with_iters,
     )
     grid = (T, n // GROUP)
     vec = lambda: pl.BlockSpec(
@@ -828,16 +840,18 @@ def lk_iterate_level_multi(
     a22r = a22.reshape(1, n)
     invdr = invd.reshape(1, n)
 
-    xo, yo, st, err = pl.pallas_call(
+    n_out = 5 if with_iters else 4
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[patch_in() for _ in range(3)]
         + [vec() for _ in range(5)]
         + [tvec(), tvec()]
         + [img_in],
-        out_specs=tuple(tvec() for _ in range(4)),
+        out_specs=tuple(tvec() for _ in range(n_out)),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((T, 1, n), jnp.float32) for _ in range(4)
+            jax.ShapeDtypeStruct((T, 1, n), jnp.float32)
+            for _ in range(n_out)
         ),
         scratch_shapes=[
             pltpu.VMEM((GROUP, PR, PC), jnp.float32),
@@ -867,8 +881,10 @@ def lk_iterate_level_multi(
         interpret=interpret,
     )(ipatch, dxi, dyi, a11r, a12r, a22r, invdr, okf, x0, y0, imgs_pad)
 
-    xo, yo, st, err = (a.reshape(T, n) for a in (xo, yo, st, err))
+    xo, yo, st, err = (a.reshape(T, n) for a in outs[:4])
     new_pts = jnp.stack([xo, yo], axis=-1)
+    if with_iters:
+        return new_pts, st > 0.0, err, outs[4].reshape(T, n)
     return new_pts, st > 0.0, err
 
 

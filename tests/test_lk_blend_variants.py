@@ -206,3 +206,29 @@ def test_coarse_iter_cap_small_motion_unaffected(rng):
         axis=1,
     )
     assert np.max(d) < 0.05, np.max(d)
+
+
+def test_with_iters_output(rng):
+    """with_iters adds a probe-only output (per-group trip counts,
+    broadcast across the group's lanes) without perturbing results."""
+    scene = _scene(rng)
+    base = _run(*scene)
+    pyr_prev, pyr_next, pts, dims = scene
+    ip, dxi, dyi, a11, a12, a22, invd, ok = lkp.lk_prep_levels_pallas(
+        tuple(pyr_prev[:1]), jnp.asarray(pts),
+        dims=(dims,), win=10, min_eig_thr=1e-4, interpret=True,
+    )[0]
+    nxt, st, err, iters = lkp.lk_iterate_level_multi(
+        jnp.stack([pyr_next[0][0]]),
+        ip, dxi, dyi, a11, a12, a22, invd, ok,
+        jnp.broadcast_to(jnp.asarray(pts)[None], (1,) + pts.shape),
+        win=10, H=dims[0], W=dims[1], max_iters=40, eps2=1e-4,
+        level_is_zero=True, interpret=True, with_iters=True,
+    )
+    it = np.asarray(iters)[0]
+    # broadcast within each group
+    assert np.all(it.reshape(-1, lkp.GROUP) == it[::lkp.GROUP][:, None])
+    assert np.all((it >= 1) & (it <= 40))
+    # same results as the plain 4-output call
+    assert np.array_equal(np.asarray(nxt), np.asarray(base[0]))
+    assert np.array_equal(np.asarray(st), np.asarray(base[1]))
