@@ -117,7 +117,7 @@ IMG_VMEM_LIMIT = 3 * (1 << 20)
 FORCE_HBM_FOR_TESTS = False
 
 
-def _narrow_enabled() -> bool:
+def _narrow_level() -> int:
     """Dynamic-span row blend (POLYCHASE_LK_NARROW=1, experiment).
 
     The full blend spans every possible per-lane row offset (Dy terms)
@@ -132,11 +132,15 @@ def _narrow_enabled() -> bool:
     interpret test; the default flips only on a measured interleaved
     A/B win (BENCHMARKS.md).
     """
-    return os.environ.get("POLYCHASE_LK_NARROW", "0") == "1"
+    return int(os.environ.get("POLYCHASE_LK_NARROW", "0"))
 
 
 def _narrow_span() -> int:
     return int(os.environ.get("POLYCHASE_LK_NARROW_SPAN", "12"))
+
+
+def _narrow_xspan() -> int:
+    return int(os.environ.get("POLYCHASE_LK_NARROW_XSPAN", "6"))
 
 
 def _mxu_enabled() -> bool:
@@ -176,7 +180,10 @@ def blend_variant() -> str:
     (required for in-process interleaved A/Bs)."""
     if _mxu_enabled():
         return "mxu"
-    if _narrow_enabled():
+    lvl = _narrow_level()
+    if lvl >= 2:
+        return "narrow2"
+    if lvl == 1:
         return "narrow"
     return "tent"
 
@@ -184,9 +191,10 @@ def blend_variant() -> str:
 def _blend_flags(blend):
     if blend is None:
         return None, None
-    if blend not in ("tent", "narrow", "mxu"):
+    if blend not in ("tent", "narrow", "narrow2", "mxu"):
         raise ValueError(f"unknown blend variant: {blend!r}")
-    return blend == "narrow", blend == "mxu"
+    narrow = {"narrow": 1, "narrow2": 2}.get(blend, 0)
+    return narrow, blend == "mxu"
 
 
 def _use_hbm(
@@ -444,8 +452,8 @@ def lk_prepare_level(
 def _make_iter_kernel(
     win: int, Hp: int, Wp: int, H: int, W: int,
     max_iters: int, eps2: float, level_is_zero: bool, img_in_hbm: bool,
-    narrow: bool = False, nspan: int = 12, mxu: bool = False,
-    with_iters: bool = False,
+    narrow: int = 0, nspan: int = 12, nxspan: int = 6,
+    mxu: bool = False, with_iters: bool = False,
 ):
     PR = _patch_rows(win)
     PC = _patch_cols(win)
@@ -457,6 +465,7 @@ def _make_iter_kernel(
     ly_max = float(PR - win - 1)
     lx_max = float(PC - win - 1)
     nspan = min(nspan, Dy)
+    nxspan = min(nxspan, Dx)
 
     def kernel(
         ip_ref, dxi_ref, dyi_ref, a11_ref, a12_ref, a22_ref, invd_ref,
@@ -574,6 +583,7 @@ def _make_iter_kernel(
 
         if narrow:
             rows_scr = extra[0]
+            jwn_scr = extra[1] if narrow >= 2 else None
 
             def sample_narrow(lyf, lxf, active):
                 """Row blend over a dynamically-based band of nspan
@@ -618,7 +628,41 @@ def _make_iter_kernel(
                         r = r + wd * p[d : d + win, :, :]
                     rows_scr[:] = r
 
-                return _col_blend(rows_scr[:], lxf)
+                if narrow < 2:
+                    return _col_blend(rows_scr[:], lxf)
+
+                # Level 2: the same dynamic-base trick on the column
+                # axis (sublane-dim dynamic slice of the rows value).
+                mnx = jnp.min(jnp.where(active, lxf, big))
+                mxx = jnp.max(jnp.where(active, lxf, -big))
+                kbx = jnp.clip(
+                    jnp.minimum(mnx, jnp.float32(PC)).astype(jnp.int32),
+                    0, PC - win - nxspan + 1,
+                )
+                fits_x = has & (
+                    mxx <= kbx.astype(jnp.float32) + (nxspan - 1)
+                )
+
+                @pl.when(fits_x)
+                def _():
+                    sub = jax.lax.dynamic_slice(
+                        rows_scr[:], (0, kbx, 0),
+                        (win, win + nxspan - 1, GROUP),
+                    )
+                    lrelx = lxf - kbx.astype(jnp.float32)
+                    jw = jnp.zeros((win, win, GROUP), jnp.float32)
+                    for e in range(nxspan):
+                        we = jnp.maximum(
+                            0.0, 1.0 - jnp.abs(lrelx - e)
+                        ).reshape(1, 1, GROUP)
+                        jw = jw + we * sub[:, e : e + win, :]
+                    jwn_scr[:] = jw
+
+                @pl.when(~fits_x)
+                def _():
+                    jwn_scr[:] = _col_blend(rows_scr[:], lxf)
+
+                return jwn_scr[:]
 
         if mxu:
             jw_scr, vtmpf, smemf, vsemf = extra[-4:]
@@ -803,17 +847,17 @@ def lk_iterate_level_multi(
     img_t = imgs_pad.dtype
     img_in_hbm = _use_hbm(Hp, Wp, interpret, imgs_pad.dtype.itemsize)
     if narrow is None:
-        narrow = _narrow_enabled()
+        narrow = _narrow_level()
     if mxu is None:
         mxu = _mxu_enabled()
     if narrow and mxu:
         raise ValueError(
             "POLYCHASE_LK_NARROW and POLYCHASE_LK_MXU are exclusive"
         )
-    nspan = _narrow_span()
     kernel, PR, PC = _make_iter_kernel(
         win, Hp, Wp, H, W, max_iters, eps2, level_is_zero, img_in_hbm,
-        narrow=narrow, nspan=nspan, mxu=mxu, with_iters=with_iters,
+        narrow=int(narrow), nspan=_narrow_span(), nxspan=_narrow_xspan(),
+        mxu=mxu, with_iters=with_iters,
     )
     grid = (T, n // GROUP)
     vec = lambda: pl.BlockSpec(
@@ -868,6 +912,11 @@ def lk_iterate_level_multi(
             pltpu.SemaphoreType.DMA(()),
         ]
         + ([pltpu.VMEM((win, PC, GROUP), jnp.float32)] if narrow else [])
+        + (
+            [pltpu.VMEM((win, win, GROUP), jnp.float32)]
+            if narrow >= 2
+            else []
+        )
         + (
             [
                 pltpu.VMEM((GROUP, win, win), jnp.float32),

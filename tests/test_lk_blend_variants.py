@@ -232,3 +232,19 @@ def test_with_iters_output(rng):
     # same results as the plain 4-output call
     assert np.array_equal(np.asarray(nxt), np.asarray(base[0]))
     assert np.array_equal(np.asarray(st), np.asarray(base[1]))
+
+
+def test_narrow2_blend_parity(rng, monkeypatch):
+    """Level 2 (rows + cols dynamically based) — same zero-weight-terms
+    argument on both axes."""
+    scene = _scene(rng)
+    base = _run(*scene)
+    n2 = _run_flagged(monkeypatch, scene, POLYCHASE_LK_NARROW="2")
+    _assert_close(base, n2)
+
+
+def test_narrow2_blend_parity_with_escapes(rng, monkeypatch):
+    scene = _scene(rng, shift=(16, 12))
+    base = _run(*scene)
+    n2 = _run_flagged(monkeypatch, scene, POLYCHASE_LK_NARROW="2")
+    _assert_close(base, n2)
