@@ -30,20 +30,23 @@ from polychase_tpu.engine.opticalflow import VideoInfo, generate_optical_flow_da
 info = VideoInfo(bench.W, bench.H, 0, len(frames))
 VAR = os.environ["AB_VARIANT"]          # narrow | mxu
 FLAG = {"narrow": "POLYCHASE_LK_NARROW", "mxu": "POLYCHASE_LK_MXU"}[VAR]
+ARMS = ["0", "1", "2"] if VAR == "narrow" else ["0", "1"]
 def run():
     with tempfile.TemporaryDirectory() as td:
         p = os.path.join(td, "flow.db"); t0 = time.perf_counter()
         generate_optical_flow_database(info, lambda fid: frames[fid], None, p)
         return time.perf_counter() - t0
 # the blend variant is a static jit arg, so in-process env flips retrace
-os.environ[FLAG] = "1"; run()
-os.environ[FLAG] = "0"; run()
-a, b = [], []
-for i in range(5):
-    os.environ[FLAG] = "1"; a.append(run())
-    os.environ[FLAG] = "0"; b.append(run())
-print(f"{VAR}=1:", [round(x,3) for x in a], "min", round(min(a),3), "fps", round(12/min(a),2))
-print(f"{VAR}=0:", [round(x,3) for x in b], "min", round(min(b),3), "fps", round(12/min(b),2))
+for v in ARMS:
+    os.environ[FLAG] = v; run()   # compile each arm
+res = {v: [] for v in ARMS}
+for i in range(4):
+    for v in ARMS:
+        os.environ[FLAG] = v; res[v].append(run())
+for v in ARMS:
+    r = res[v]
+    print(f"{VAR}={v}:", [round(x,3) for x in r],
+          "min", round(min(r),3), "fps", round(12/min(r),2))
 '''
 
 AB_BLEND_4K = r'''
