@@ -66,14 +66,17 @@ def run():
         p = os.path.join(td, "flow.db"); t0 = time.perf_counter()
         generate_optical_flow_database(info, lambda fid: frames[fid], None, p)
         return time.perf_counter() - t0
-os.environ["POLYCHASE_LK_NARROW"] = "1"; run()
-os.environ["POLYCHASE_LK_NARROW"] = "0"; run()
-a, b = [], []
+ARMS = ["0", "1", "2"]
+for v in ARMS:
+    os.environ["POLYCHASE_LK_NARROW"] = v; run()   # compile each arm
+res = {v: [] for v in ARMS}
 for i in range(3):
-    os.environ["POLYCHASE_LK_NARROW"] = "1"; a.append(run())
-    os.environ["POLYCHASE_LK_NARROW"] = "0"; b.append(run())
-print("4k narrow=1:", [round(x,2) for x in a], "min", round(min(a),2), "fps", round(NF/min(a),3))
-print("4k narrow=0:", [round(x,2) for x in b], "min", round(min(b),2), "fps", round(NF/min(b),3))
+    for v in ARMS:
+        os.environ["POLYCHASE_LK_NARROW"] = v; res[v].append(run())
+for v in ARMS:
+    r = res[v]
+    print(f"4k narrow={v}:", [round(x,2) for x in r],
+          "min", round(min(r),2), "fps", round(NF/min(r),3))
 '''
 
 
@@ -137,10 +140,8 @@ print("topk=1 (default): ", [round(x,3) for x in b], "min", round(min(b),3), "fp
 
 AB_COARSE_4K = AB_BLEND_4K.replace(
     "POLYCHASE_LK_NARROW", "POLYCHASE_LK_COARSE_ITERS"
-).replace('"1"; run()', '"8"; run()').replace(
-    '"1"; a.append', '"8"; a.append'
-).replace("4k narrow=1", "4k coarse=8").replace(
-    "4k narrow=0", "4k coarse=0"
+).replace('ARMS = ["0", "1", "2"]', 'ARMS = ["0", "8"]').replace(
+    "4k narrow=", "4k coarse="
 )
 
 PHASES = [
