@@ -645,10 +645,9 @@ def _make_iter_kernel(
 
                 @pl.when(fits_x)
                 def _():
-                    sub = jax.lax.dynamic_slice(
-                        rows_scr[:], (0, kbx, 0),
-                        (win, win + nxspan - 1, GROUP),
-                    )
+                    # Ref-read dynamic slice (a value-level
+                    # lax.dynamic_slice has no Pallas TPU lowering).
+                    sub = rows_scr[:, pl.ds(kbx, win + nxspan - 1), :]
                     lrelx = lxf - kbx.astype(jnp.float32)
                     jw = jnp.zeros((win, win, GROUP), jnp.float32)
                     for e in range(nxspan):
@@ -668,14 +667,15 @@ def _make_iter_kernel(
             jw_scr, vtmpf, smemf, vsemf = extra[-4:]
             # j - i row-weight index grid and c - k col-weight index grid
             # (see sample(): rows[i] = sum_d tent(lyf-d) p[d+i], d = j-i).
+            # Mosaic's tpu.iota is integer-only: build i32, then cast.
             dmat = (
-                jax.lax.broadcasted_iota(jnp.float32, (win, PR), 1)
-                - jax.lax.broadcasted_iota(jnp.float32, (win, PR), 0)
-            )
+                jax.lax.broadcasted_iota(jnp.int32, (win, PR), 1)
+                - jax.lax.broadcasted_iota(jnp.int32, (win, PR), 0)
+            ).astype(jnp.float32)
             cmat = (
-                jax.lax.broadcasted_iota(jnp.float32, (PC, win), 0)
-                - jax.lax.broadcasted_iota(jnp.float32, (PC, win), 1)
-            )
+                jax.lax.broadcasted_iota(jnp.int32, (PC, win), 0)
+                - jax.lax.broadcasted_iota(jnp.int32, (PC, win), 1)
+            ).astype(jnp.float32)
 
             def sample_mxu(lyf, lxf):
                 """Blend as two per-feature matmuls on the (GROUP, PR,

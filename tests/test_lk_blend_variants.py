@@ -248,3 +248,51 @@ def test_narrow2_blend_parity_with_escapes(rng, monkeypatch):
     base = _run(*scene)
     n2 = _run_flagged(monkeypatch, scene, POLYCHASE_LK_NARROW="2")
     _assert_close(base, n2)
+
+
+def test_tpu_lowering_all_variants():
+    """Cross-platform lowering catches Mosaic-unsupported constructs
+    WITHOUT TPU hardware (interpret mode does not validate lowering —
+    this test caught a value-level dynamic_slice and an f32 iota that
+    would have failed on the chip).  Covers the VMEM-image path at a
+    small shape and the HBM per-feature-DMA path at a 1080p shape."""
+    from jax import export
+
+    from polychase_tpu.kernels import lk_pallas as lkp
+
+    win, n = 10, 128
+
+    def build(blend, H, W, with_iters=False):
+        narrow, mxu = lkp._blend_flags(blend)
+        Hp, Wp = lkp.pad_level_dims(H, W)
+
+        def f(img, ip, dxi, dyi, a11, a12, a22, invd, ok, pts):
+            return lkp.lk_iterate_level_multi(
+                img, ip, dxi, dyi, a11, a12, a22, invd, ok, pts,
+                win=win, H=H, W=W, max_iters=30, eps2=1e-4,
+                level_is_zero=True, narrow=narrow, mxu=mxu,
+                with_iters=with_iters,
+            )
+
+        args = (
+            jnp.zeros((1, Hp, Wp), jnp.float32),
+            jnp.zeros((win, win, n)), jnp.zeros((win, win, n)),
+            jnp.zeros((win, win, n)),
+            jnp.zeros((n,)), jnp.zeros((n,)), jnp.zeros((n,)),
+            jnp.zeros((n,)), jnp.zeros((n,), bool),
+            jnp.zeros((1, n, 2)),
+        )
+        return f, args
+
+    legs = [
+        ("tent", 120, 200, False),
+        ("narrow", 120, 200, False),
+        ("narrow2", 120, 200, False),
+        ("mxu", 120, 200, False),
+        ("tent", 120, 200, True),          # with_iters output
+        ("narrow", 1080, 1920, False),     # HBM per-feature-DMA path
+        ("narrow2", 1080, 1920, False),
+    ]
+    for blend, H, W, wi in legs:
+        f, args = build(blend, H, W, with_iters=wi)
+        export.export(jax.jit(f), platforms=("tpu",))(*args)
