@@ -110,9 +110,9 @@ def bench_opencv(frames):
 
 
 def _require_device(
-    timeout_s: int = 180,
+    timeout_s: int = 150,
     attempts: int = 3,
-    backoff_s: float = 120.0,
+    backoff_s: float = 75.0,
     _probe=None,
 ) -> bool:
     """Fail when the accelerator backend is unreachable — but not fast.
@@ -123,7 +123,7 @@ def _require_device(
     driver's capture window is a single moment (round 3 lost its
     scoreboard entry to exactly this), so the probe retries with a
     bounded backoff: ``attempts`` tries, ``backoff_s`` sleep between
-    them — worst case ~10 min with the defaults — before the bench
+    them — worst case 3x150 s probes + 2x75 s waits = 10 min — before the bench
     emits its error-marked JSON line instead of hanging the driver.
     """
     import subprocess

@@ -1,13 +1,15 @@
 """Round-3 late measurement battery. Run on an IDLE host with the tunnel up.
 Order: chain A/B -> bench.py context -> 4K A/B. One process per phase keeps
 compile caches honest per comparison."""
-import subprocess, sys, time
+import os, subprocess, sys, time
 
 def run(tag, code, timeout):
     print(f"=== {tag} ===", flush=True)
     t0 = time.time()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, POLYCHASE_REPO=repo)
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                       text=True, timeout=timeout, cwd="/root/repo")
+                       text=True, timeout=timeout, cwd=repo, env=env)
     print(r.stdout[-3000:])
     if r.returncode != 0:
         print("STDERR:", r.stderr[-2000:])
@@ -15,7 +17,7 @@ def run(tag, code, timeout):
 
 AB_CHAIN = '''
 import os, sys, time, tempfile
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.environ.get("POLYCHASE_REPO", "."))
 import importlib
 bench = importlib.import_module("bench")
 frames = bench.make_clip()
@@ -38,7 +40,7 @@ print("chain=0:", [round(x,3) for x in b], "min", round(min(b),3), "fps", round(
 
 AB_4K = '''
 import os, sys, time, tempfile
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.environ.get("POLYCHASE_REPO", "."))
 import numpy as np, cv2
 from polychase_tpu.engine.opticalflow import VideoInfo, generate_optical_flow_database
 W4, H4, NF = 3840, 2160, 6
@@ -64,5 +66,5 @@ print("4k chain=0:", [round(x,2) for x in b], "min", round(min(b),2), "fps", rou
 '''
 
 run("chain A/B 640p", AB_CHAIN, 2400)
-run("bench.py", "import subprocess,sys; subprocess.run([sys.executable,'bench.py'],cwd='/root/repo')", 1800)
+run("bench.py", "import os,subprocess,sys; subprocess.run([sys.executable,'bench.py'],cwd=os.environ['POLYCHASE_REPO'])", 1800)
 run("chain A/B 4K", AB_4K, 3600)

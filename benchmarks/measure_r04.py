@@ -22,7 +22,7 @@ REPO = os.path.dirname(HERE)
 
 AB_BLEND = r'''
 import os, sys, time, tempfile
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.environ["POLYCHASE_REPO"])
 import importlib
 bench = importlib.import_module("bench")
 frames = bench.make_clip()
@@ -51,7 +51,7 @@ for v in ARMS:
 
 AB_BLEND_4K = r'''
 import os, sys, time, tempfile
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.environ["POLYCHASE_REPO"])
 import numpy as np, cv2
 from polychase_tpu.engine.opticalflow import VideoInfo, generate_optical_flow_database
 W4, H4, NF = 3840, 2160, 6
@@ -84,6 +84,7 @@ def run_code(tag, code, timeout, env=None):
     print(f"=== {tag} ===", flush=True)
     t0 = time.time()
     e = dict(os.environ)
+    e["POLYCHASE_REPO"] = REPO
     e.update(env or {})
     try:
         r = subprocess.run(
@@ -116,7 +117,7 @@ def run_script(tag, argv, timeout):
 
 AB_GFTT = r'''
 import os, sys, time, tempfile
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.environ["POLYCHASE_REPO"])
 import importlib
 bench = importlib.import_module("bench")
 frames = bench.make_clip()

@@ -57,11 +57,18 @@ def _build():
 
 
 def _run_track(
-    db_path, mesh, intr, poses, reps=3, label="", env=None, opts=None
+    db_path, mesh, intr, poses, reps=3, label="", env=None, opts=None,
+    scan_chunk=None,
 ):
     env = env or {}
     old = {k: os.environ.get(k) for k in env}
     os.environ.update(env)
+    from polychase_tpu.engine import tracker as _T
+
+    old_chunk = _T.SCAN_CHUNK
+    if scan_chunk is not None:
+        # SCAN_CHUNK is frozen at import time — env is too late here.
+        _T.SCAN_CHUNK = int(scan_chunk)
     try:
         from polychase_tpu.engine import camera as C
         from polychase_tpu.engine.levmarq import BundleOptions
@@ -102,6 +109,7 @@ def _run_track(
         )
         return best
     finally:
+        _T.SCAN_CHUNK = old_chunk
         for k, v in old.items():
             if v is None:
                 os.environ.pop(k, None)
@@ -158,8 +166,7 @@ def main():
         db_path, tiny, intr, poses, label="4-tri mesh (raycast floor)"
     )
     chunk8 = _run_track(
-        db_path, mesh, intr, poses, label="chunk=8",
-        env={"POLYCHASE_SCAN_CHUNK": "8"},
+        db_path, mesh, intr, poses, label="chunk=8", scan_chunk=8,
     )
 
     ms = lambda s: (1000 * s / (N - 1)) if s is not None else float("nan")

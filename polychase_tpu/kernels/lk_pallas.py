@@ -182,19 +182,26 @@ def blend_variant() -> str:
         return "mxu"
     lvl = _narrow_level()
     if lvl >= 2:
-        return "narrow2"
+        return f"narrow2@{_narrow_span()}x{_narrow_xspan()}"
     if lvl == 1:
-        return "narrow"
+        return f"narrow@{_narrow_span()}"
     return "tent"
 
 
 def _blend_flags(blend):
     if blend is None:
-        return None, None
-    if blend not in ("tent", "narrow", "narrow2", "mxu"):
+        return None, None, None, None
+    base, _, spans = blend.partition("@")
+    if base not in ("tent", "narrow", "narrow2", "mxu"):
         raise ValueError(f"unknown blend variant: {blend!r}")
-    narrow = {"narrow": 1, "narrow2": 2}.get(blend, 0)
-    return narrow, blend == "mxu"
+    narrow = {"narrow": 1, "narrow2": 2}.get(base, 0)
+    nspan = nxspan = None
+    if spans:
+        sy, _, sx = spans.partition("x")
+        nspan = int(sy)
+        if sx:
+            nxspan = int(sx)
+    return narrow, nspan, nxspan, base == "mxu"
 
 
 def _use_hbm(
@@ -826,7 +833,8 @@ def lk_iterate_level_multi(
     imgs_pad, ipatch, dxi, dyi, a11, a12, a22, invd, ok, pts, *,
     win: int, H: int, W: int, max_iters: int, eps2: float,
     level_is_zero: bool, interpret: bool = False,
-    narrow: bool | None = None, mxu: bool | None = None,
+    narrow: int | None = None, mxu: bool | None = None,
+    nspan: int | None = None, nxspan: int | None = None,
     with_iters: bool = False,
 ):
     """Run the LK iteration loop for one level against T stacked targets.
@@ -856,7 +864,9 @@ def lk_iterate_level_multi(
         )
     kernel, PR, PC = _make_iter_kernel(
         win, Hp, Wp, H, W, max_iters, eps2, level_is_zero, img_in_hbm,
-        narrow=int(narrow), nspan=_narrow_span(), nxspan=_narrow_xspan(),
+        narrow=int(narrow),
+        nspan=_narrow_span() if nspan is None else int(nspan),
+        nxspan=_narrow_xspan() if nxspan is None else int(nxspan),
         mxu=mxu, with_iters=with_iters,
     )
     grid = (T, n // GROUP)
@@ -1003,7 +1013,7 @@ def lk_iter_levels_pallas(
     blend: str | None = None, coarse_cap: int | None = None,
 ):
     """Coarse-to-fine iterate chain over precomputed per-level preps."""
-    narrow, mxu = _blend_flags(blend)
+    narrow, nspan, nxspan, mxu = _blend_flags(blend)
     if coarse_cap is None:
         coarse_cap = coarse_iter_cap()
     levels = len(preps)
@@ -1031,7 +1041,7 @@ def lk_iter_levels_pallas(
             invd, ok, cur,
             win=win, H=H, W=W, max_iters=lvl_iters, eps2=eps2,
             level_is_zero=(lvl == 0), interpret=interpret,
-            narrow=narrow, mxu=mxu,
+            narrow=narrow, nspan=nspan, nxspan=nxspan, mxu=mxu,
         )
         if lvl == 0:
             status, err = st, er

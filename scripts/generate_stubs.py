@@ -51,6 +51,7 @@ def _class_stub(name: str, cls: type, out: list) -> None:
     if fields:
         for f in fields:
             t = ann.get(f)
+            t = getattr(t, "__forward_arg__", t)  # unwrap ForwardRef
             t_s = getattr(t, "__name__", None) or (
                 str(t).replace("typing.", "") if t is not None else "Any"
             )
@@ -60,11 +61,16 @@ def _class_stub(name: str, cls: type, out: list) -> None:
                 body.append(f"    {f}: {t_s}")
     else:
         for f, t in ann.items():
-            t_s = getattr(t, "__name__", str(t))
+            t = getattr(t, "__forward_arg__", t)
+            t_s = getattr(t, "__name__", None) or str(t).replace(
+                "typing.", ""
+            )
             body.append(f"    {f}: {t_s}")
-    # int-enum style class attributes (the API's convention constants)
+    # int-enum style class attributes (the API's convention constants);
+    # names already emitted from annotations (dataclass defaults) are
+    # skipped to avoid duplicate declarations.
     for k, v in vars(cls).items():
-        if k.startswith("_") or fields and k in fields:
+        if k.startswith("_") or (fields and k in fields) or k in ann:
             continue
         if isinstance(v, int) and not isinstance(v, bool):
             body.append(f"    {k}: int")

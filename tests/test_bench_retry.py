@@ -12,8 +12,11 @@ import time
 
 
 def _load_bench():
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
-        "bench_under_test", "/root/repo/bench.py"
+        "bench_under_test", os.path.join(root, "bench.py")
     )
     mod = importlib.util.module_from_spec(spec)
     sys.modules["bench_under_test"] = mod

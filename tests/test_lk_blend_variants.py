@@ -263,7 +263,7 @@ def test_tpu_lowering_all_variants():
     win, n = 10, 128
 
     def build(blend, H, W, with_iters=False):
-        narrow, mxu = lkp._blend_flags(blend)
+        narrow, nspan, nxspan, mxu = lkp._blend_flags(blend)
         Hp, Wp = lkp.pad_level_dims(H, W)
 
         def f(img, ip, dxi, dyi, a11, a12, a22, invd, ok, pts):
