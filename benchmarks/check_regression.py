@@ -156,8 +156,10 @@ def _metric_analyze_fps():
 
 
 def _metric_lk_chain_seeded():
-    """The chained-seeding variant of the 12-frame LK fan (the default
-    analyze route; `_metric_lk_chain` keeps the independent solves)."""
+    """The chained-seeding variant of the 12-frame LK fan (opt-in since
+    the round-4 A/B; `_metric_lk_chain` is the default independent
+    route).  Forces POLYCHASE_LK_CHAIN=1 so the metric keeps tracking
+    the chained kernels even though the package default is off."""
     import jax
 
     import bench as B
@@ -175,17 +177,27 @@ def _metric_lk_chain_seeded():
     pyrs = [L.prepare_pyramid(d, opts) for d in devs]
 
     def run():
-        t0 = time.perf_counter()
-        handles = []
-        for i in range(len(frames)):
-            skips = [s for s in IMAGE_SKIPS if 0 <= i + s < len(frames)]
-            handles.append(L.calc_optical_flow_multi_async(
-                pyrs[i], [pyrs[i + s] for s in skips], feats[i], opts,
-                skips=skips,
-            ))
-        for h in handles:
-            L.calc_optical_flow_multi_finish(h)
-        return (time.perf_counter() - t0) * 1e3
+        prev = os.environ.get("POLYCHASE_LK_CHAIN")
+        os.environ["POLYCHASE_LK_CHAIN"] = "1"  # scoped: interleaved
+        try:                                    # metrics keep defaults
+            t0 = time.perf_counter()
+            handles = []
+            for i in range(len(frames)):
+                skips = [
+                    s for s in IMAGE_SKIPS if 0 <= i + s < len(frames)
+                ]
+                handles.append(L.calc_optical_flow_multi_async(
+                    pyrs[i], [pyrs[i + s] for s in skips], feats[i],
+                    opts, skips=skips,
+                ))
+            for h in handles:
+                L.calc_optical_flow_multi_finish(h)
+            return (time.perf_counter() - t0) * 1e3
+        finally:
+            if prev is None:
+                del os.environ["POLYCHASE_LK_CHAIN"]
+            else:
+                os.environ["POLYCHASE_LK_CHAIN"] = prev
 
     return run
 

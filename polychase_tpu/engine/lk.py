@@ -543,12 +543,19 @@ def _lk_pallas_program(
 # instead of toward zero.  Downstream PnP/BA consume these flows
 # through inlier gating and robust (Huber/Cauchy) losses — the defense
 # the reference relies on for cv2's own lattice mismatches.
-# POLYCHASE_LK_CHAIN=0 restores independent solves.
+# POLYCHASE_LK_CHAIN=1 enables chaining.
+#
+# Round-4 TPU A/B (interleaved, same session): chaining LOSES at 640p
+# (11.89 fps vs 14.05 fps off — the serialized phase dependencies
+# forfeit the two-solves-in-flight overlap that independent dispatches
+# get) and wins only ~4% at 4K (0.821 vs 0.787 fps), inside session
+# noise.  Default is therefore OFF; the flag remains for huge-frame
+# workloads where the iteration savings beat the lost overlap.
 
 
 def _lk_chain_enabled() -> bool:
-    """POLYCHASE_LK_CHAIN=0 restores independent per-pair solves."""
-    return os.environ.get("POLYCHASE_LK_CHAIN", "1") != "0"
+    """POLYCHASE_LK_CHAIN=1 enables chained seeding (default off)."""
+    return os.environ.get("POLYCHASE_LK_CHAIN", "0") == "1"
 
 
 def _chain_plan(skips):

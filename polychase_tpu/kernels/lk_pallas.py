@@ -129,10 +129,13 @@ def _narrow_level() -> int:
     carry zero tent weight, so the math is identical term-for-term;
     outputs agree to float reassociation (~1e-5 px — XLA fuses the
     12-term and Dy-term sums differently).  Parity is pinned by the
-    interpret test; the default flips only on a measured interleaved
-    A/B win (BENCHMARKS.md).
+    interpret test.
+
+    Round-4 TPU A/B (interleaved): level 2 (rows+cols) won +13% at
+    640p (11.85 vs 10.47 fps) and was neutral at 4K (0.777 vs 0.784,
+    inside noise), so 2 is the default; 0 restores the full blend.
     """
-    return int(os.environ.get("POLYCHASE_LK_NARROW", "0"))
+    return int(os.environ.get("POLYCHASE_LK_NARROW", "2"))
 
 
 def _narrow_span() -> int:
@@ -152,6 +155,10 @@ def _mxu_enabled() -> bool:
     this is a fori_loop of GROUP tiny dots over the (GROUP, PR, PC)
     staging layout — the measured question is whether MXU throughput
     beats the VPU tent-span blend despite the batching loop.
+
+    Round-4 TPU A/B: NEGATIVE, 7.6x slower end-to-end (1.52 vs 11.61
+    fps at 640p) — latency-bound on the per-feature dot loop exactly as
+    hypothesized.  Kept as a recorded counter-experiment; never default.
     """
     return os.environ.get("POLYCHASE_LK_MXU", "0") == "1"
 

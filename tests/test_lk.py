@@ -238,6 +238,7 @@ def test_chained_skip_fan_nonlinear_motion(rng, monkeypatch):
     p1 = prepare_pyramid(img1, opts)
     pyrs = [prepare_pyramid(t, opts) for t in tgts]
 
+    monkeypatch.setenv("POLYCHASE_LK_CHAIN", "1")
     assert chain_engages(skips)
     h = calc_optical_flow_multi_async(p1, pyrs, pts, opts, skips=skips)
     assert h[0] == "devch"
@@ -310,6 +311,7 @@ def test_chained_resume_shaped_fan(rng, monkeypatch):
     p1 = prepare_pyramid(img1, opts)
     pyrs = [prepare_pyramid(t, opts) for t in tgts]
 
+    monkeypatch.setenv("POLYCHASE_LK_CHAIN", "1")
     assert chain_engages(skips)
     h = calc_optical_flow_multi_async(p1, pyrs, pts, opts, skips=skips)
     assert h[0] == "devch"

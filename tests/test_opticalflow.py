@@ -174,6 +174,7 @@ def test_chained_cancel_and_resume(tmp_path, rng, monkeypatch):
     (single-device routing): partially-written fans must resume to the
     exact full result set without re-decoding completed frames."""
     monkeypatch.setenv("POLYCHASE_SHARD_ANALYZE", "0")
+    monkeypatch.setenv("POLYCHASE_LK_CHAIN", "1")
     from polychase_tpu.engine.lk import chain_engages
 
     assert chain_engages([-2, -1, 1, 2, 4, 8])

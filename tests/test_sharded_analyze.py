@@ -117,7 +117,12 @@ def test_sharded_pallas_lk_matches_single(rng):
     nxt_r, st_r, err_r = jax.device_get(ref)
     nxt_s, st_s, err_s = jax.device_get(sharded)
     assert np.array_equal(st_r, st_s)
-    np.testing.assert_allclose(nxt_s[st_r], nxt_r[st_r], atol=1e-5)
+    # 1e-3 px, not 1e-5: sharding changes group composition, so the
+    # group-level early exit stops features after different iteration
+    # counts; the dynamic-span blend (narrow=2 default since round 4)
+    # reassociates sums per-span, letting those sub-ulp differences
+    # surface at ~4e-4 px.  Far below the 0.01 px f16-transfer noise.
+    np.testing.assert_allclose(nxt_s[st_r], nxt_r[st_r], atol=1e-3)
 
 
 def test_feature_sharded_lk_matches_single(rng):
@@ -207,7 +212,10 @@ def test_feature_sharded_pallas_matches_single(rng):
     nxt_r, st_r, err_r = jax.device_get(ref)
     nxt_s, st_s, err_s = jax.device_get(sharded)
     assert np.array_equal(st_r, st_s)
-    np.testing.assert_allclose(nxt_s[st_r], nxt_r[st_r], atol=1e-5)
+    # 1e-3, not 1e-5: see test_sharded_pallas_lk_matches_single — group
+    # composition changes under feature sharding, and the narrow-blend
+    # default reassociates the converged iterates at ~4e-4 px.
+    np.testing.assert_allclose(nxt_s[st_r], nxt_r[st_r], atol=1e-3)
 
 
 def test_pipeline_feature_shard_routing(tmp_path, monkeypatch):
@@ -320,6 +328,7 @@ def test_chained_feature_sharded_matches_single_device(rng, monkeypatch):
     beyond the (shared) f16 transfer rounding."""
     assert jax.device_count() >= 8
     monkeypatch.setenv("POLYCHASE_FEAT_SHARD_MIN", "64")
+    monkeypatch.setenv("POLYCHASE_LK_CHAIN", "1")
     frames = _clip(rng)
     opts = lk.LKOptions()
     caches = [lk.prepare_pyramid(f.astype(np.uint8), opts) for f in frames]
