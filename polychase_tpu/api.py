@@ -382,6 +382,11 @@ class BundleOptions:
         self.max_lambda = 1e10
         self.max_allowed_parallelism = 8
         self.verbose = False
+        # Extension over the reference surface: relative function
+        # tolerance on accepted LM steps (0 = reference-exact
+        # termination; the tracker auto-enables 1e-5 on device unless
+        # set here — see engine/tracker.py, POLYCHASE_TRACK_FTOL).
+        self.function_tol = 0.0
 
     def _to_engine(self) -> _levmarq.BundleOptions:
         loss = self.loss_type
@@ -398,6 +403,7 @@ class BundleOptions:
             max_lambda=float(self.max_lambda),
             max_allowed_parallelism=int(self.max_allowed_parallelism),
             verbose=bool(self.verbose),
+            function_tol=float(getattr(self, "function_tol", 0.0)),
         )
 
 

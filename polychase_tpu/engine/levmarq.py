@@ -56,6 +56,19 @@ class BundleOptions(NamedTuple):
     max_lambda: float = 1e10
     max_allowed_parallelism: int = 8
     verbose: bool = False
+    # Relative function tolerance on ACCEPTED steps (Ceres-style
+    # `function_tolerance`): stop once an accepted step improves the
+    # cost by less than ``function_tol * cost``.  0.0 (the default)
+    # disables it, reproducing the reference's termination exactly
+    # (cpp/pnp/lev_marq.h:146-227 has only gradient/step/λ-saturation
+    # exits).  The reference runs f32 like us, so after convergence its
+    # loop also burns a λ-doubling rejection tail (~7-9 iterations that
+    # can never change the parameters — each rejection only scales λ)
+    # before `step_norm < step_tol` fires; on CPU those tail iterations
+    # are nanoseconds, inside a TPU `lax.while_loop` they are the
+    # dominant tracking cost.  The tracker opts in (engine/tracker.py,
+    # POLYCHASE_TRACK_FTOL).
+    function_tol: float = 0.0
 
 
 class BundleStats(NamedTuple):
@@ -364,6 +377,21 @@ def lm_solve(problem: LMProblem, params0, opts: BundleOptions):
             | (accept & (grad_norm < opts.gradient_tol))
             | (~improved & ~tiny_step & lam_saturated)
         )
+        if opts.function_tol > 0.0:
+            # Two stagnation exits, both scaled by the current cost:
+            # - an ACCEPTED step that only shaved |actual| <= ftol·cost
+            #   is at the noise floor — nothing meaningful is left;
+            # - a REJECTED step whose attempted move changed the cost by
+            #   <= ftol·cost is the λ-doubling tail: every subsequent
+            #   step is strictly smaller (λ only grows while rejecting,
+            #   J/r are frozen), so it changes the cost even less and
+            #   can only be rejected or accepted-within-tolerance.
+            # Rejected iterations never touch the parameters, so the
+            # second exit returns bit-identical params to running the
+            # tail out; the first bounds the final accepted refinement
+            # by ftol·cost.
+            stagnated = jnp.abs(actual) <= opts.function_tol * s.cost
+            done = done | ((accept | (~improved & ~tiny_step)) & stagnated)
 
         return _LMState(
             params=params_out,

@@ -257,6 +257,7 @@ def normalize_bundle_opts(b: BundleOptions) -> BundleOptions:
         initial_lambda=float(b.initial_lambda),
         min_lambda=float(b.min_lambda),
         max_lambda=float(b.max_lambda),
+        function_tol=float(getattr(b, "function_tol", 0.0)),
     )
 
 

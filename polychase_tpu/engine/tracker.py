@@ -627,6 +627,24 @@ def track_camera_trajectory(
         range(frame_from + direction, frame_to_inclusive + direction,
               direction)
     )
+
+    # TPU-side termination aid: the reference's LM (f32 like ours,
+    # cpp/pnp/lev_marq.h:146-227) exits converged solves through a
+    # λ-doubling rejection tail — free on CPU, ~7-9 extra while_loop
+    # iterations per warm-started frame on device.  Enable the
+    # Ceres-style relative function tolerance on accepted steps unless
+    # the caller set one.  Measured (CPU, synthetic configs): 1e-5 cuts
+    # total LM iterations 537→249 on config 3 and 797→241 on the masked
+    # varintr config with pose/focal deltas ≤0.05% of the solves' own
+    # error; the noisy-flow demo's errors are unchanged.  Applied here
+    # (not in the per-path helpers) so the scan chain and the per-frame
+    # fallback keep identical semantics.  POLYCHASE_TRACK_FTOL
+    # overrides; 0 disables (exact reference termination).
+    if getattr(bundle_opts, "function_tol", 0.0) == 0.0:
+        _ftol = float(_os.environ.get("POLYCHASE_TRACK_FTOL", "1e-5"))
+        if _ftol > 0.0:
+            bundle_opts = bundle_opts._replace(function_tol=_ftol)
+
     if (
         len(frames) >= 4
         and _os.environ.get("POLYCHASE_SCAN_TRACK", "1") != "0"

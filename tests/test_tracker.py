@@ -256,3 +256,125 @@ def test_scan_chain_callback_cancel(tmp_path, rng):
     assert traj.is_frame_filled(3)
     assert not traj.is_frame_filled(4)
     assert not traj.is_frame_filled(5)
+
+
+def test_function_tol_tracks_like_reference_termination(
+    tmp_path, rng, monkeypatch
+):
+    """The tracker's default relative function tolerance (a TPU-side
+    termination aid for the reference's f32 λ-doubling rejection tail,
+    cpp/pnp/lev_marq.h:146-227) must cut LM iterations without moving
+    the trajectory: POLYCHASE_TRACK_FTOL=0 restores the reference-exact
+    exits, and both runs must agree to well under the solves' own
+    error."""
+    mesh = make_sphere_mesh()
+    intr = make_intrinsics()
+    poses = [orbit_pose(0.04 * t) for t in range(10)]
+    db_path = str(tmp_path / "flow.db")
+    build_flow_db(db_path, mesh, intr, poses, rng)
+
+    def run():
+        traj = CameraTrajectory(0, len(poses))
+        traj.set(0, C.CameraState(intr, poses[0]))
+        iters = []
+        track_camera_trajectory(
+            Database(db_path), traj, 0, len(poses) - 1,
+            np.eye(4, dtype=np.float32), mesh,
+            callback=lambda r: iters.append(
+                int(r.bundle_stats.iterations)
+            ) or True,
+        )
+        return traj, sum(iters)
+
+    monkeypatch.setenv("POLYCHASE_TRACK_FTOL", "0")
+    ref, ref_iters = run()
+    monkeypatch.delenv("POLYCHASE_TRACK_FTOL")
+    got, got_iters = run()
+
+    # This DB is geometrically exact, so the cost floor is ~0 and the
+    # RELATIVE tolerance rarely fires (accepted steps keep halving the
+    # cost) — the tolerance must never take MORE iterations, and the
+    # iteration-cutting behavior on noisy data is pinned by
+    # test_function_tol_cuts_iterations_on_noisy_pnp below.
+    assert got_iters <= ref_iters, (got_iters, ref_iters)
+    for i in range(1, len(poses)):
+        np.testing.assert_allclose(
+            np.asarray(got.get(i).pose.q), np.asarray(ref.get(i).pose.q),
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.get(i).pose.t), np.asarray(ref.get(i).pose.t),
+            atol=1e-3,
+        )
+
+
+def test_function_tol_explicit_opts_respected(tmp_path, rng, monkeypatch):
+    """A caller-provided function_tol wins over the env default (the
+    tracker only fills it in when left at 0)."""
+    from polychase_tpu.engine import tracker as T
+
+    mesh = make_sphere_mesh()
+    intr = make_intrinsics()
+    poses = [orbit_pose(0.04 * t) for t in range(8)]
+    db_path = str(tmp_path / "flow.db")
+    build_flow_db(db_path, mesh, intr, poses, rng)
+
+    seen = []
+    real = T._scan_track_fn
+
+    def spy(opt_f, opt_pp, opts_key):
+        seen.append(BundleOptions(*opts_key).function_tol)
+        return real(opt_f, opt_pp, opts_key)
+
+    monkeypatch.setattr(T, "_scan_track_fn", spy)
+    monkeypatch.setenv("POLYCHASE_TRACK_FTOL", "1e-5")
+
+    traj = CameraTrajectory(0, len(poses))
+    traj.set(0, C.CameraState(intr, poses[0]))
+    track_camera_trajectory(
+        Database(db_path), traj, 0, len(poses) - 1,
+        np.eye(4, dtype=np.float32), mesh,
+        bundle_opts=BundleOptions(function_tol=3e-7),
+    )
+    assert seen == [3e-7]
+
+
+def test_function_tol_cuts_iterations_on_noisy_pnp(rng):
+    """On noisy correspondences (nonzero cost floor — every real
+    tracking problem), function_tol must terminate the f32 rejection
+    tail early while landing on the same camera."""
+    from polychase_tpu.engine.pnp import PnPOptions, solve_pnp
+
+    mesh = make_sphere_mesh()
+    intr = make_intrinsics()
+    pose = orbit_pose(0.3)
+    pts, normals = sample_surface_points(mesh, rng, 200)
+    cam = C.CameraState(intr, pose)
+    px, ok = project_points(cam, pts)
+    ok &= visible_from(cam, pts, normals)
+    X = pts[ok]
+    x = px[ok] + rng.normal(0.0, 0.4, px[ok].shape).astype(np.float32)
+
+    warm = C.CameraState(intr, orbit_pose(0.33))
+
+    def solve(ftol):
+        opts = PnPOptions(
+            bundle_opts=BundleOptions(
+                loss_type=CAUCHY, loss_scale=1.0, function_tol=ftol,
+            )
+        )
+        return solve_pnp(X, x, warm, opts)
+
+    ref = solve(0.0)
+    got = solve(1e-5)
+    assert int(got.stats.iterations) < int(ref.stats.iterations), (
+        int(got.stats.iterations), int(ref.stats.iterations),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.camera.pose.t), np.asarray(ref.camera.pose.t),
+        atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.camera.pose.q), np.asarray(ref.camera.pose.q),
+        atol=1e-4,
+    )
