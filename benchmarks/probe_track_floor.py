@@ -126,19 +126,29 @@ def _host_pack_floor(db_path, mesh, intr, poses, reps=3):
     from polychase_tpu.engine import tracker as T
 
     real = T._scan_track_fn
+    fake_cache = {}
 
-    def fake_fn(opt_f, opt_pp, opts_key):
+    def fake_fn(opt_f, opt_pp, opts_key, **kw):
+        # Cached like the real factory — a fresh jit per call would
+        # recompile every rep and poison the floor measurement.
+        key = (opt_f, opt_pp, opts_key, tuple(sorted(kw.items())))
+        if key in fake_cache:
+            return fake_cache[key]
+
         @jax.jit
-        def run(mesh_, model, model_inv, q0, t0, in0, const5, xs):
-            src_idx, kp, tgt, val, tgt_i, warm_i = xs
+        def run(mesh_, model, model_inv, q0, t0, in0, const5, kps, xs):
+            tgt_i = xs[4]
             CH = tgt_i.shape[0]
             vecs = jnp.zeros((CH, 19), jnp.float32)
             vecs = vecs.at[:, 0].set(1.0)
             counts = jnp.full((CH,), 999, jnp.int32)
             # touch the inputs so uploads actually happen
-            counts = counts + (jnp.sum(val[0, 0]) * 0).astype(jnp.int32)
+            counts = counts + (
+                jnp.sum(xs[3][0, 0]) * 0
+            ).astype(jnp.int32)
             return (q0, t0, in0), vecs, counts
 
+        fake_cache[key] = run
         return run
 
     T._scan_track_fn = fake_fn

@@ -302,12 +302,23 @@ SCAN_CHUNK = int(os.environ.get("POLYCHASE_SCAN_CHUNK", "32"))
 
 _SCAN_TRACK_CACHE = {}
 
+# Upload format of the scan chain's per-frame inputs.  The packed-index
+# format (default) uploads each frame's keypoints ONCE as a clip-wide
+# (F, Kmax, 2) array plus u16 per-group indices and per-group counts —
+# the legacy format re-uploads the same source keypoints as f32 pixels
+# for every target frame (up to 16×) plus a bool prefix mask.  Both
+# produce bit-identical solves (the gather yields the same f32 values
+# and ``iota < count`` equals the prefix mask); packed-index moves
+# ~2× fewer bytes over the link.  POLYCHASE_TRACK_IDX=0 restores legacy.
+PACKED_IDX = os.environ.get("POLYCHASE_TRACK_IDX", "1") != "0"
 
-def _scan_track_fn(opt_f: bool, opt_pp: bool, opts_key):
+
+def _scan_track_fn(opt_f: bool, opt_pp: bool, opts_key,
+                   packed_idx: bool = True):
     from .pnp import solve_arrays
     from functools import partial as _partial
 
-    key = (opt_f, opt_pp, opts_key)
+    key = (opt_f, opt_pp, opts_key, packed_idx)
     fn = _SCAN_TRACK_CACHE.get(key)
     if fn is not None:
         return fn
@@ -315,14 +326,24 @@ def _scan_track_fn(opt_f: bool, opt_pp: bool, opts_key):
     opts = BundleOptions(*opts_key)
 
     @_partial(jax.jit, static_argnames=())
-    def run(mesh, model, model_inv, q0, t0, in0, const5, xs):
+    def run(mesh, model, model_inv, q0, t0, in0, const5, kps_all, xs):
         """Scan a chunk of frames.  Carry: (F,4) quats, (F,3) translations,
         (F,4) [fx,fy,cx,cy].  ``const5`` = [aspect, width, height, sign,
-        max_inlier_error] shared by every frame of the clip."""
+        max_inlier_error] shared by every frame of the clip.  ``kps_all``
+        is the (F, Kmax, 2) clip keypoint table (packed-index format) or
+        a (1, 1, 2) dummy (legacy format)."""
 
         def step(carry, x):
             q_all, t_all, in_all = carry
-            src_idx, kp, tgt, val, tgt_i, warm_i = x
+            if packed_idx:
+                src_idx, kp_idx, cnt, tgt, tgt_i, warm_i = x
+                kp = kps_all[src_idx[:, None], kp_idx.astype(jnp.int32)]
+                val = (
+                    jnp.arange(kp_idx.shape[1], dtype=jnp.int32)[None, :]
+                    < cnt[:, None]
+                )
+            else:
+                src_idx, kp, tgt, val, tgt_i, warm_i = x
 
             qs = q_all[src_idx]  # (Gp, 4)
             ts = t_all[src_idx]
@@ -368,11 +389,13 @@ def _scan_track_fn(opt_f: bool, opt_pp: bool, opts_key):
     return run
 
 
-def _frame_groups(database: Database, frame_id: int, available) :
+def _frame_groups(database: Database, frame_id: int, available):
     """Host half of the gather for one frame: flows into ``frame_id``
     from frames in ``available`` (cpp/tracker.cc:43-62), as
-    (src_frame_id, src_px, tgt_px) triples — no pose math, so it can run
-    before the sources are actually solved."""
+    (src_frame_id, src_kps_indices, tgt_px) triples — no pose math, so
+    it can run before the sources are actually solved.  Keypoint pixels
+    are NOT materialized here: the scan chain uploads each frame's
+    keypoint table once and gathers by index on device."""
     groups = []
     for flow_frame_id in database.find_optical_flows_to_image(frame_id):
         if flow_frame_id == frame_id:
@@ -382,9 +405,8 @@ def _frame_groups(database: Database, frame_id: int, available) :
         flow = database.read_image_pair_flow(flow_frame_id, frame_id)
         if flow.src_kps_indices.size == 0:
             continue
-        keypoints = database.read_keypoints(flow_frame_id)
         groups.append(
-            (flow_frame_id, keypoints[flow.src_kps_indices], flow.tgt_kps)
+            (flow_frame_id, flow.src_kps_indices, flow.tgt_kps)
         )
     return groups
 
@@ -447,7 +469,7 @@ def _track_chunked_scan(
     opts_key = tuple(normalize_bundle_opts(bundle_opts))
     run = _scan_track_fn(
         bool(optimize_focal_length), bool(optimize_principal_point),
-        opts_key,
+        opts_key, packed_idx=PACKED_IDX,
     )
 
     # Pack every chunk up front (host DB reads are cheap), then pipeline
@@ -483,30 +505,59 @@ def _track_chunked_scan(
              for _, _, gs in pf for g in gs] + [1]
         )
     )
+
+    # Clip-wide keypoint table, uploaded once: rows are only filled for
+    # frames actually referenced as flow sources (others stay zero).
+    src_frames = sorted(
+        {src_f for pf in all_per_frame for _, _, gs in pf
+         for src_f, _, _ in gs}
+    )
+    kps_by_frame = {f: database.read_keypoints(f) for f in src_frames}
+    Kmax = bucket_size(
+        max([k.shape[0] for k in kps_by_frame.values()] + [1])
+    )
+    kps_all = np.zeros((F, Kmax, 2), np.float32)
+    for f, k in kps_by_frame.items():
+        kps_all[f - first_abs, : k.shape[0]] = k
+    idx_dtype = np.uint16 if Kmax <= np.iinfo(np.uint16).max else np.int32
+
     packed_chunks = []
     for chunk, per_frame in zip(chunk_frames, all_per_frame):
         CH = len(chunk)
         src_idx = np.zeros((SCAN_CHUNK, Gp), np.int32)
-        kp_px = np.zeros((SCAN_CHUNK, Gp, K, 2), np.float32)
         tgt_px = np.zeros((SCAN_CHUNK, Gp, K, 2), np.float32)
-        val = np.zeros((SCAN_CHUNK, Gp, K), bool)
         tgt_i = np.zeros((SCAN_CHUNK,), np.int32)
         warm_i = np.zeros((SCAN_CHUNK,), np.int32)
+        if PACKED_IDX:
+            kp_idx = np.zeros((SCAN_CHUNK, Gp, K), idx_dtype)
+            cnt = np.zeros((SCAN_CHUNK, Gp), np.int32)
+        else:
+            kp_px = np.zeros((SCAN_CHUNK, Gp, K, 2), np.float32)
+            val = np.zeros((SCAN_CHUNK, Gp, K), bool)
         for r, (frame_id, warm, groups) in enumerate(per_frame):
             tgt_i[r] = frame_id - first_abs
             warm_i[r] = warm - first_abs
-            for g, (src_f, src_px, tpx) in enumerate(groups):
-                n = src_px.shape[0]
+            for g, (src_f, idx, tpx) in enumerate(groups):
+                n = idx.shape[0]
                 src_idx[r, g] = src_f - first_abs
-                kp_px[r, g, :n] = src_px
                 tgt_px[r, g, :n] = tpx
-                val[r, g, :n] = True
+                if PACKED_IDX:
+                    kp_idx[r, g, :n] = idx
+                    cnt[r, g] = n
+                else:
+                    kp_px[r, g, :n] = kps_by_frame[src_f][idx]
+                    val[r, g, :n] = True
         for r in range(CH, SCAN_CHUNK):  # padding rows: masked no-ops
             tgt_i[r] = tgt_i[CH - 1]
             warm_i[r] = warm_i[CH - 1]
-        packed_chunks.append(
-            (chunk, (src_idx, kp_px, tgt_px, val, tgt_i, warm_i))
-        )
+        if PACKED_IDX:
+            xs_np = (src_idx, kp_idx, cnt, tgt_px, tgt_i, warm_i)
+        else:
+            xs_np = (src_idx, kp_px, tgt_px, val, tgt_i, warm_i)
+        packed_chunks.append((chunk, xs_np))
+    if not PACKED_IDX:
+        kps_all = np.zeros((1, 1, 2), np.float32)  # unused dummy
+    kps_all_d = jnp.asarray(kps_all)
 
     model = jnp.asarray(np.asarray(model_matrix, np.float32))
     model_inv = jnp.asarray(
@@ -569,7 +620,7 @@ def _track_chunked_scan(
         for chunk, xs_np in packed_chunks:
             xs = tuple(jnp.asarray(a) for a in xs_np)
             carry, vecs, counts = run(
-                mesh, model, model_inv, *carry, const5_j, xs
+                mesh, model, model_inv, *carry, const5_j, kps_all_d, xs
             )
             for arr in (vecs, counts):
                 try:

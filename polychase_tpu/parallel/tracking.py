@@ -44,8 +44,10 @@ def make_track_mesh(devices=None) -> DeviceMesh:
     return DeviceMesh(devices.reshape(-1), (SEGMENT_AXIS,))
 
 
-def _pack_segment(database, traj, Gp, K, n_steps):
-    """One segment's scan inputs, padded to (n_steps, Gp, K)."""
+def _pack_segment(database, traj, Gp, K, n_steps, Fmax, Kmax):
+    """One segment's scan inputs, padded to (n_steps, Gp, K), plus its
+    (Fmax, Kmax, 2) keypoint table (packed-index upload format — see
+    engine.tracker._scan_track_fn)."""
     first_abs = traj.first_frame
     F = traj.count
     if not traj.is_frame_filled(first_abs):
@@ -55,12 +57,15 @@ def _pack_segment(database, traj, Gp, K, n_steps):
     frames = list(range(first_abs + 1, first_abs + F))
     available = {first_abs}
 
+    idx_dtype = np.uint16 if Kmax <= np.iinfo(np.uint16).max else np.int32
     src_idx = np.zeros((n_steps, Gp), np.int32)
-    kp_px = np.zeros((n_steps, Gp, K, 2), np.float32)
+    kp_idx = np.zeros((n_steps, Gp, K), idx_dtype)
+    cnt = np.zeros((n_steps, Gp), np.int32)
     tgt_px = np.zeros((n_steps, Gp, K, 2), np.float32)
-    val = np.zeros((n_steps, Gp, K), bool)
     tgt_i = np.zeros((n_steps,), np.int32)
     warm_i = np.zeros((n_steps,), np.int32)
+    kps_seg = np.zeros((Fmax, Kmax, 2), np.float32)
+    filled_kp: set = set()
     for r, frame_id in enumerate(frames):
         groups = _frame_groups(database, frame_id, available)
         for cand in (frame_id, frame_id - 1, frame_id + 1):
@@ -71,17 +76,21 @@ def _pack_segment(database, traj, Gp, K, n_steps):
             warm = frame_id - 1
         tgt_i[r] = frame_id - first_abs
         warm_i[r] = warm - first_abs
-        for g, (src_f, src_px, tpx) in enumerate(groups):
-            n = src_px.shape[0]
+        for g, (src_f, idx, tpx) in enumerate(groups):
+            n = idx.shape[0]
             src_idx[r, g] = src_f - first_abs
-            kp_px[r, g, :n] = src_px
+            kp_idx[r, g, :n] = idx
+            cnt[r, g] = n
             tgt_px[r, g, :n] = tpx
-            val[r, g, :n] = True
+            if src_f not in filled_kp:
+                k = database.read_keypoints(src_f)
+                kps_seg[src_f - first_abs, : k.shape[0]] = k
+                filled_kp.add(src_f)
         available.add(frame_id)
     for r in range(len(frames), n_steps):  # padding rows: masked no-ops
         tgt_i[r] = tgt_i[len(frames) - 1]
         warm_i[r] = warm_i[len(frames) - 1]
-    return (src_idx, kp_px, tgt_px, val, tgt_i, warm_i)
+    return (src_idx, kp_idx, cnt, tgt_px, tgt_i, warm_i), kps_seg
 
 
 def track_segments(
@@ -112,6 +121,7 @@ def track_segments(
     try:
         # Shared sizing pass over all segments (one compiled shape).
         sizes = []
+        src_frames: set = set()
         for traj in trajs:
             first_abs = traj.first_frame
             available = {first_abs}
@@ -122,22 +132,32 @@ def track_segments(
                 kmax = max(
                     kmax, max((g[1].shape[0] for g in groups), default=1)
                 )
+                src_frames.update(g[0] for g in groups)
                 available.add(frame_id)
             sizes.append((gmax, kmax))
         G = max(g for g, _ in sizes)
         Gp = -(-max(8, G) // 8) * 8
         K = bucket_size(max(k for _, k in sizes))
         n_steps = max(t.count - 1 for t in trajs)
+        Fmax = max(t.count for t in trajs)
+        Kmax = bucket_size(
+            max(
+                [database.read_keypoints(f).shape[0] for f in src_frames]
+                + [1]
+            )
+        )
 
-        xs_list = [
-            _pack_segment(database, t, Gp, K, n_steps) for t in trajs
+        packed = [
+            _pack_segment(database, t, Gp, K, n_steps, Fmax, Kmax)
+            for t in trajs
         ]
+        xs_list = [p[0] for p in packed]
+        kps_all = np.stack([p[1] for p in packed])  # (S, Fmax, Kmax, 2)
     finally:
         if own_db:
             database.close()
 
     S = len(trajs)
-    Fmax = max(t.count for t in trajs)
     # One batched host gather for every seed (per-segment device_get
     # would pay a link round trip each on a tunneled chip).
     seeds = jax.device_get(
@@ -186,6 +206,7 @@ def track_segments(
         jnp.asarray(np.stack([x[i] for x in xs_list]))
         for i in range(6)
     )
+    kps_d = jnp.asarray(kps_all)
     carry0 = (jnp.asarray(q0), jnp.asarray(t0), jnp.asarray(in0))
 
     model = jnp.asarray(np.asarray(model_matrix, np.float32))
@@ -195,10 +216,14 @@ def track_segments(
         )
     )
 
-    def solve(q0, t0, in0, xs, mesh_, model_, model_inv_, const5_):
-        return run(mesh_, model_, model_inv_, q0, t0, in0, const5_, xs)
+    def solve(q0, t0, in0, kps, xs, mesh_, model_, model_inv_, const5_):
+        return run(
+            mesh_, model_, model_inv_, q0, t0, in0, const5_, kps, xs
+        )
 
-    batched = jax.vmap(solve, in_axes=(0, 0, 0, 0, None, None, None, None))
+    batched = jax.vmap(
+        solve, in_axes=(0, 0, 0, 0, 0, None, None, None, None)
+    )
 
     dev_mesh = None
     if device_mesh is not False:
@@ -217,24 +242,25 @@ def track_segments(
             )
             carry0 = tuple(pad(c) for c in carry0)
             xs = tuple(pad(x) for x in xs)
+            kps_d = pad(kps_d)
         seg = PSpec(SEGMENT_AXIS)
         rep = PSpec()
         fn = shard_map(
             batched,
             mesh=dev_mesh,
             in_specs=(
-                seg, seg, seg, (seg,) * 6,
+                seg, seg, seg, seg, (seg,) * 6,
                 jax.tree.map(lambda _: rep, mesh), rep, rep, rep,
             ),
             out_specs=((seg, seg, seg), seg, seg),
             check_vma=False,
         )
         carry, vecs, counts = fn(
-            *carry0, xs, mesh, model, model_inv, const5
+            *carry0, kps_d, xs, mesh, model, model_inv, const5
         )
     else:
         carry, vecs, counts = batched(
-            *carry0, xs, mesh, model, model_inv, const5
+            *carry0, kps_d, xs, mesh, model, model_inv, const5
         )
 
     q_all, t_all, in_all = jax.device_get(carry)

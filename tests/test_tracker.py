@@ -230,6 +230,42 @@ def test_scan_chain_matches_per_frame(tmp_path, rng, monkeypatch):
         )
 
 
+def test_packed_idx_upload_bit_exact(tmp_path, rng, monkeypatch):
+    """The packed-index upload format (keypoint table + u16 indices +
+    counts) must be BIT-IDENTICAL to the legacy f32-pixels + bool-mask
+    format: the device gather yields the same f32 keypoint values and
+    ``iota < count`` equals the prefix mask, so every downstream f32 op
+    sees the same operands."""
+    from polychase_tpu.engine import tracker as T
+
+    mesh = make_sphere_mesh()
+    intr = make_intrinsics()
+    poses = [orbit_pose(0.04 * t) for t in range(10)]
+    db_path = str(tmp_path / "flow.db")
+    build_flow_db(db_path, mesh, intr, poses, rng)
+
+    def run():
+        traj = CameraTrajectory(0, len(poses))
+        traj.set(0, C.CameraState(intr, poses[0]))
+        track_camera_trajectory(
+            Database(db_path), traj, 0, len(poses) - 1,
+            np.eye(4, dtype=np.float32), mesh,
+        )
+        return traj
+
+    monkeypatch.setattr(T, "PACKED_IDX", False)
+    ref = run()
+    monkeypatch.setattr(T, "PACKED_IDX", True)
+    got = run()
+    for i in range(1, len(poses)):
+        np.testing.assert_array_equal(
+            np.asarray(got.get(i).pose.q), np.asarray(ref.get(i).pose.q)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.get(i).pose.t), np.asarray(ref.get(i).pose.t)
+        )
+
+
 def test_scan_chain_callback_cancel(tmp_path, rng):
     """Cancelling from the callback stops the scan path mid-run."""
     mesh = make_sphere_mesh()
@@ -322,9 +358,9 @@ def test_function_tol_explicit_opts_respected(tmp_path, rng, monkeypatch):
     seen = []
     real = T._scan_track_fn
 
-    def spy(opt_f, opt_pp, opts_key):
+    def spy(opt_f, opt_pp, opts_key, **kw):
         seen.append(BundleOptions(*opts_key).function_tol)
-        return real(opt_f, opt_pp, opts_key)
+        return real(opt_f, opt_pp, opts_key, **kw)
 
     monkeypatch.setattr(T, "_scan_track_fn", spy)
     monkeypatch.setenv("POLYCHASE_TRACK_FTOL", "1e-5")
