@@ -203,3 +203,39 @@ def test_raycast_grouped_matches_flat(rng):
         np.asarray(flat.t)[f_valid],
         rtol=1e-4,
     )
+
+
+def test_raycast_grouped_chunked_matches_default(rng):
+    """Forcing a small triangle chunk (multi-block lax.scan, winner
+    carried across block boundaries) returns the same hits as the
+    single-block power-of-two cover, including the post-scan
+    barycentric recompute for winners found in any block."""
+    from polychase_tpu.engine.raycast import raycast_grouped
+    from synthetic import make_sphere_mesh
+
+    mesh = make_sphere_mesh()
+    G, K = 2, 48
+    origins = np.array([[0, 0, 4], [1.5, -0.5, 3]], np.float32)
+    dirs = np.zeros((G, K, 3), np.float32)
+    for g in range(G):
+        targets = rng.uniform(-1.1, 1.1, (K, 3)).astype(np.float32)
+        dirs[g] = targets - origins[g]
+
+    full = raycast_grouped(mesh, jnp.asarray(origins), jnp.asarray(dirs))
+    parts = raycast_grouped(
+        mesh, jnp.asarray(origins), jnp.asarray(dirs), chunk=64
+    )
+    assert np.array_equal(np.asarray(full.valid), np.asarray(parts.valid))
+    v = np.asarray(full.valid)
+    assert v.sum() > G * K // 3
+    assert np.array_equal(
+        np.asarray(full.prim_id)[v], np.asarray(parts.prim_id)[v]
+    )
+    np.testing.assert_allclose(
+        np.asarray(full.barycentric)[v],
+        np.asarray(parts.barycentric)[v],
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(full.pos)[v], np.asarray(parts.pos)[v], atol=1e-6
+    )
