@@ -29,6 +29,9 @@ frames = bench.make_clip()
 from polychase_tpu.engine.opticalflow import VideoInfo, generate_optical_flow_database
 info = VideoInfo(bench.W, bench.H, 0, len(frames))
 VAR = os.environ["AB_VARIANT"]          # narrow | mxu
+if VAR == "mxu":
+    raise SystemExit("the MXU blend was deleted in round 5 (measured "
+                     "7.6x slower in round 4; see BENCHMARKS.md)")
 FLAG = {"narrow": "POLYCHASE_LK_NARROW", "mxu": "POLYCHASE_LK_MXU"}[VAR]
 ARMS = ["0", "1", "2"] if VAR == "narrow" else ["0", "1"]
 def run():

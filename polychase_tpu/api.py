@@ -383,9 +383,12 @@ class BundleOptions:
         self.max_allowed_parallelism = 8
         self.verbose = False
         # Extension over the reference surface: relative function
-        # tolerance on accepted LM steps (0 = reference-exact
-        # termination; the tracker auto-enables 1e-5 on device unless
-        # set here — see engine/tracker.py, POLYCHASE_TRACK_FTOL).
+        # tolerance on accepted LM steps.  0 = reference-exact
+        # termination.  NOTE the default-behavior divergence: tracking
+        # auto-enables 1e-5 when this is left at 0 (measured +37%
+        # throughput, pose/focal deltas <=0.05% of the solves' own
+        # error); refine keeps 0.  POLYCHASE_TRACK_FTOL=0 restores
+        # reference-exact tracking termination (engine/tracker.py).
         self.function_tol = 0.0
 
     def _to_engine(self) -> _levmarq.BundleOptions:

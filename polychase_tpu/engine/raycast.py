@@ -286,7 +286,14 @@ def raycast_grouped(
     bB = jnp.cross(be2, bomv)
     bCq = jnp.cross(bomv, be1)
     bdet = jnp.sum(dirs * jnp.cross(be2, be1), axis=-1)
-    binv = jnp.where(valid, 1.0 / jnp.where(valid, bdet, 1.0), 0.0)
+    # The winner passed the in-scan |det| > eps test, but this recompute
+    # can round differently (different fusion order); f32 cancellation
+    # noise near a grazing hit could reach 0 or flip sign.  Fold that
+    # degenerate case into ``valid`` so a valid hit can never carry
+    # non-finite barycentrics/pos into the PnP solve.
+    bdet_ok = jnp.abs(bdet) > eps
+    valid = valid & bdet_ok
+    binv = jnp.where(valid, 1.0 / jnp.where(bdet_ok, bdet, 1.0), 0.0)
     u = jnp.sum(dirs * bB, axis=-1) * binv
     v = jnp.sum(dirs * bCq, axis=-1) * binv
     best_uv = jnp.stack([u, v], axis=-1)

@@ -342,64 +342,48 @@ _all_rays_jit = jax.jit(_all_rays)
 # The fused single-dispatch brute sweep wins below ~130k triangles once
 # the host path's transfers are charged; the uniform-grid DDA
 # (engine/gridcast.py) is exact but gather/lockstep-bound and never wins
-# on this hardware — it stays opt-in via POLYCHASE_GRID_RAYCAST=1.
+# on this hardware.  Its live routing (POLYCHASE_GRID_RAYCAST) was
+# REMOVED in round 5 — gridcast stays as a benchmark-only module
+# (benchmarks/bench_raycast_grid.py); do not re-wire it into the
+# refiner without a measurement beating the table above.
 BVH_TRIANGLE_THRESHOLD = 131072
 
 
-def _refresh_routing(mesh: Mesh, grid_accel=None):
+def _refresh_routing(mesh: Mesh):
     """The prim-refresh backend decision, shared by the refresher factory
-    and refine_trajectory's LM-driver selection.
-
-    Returns ``(use_bvh, grid_accel)``: host C++ BVH above the measured
-    BVH_TRIANGLE_THRESHOLD crossover, else the fused device sweep —
-    through the uniform-grid DDA when ``POLYCHASE_GRID_RAYCAST=1`` (or an
-    explicit ``grid_accel``), brute otherwise.
+    and refine_trajectory's LM-driver selection: host C++ BVH above the
+    measured BVH_TRIANGLE_THRESHOLD crossover, else the fused device
+    brute sweep.
     """
-    import os as _os
-
-    if grid_accel is None and (
-        _os.environ.get("POLYCHASE_GRID_RAYCAST") == "1"
-    ):
-        from .gridcast import build_grid_accel
-
-        grid_accel = build_grid_accel(mesh.vertices, mesh.triangles)
-
     use_bvh = False
-    if (
-        grid_accel is None
-        and mesh.num_triangles >= BVH_TRIANGLE_THRESHOLD
-    ):
+    if mesh.num_triangles >= BVH_TRIANGLE_THRESHOLD:
         try:
             from .. import native
 
             use_bvh = native.available()
         except Exception:  # pragma: no cover
             use_bvh = False
-    return use_bvh, grid_accel
+    return use_bvh
 
 
 def _make_prim_refresher(data: RefinerData, mesh: Mesh, model, model_inv,
                          tri_corners, loss_scale, loss_type: int,
-                         grid_accel=None, device_mesh=None,
+                         device_mesh=None,
                          routing=None):
     """Choose the prim-cache refresh path by measured crossover.
 
     Default is the fused single-dispatch device sweep (raycast + cost in
     one program, zero transfers); above BVH_TRIANGLE_THRESHOLD the rays
     are pulled to the host and cast through the native C++ BVH — the
-    reference's Embree role (cpp/ray_casting.cc:21-121).  Set
-    ``POLYCHASE_GRID_RAYCAST=1`` (or pass ``grid_accel``) to route the
-    device sweep through the exact uniform-grid DDA traversal instead of
-    the brute sweep — measured slower on TPU (see the table above), kept
-    as the all-on-device option for meshes past the brute path's reach.
+    reference's Embree role (cpp/ray_casting.cc:21-121).
     """
     if routing is None:
-        routing = _refresh_routing(mesh, grid_accel)
-    use_bvh, grid_accel = routing
+        routing = _refresh_routing(mesh)
+    use_bvh = routing
 
     if not use_bvh:
 
-        if device_mesh is not None and grid_accel is None:
+        if device_mesh is not None:
             # Multi-chip: shard the F·K-ray sweep over the mesh — the
             # raycast is the refresh's dominant cost and embarrassingly
             # parallel over rays (SURVEY §2.4).
@@ -432,7 +416,7 @@ def _make_prim_refresher(data: RefinerData, mesh: Mesh, model, model_inv,
         def refresh(params):
             return refresh_prims_and_cost(
                 params, data, mesh, model, model_inv, tri_corners,
-                loss_scale, loss_type=loss_type, grid_accel=grid_accel,
+                loss_scale, loss_type=loss_type,
             )
 
         return refresh
@@ -476,25 +460,17 @@ def _make_prim_refresher(data: RefinerData, mesh: Mesh, model, model_inv,
 @partial(jax.jit, static_argnames=())
 def refresh_prims(
     params: TrajParams, data: RefinerData, mesh: Mesh, model_inv,
-    grid_accel=None,
 ) -> jax.Array:
     """Batched ray-cast of every (frame, keypoint) ray → prim ids (F, K).
 
     The TPU equivalent of the reference's lazily-filled intersection
-    cache (cpp/refiner.cc:320-349): one masked sweep instead of per-miss
-    Embree queries — brute-force below BVH_TRIANGLE_THRESHOLD, the
-    uniform-grid DDA traversal when ``grid_accel`` is given.
+    cache (cpp/refiner.cc:320-349): one masked brute-force sweep instead
+    of per-miss Embree queries (the host BVH handles meshes above
+    BVH_TRIANGLE_THRESHOLD — see _make_prim_refresher).
     """
     F, K = data.kps.shape[:2]
     origin_o, dir_o = _all_rays(params, data, model_inv)
-    if grid_accel is not None:
-        from .gridcast import grid_raycast_grouped
-
-        hits = grid_raycast_grouped(
-            mesh, grid_accel, origin_o, dir_o, check_mask=True
-        )
-    else:
-        hits = raycast_grouped(mesh, origin_o, dir_o, check_mask=True)
+    hits = raycast_grouped(mesh, origin_o, dir_o, check_mask=True)
     prim = jnp.where(
         hits.valid & data.kp_valid,
         hits.prim_id.astype(jnp.int32),
@@ -630,12 +606,12 @@ def _edge_eval(
 @partial(jax.jit, static_argnames=("loss_type",))
 def refresh_prims_and_cost(
     params, data: RefinerData, mesh: Mesh, model, model_inv,
-    tri_corners, loss_scale, *, loss_type: int, grid_accel=None,
+    tri_corners, loss_scale, *, loss_type: int,
 ):
     """Fused accepted-step update: one dispatch for the prim-cache sweep
     and the post-refresh cost (the host loop otherwise pays two device
     round-trips per accepted LM step)."""
-    prims = refresh_prims(params, data, mesh, model_inv, grid_accel)
+    prims = refresh_prims(params, data, mesh, model_inv)
     cost = total_cost(
         params, data, prims, tri_corners, model, model_inv, loss_scale,
         loss_type=loss_type,
@@ -874,7 +850,7 @@ _LM_CHUNK_ITERS = int(_os_mod.environ.get("POLYCHASE_LM_CHUNK", "4"))
 def lm_chunk_device(
     params, prims, JtJ, Jtr, scal,
     data: RefinerData, mesh: Mesh, model, model_inv, tri_corners,
-    loss_scale, bounds: C.Bounds, tol4, grid_accel=None,
+    loss_scale, bounds: C.Bounds, tol4,
     *, loss_type: int, opt_f: bool, opt_pp: bool, ppc: int, n_iters: int,
     band: tuple = (),
 ):
@@ -947,7 +923,7 @@ def lm_chunk_device(
                 improved,
                 lambda p: refresh_prims_and_cost(
                     p, data, mesh, model, model_inv, tri_corners,
-                    loss_scale, loss_type=loss_type, grid_accel=grid_accel,
+                    loss_scale, loss_type=loss_type,
                 ),
                 lambda p: (prims, cost),
                 params_new,
@@ -1068,7 +1044,6 @@ def refine_trajectory(
     callback: Optional[RefineTrajectoryCallback] = None,
     bundle_opts: BundleOptions = BundleOptions(),
     device_mesh=None,
-    grid_accel=None,
 ) -> CameraTrajectory:
     """Refine a fully-filled trajectory segment in place; returns the
     refined trajectory (cpp/refiner.cc:649-725).
@@ -1143,8 +1118,8 @@ def refine_trajectory(
     params = traj_to_params(traj)
     import os as _os
 
-    routing = _refresh_routing(mesh, grid_accel)
-    wants_bvh, ga = routing
+    routing = _refresh_routing(mesh)
+    wants_bvh = routing
     # The fully device-resident LM schedule needs the prim refresh on
     # device too (fused brute sweep or grid); the host-BVH and sharded
     # paths keep the per-iteration host driver.
@@ -1253,7 +1228,7 @@ def refine_trajectory(
                     lm_chunk_device(
                         params_d, prims_d, JtJ_d, Jtr_d, scal, data, mesh,
                         model, model_inv, tri_corners, loss_scale, bounds,
-                        tol4, ga, loss_type=loss_type, opt_f=opt_f,
+                        tol4, loss_type=loss_type, opt_f=opt_f,
                         opt_pp=opt_pp, ppc=ppc,
                         n_iters=_LM_CHUNK_ITERS, band=band,
                     )

@@ -309,21 +309,37 @@ _SCAN_TRACK_CACHE = {}
 # for every target frame (up to 16×) plus a bool prefix mask.  Both
 # produce bit-identical solves (the gather yields the same f32 values
 # and ``iota < count`` equals the prefix mask); packed-index moves
-# ~2× fewer bytes over the link.  POLYCHASE_TRACK_IDX=0 restores legacy.
+# ~2× fewer bytes over the link.  POLYCHASE_TRACK_IDX=0 restores legacy
+# on THIS single-chip scan chain only — the multi-chip segment path
+# (parallel/tracking.py) is packed-only by construction.
 PACKED_IDX = os.environ.get("POLYCHASE_TRACK_IDX", "1") != "0"
+
+# Quantized target-pixel upload (packed-index format only).  The target
+# keypoints are the dominant upload of the scan chain (f32 (CH,Gp,K,2)
+# per chunk ≈ 8/9 of the link bytes, and the measured "host floor" of
+# the tracking decomposition is ~entirely link bytes — BENCHMARKS.md
+# round-5 table).  Each frame's targets are encoded as i16 deltas
+# against the clip keypoint table already on device, with a per-frame
+# dynamic scale (max|delta|/32700 → quantum ≈ 0.003 px for a 100 px
+# flow, bounded 0.5·scale).  Same design as the accepted LK result
+# compression (engine/lk.py, POLYCHASE_LK_COMPRESS).
+# POLYCHASE_TRACK_QTGT=0 restores the exact-f32 upload.
+QUANT_TGT = os.environ.get("POLYCHASE_TRACK_QTGT", "1") != "0"
 
 
 def _scan_track_fn(opt_f: bool, opt_pp: bool, opts_key,
-                   packed_idx: bool = True):
+                   packed_idx: bool = True, quant_tgt: bool = False):
     from .pnp import solve_arrays
     from functools import partial as _partial
 
-    key = (opt_f, opt_pp, opts_key, packed_idx)
+    key = (opt_f, opt_pp, opts_key, packed_idx, quant_tgt)
     fn = _SCAN_TRACK_CACHE.get(key)
     if fn is not None:
         return fn
 
     opts = BundleOptions(*opts_key)
+    if quant_tgt and not packed_idx:
+        raise ValueError("quant_tgt requires the packed-index format")
 
     @_partial(jax.jit, static_argnames=())
     def run(mesh, model, model_inv, q0, t0, in0, const5, kps_all, xs):
@@ -336,12 +352,17 @@ def _scan_track_fn(opt_f: bool, opt_pp: bool, opts_key,
         def step(carry, x):
             q_all, t_all, in_all = carry
             if packed_idx:
-                src_idx, kp_idx, cnt, tgt, tgt_i, warm_i = x
+                if quant_tgt:
+                    src_idx, kp_idx, cnt, tgt_q, qs, tgt_i, warm_i = x
+                else:
+                    src_idx, kp_idx, cnt, tgt, tgt_i, warm_i = x
                 kp = kps_all[src_idx[:, None], kp_idx.astype(jnp.int32)]
                 val = (
                     jnp.arange(kp_idx.shape[1], dtype=jnp.int32)[None, :]
                     < cnt[:, None]
                 )
+                if quant_tgt:
+                    tgt = kp + tgt_q.astype(jnp.float32) * qs
             else:
                 src_idx, kp, tgt, val, tgt_i, warm_i = x
 
@@ -470,6 +491,7 @@ def _track_chunked_scan(
     run = _scan_track_fn(
         bool(optimize_focal_length), bool(optimize_principal_point),
         opts_key, packed_idx=PACKED_IDX,
+        quant_tgt=PACKED_IDX and QUANT_TGT,
     )
 
     # Pack every chunk up front (host DB reads are cheap), then pipeline
@@ -519,7 +541,15 @@ def _track_chunked_scan(
     kps_all = np.zeros((F, Kmax, 2), np.float32)
     for f, k in kps_by_frame.items():
         kps_all[f - first_abs, : k.shape[0]] = k
-    idx_dtype = np.uint16 if Kmax <= np.iinfo(np.uint16).max else np.int32
+    # Smallest index dtype that holds Kmax-1 (the device gather casts to
+    # i32 either way, so this only changes link bytes, not values).
+    if Kmax <= 1 << 8:
+        idx_dtype = np.uint8
+    elif Kmax <= np.iinfo(np.uint16).max:
+        idx_dtype = np.uint16
+    else:
+        idx_dtype = np.int32
+    quant = PACKED_IDX and QUANT_TGT
 
     packed_chunks = []
     for chunk, per_frame in zip(chunk_frames, all_per_frame):
@@ -534,23 +564,39 @@ def _track_chunked_scan(
         else:
             kp_px = np.zeros((SCAN_CHUNK, Gp, K, 2), np.float32)
             val = np.zeros((SCAN_CHUNK, Gp, K), bool)
+        if quant:
+            tgt_q = np.zeros((SCAN_CHUNK, Gp, K, 2), np.int16)
+            qs = np.ones((SCAN_CHUNK,), np.float32)
         for r, (frame_id, warm, groups) in enumerate(per_frame):
             tgt_i[r] = frame_id - first_abs
             warm_i[r] = warm - first_abs
             for g, (src_f, idx, tpx) in enumerate(groups):
                 n = idx.shape[0]
                 src_idx[r, g] = src_f - first_abs
-                tgt_px[r, g, :n] = tpx
+                if quant:
+                    # Store the delta vs the device keypoint table; the
+                    # scan reconstructs tgt = kp + delta_q * scale.
+                    tgt_px[r, g, :n] = tpx - kps_by_frame[src_f][idx]
+                else:
+                    tgt_px[r, g, :n] = tpx
                 if PACKED_IDX:
                     kp_idx[r, g, :n] = idx
                     cnt[r, g] = n
                 else:
                     kp_px[r, g, :n] = kps_by_frame[src_f][idx]
                     val[r, g, :n] = True
+            if quant:
+                m = float(np.abs(tgt_px[r]).max())
+                scale = (m / 32700.0) if m > 0.0 else 1.0
+                qs[r] = scale
+                np.rint(tgt_px[r] * (1.0 / scale), out=tgt_px[r])
+                tgt_q[r] = tgt_px[r]
         for r in range(CH, SCAN_CHUNK):  # padding rows: masked no-ops
             tgt_i[r] = tgt_i[CH - 1]
             warm_i[r] = warm_i[CH - 1]
-        if PACKED_IDX:
+        if quant:
+            xs_np = (src_idx, kp_idx, cnt, tgt_q, qs, tgt_i, warm_i)
+        elif PACKED_IDX:
             xs_np = (src_idx, kp_idx, cnt, tgt_px, tgt_i, warm_i)
         else:
             xs_np = (src_idx, kp_px, tgt_px, val, tgt_i, warm_i)

@@ -146,21 +146,11 @@ def _narrow_xspan() -> int:
     return int(os.environ.get("POLYCHASE_LK_NARROW_XSPAN", "6"))
 
 
-def _mxu_enabled() -> bool:
-    """MXU bilinear blend (POLYCHASE_LK_MXU=1, counter-experiment 8).
-
-    Routes the separable blend through the MXU as two small matmuls per
-    feature (row-weight matrix x patch x col-weight matrix, f32
-    accumulate).  Per-feature weights block a shared-operand matmul, so
-    this is a fori_loop of GROUP tiny dots over the (GROUP, PR, PC)
-    staging layout — the measured question is whether MXU throughput
-    beats the VPU tent-span blend despite the batching loop.
-
-    Round-4 TPU A/B: NEGATIVE, 7.6x slower end-to-end (1.52 vs 11.61
-    fps at 640p) — latency-bound on the per-feature dot loop exactly as
-    hypothesized.  Kept as a recorded counter-experiment; never default.
-    """
-    return os.environ.get("POLYCHASE_LK_MXU", "0") == "1"
+# NOTE: the MXU matmul blend (POLYCHASE_LK_MXU, counter-experiment 8)
+# was DELETED in round 5 after its round-4 TPU A/B measured 7.6x slower
+# end-to-end (1.52 vs 11.61 fps at 640p) — per-feature weights force a
+# fori_loop of GROUP tiny dots, latency-bound exactly as hypothesized.
+# The measurement record lives in BENCHMARKS.md; do not re-implement.
 
 
 def coarse_iter_cap() -> int:
@@ -181,12 +171,10 @@ def coarse_iter_cap() -> int:
 def blend_variant() -> str:
     """Resolve the active blend experiment from the environment.
 
-    Returned string ("tent" | "narrow" | "mxu") is hashable so the
+    Returned string ("tent" | "narrow" | "narrow2") is hashable so the
     engine's jitted wrappers can carry it as a static argument — env
     flips then retrace instead of silently reusing a stale compile
     (required for in-process interleaved A/Bs)."""
-    if _mxu_enabled():
-        return "mxu"
     lvl = _narrow_level()
     if lvl >= 2:
         return f"narrow2@{_narrow_span()}x{_narrow_xspan()}"
@@ -197,9 +185,9 @@ def blend_variant() -> str:
 
 def _blend_flags(blend):
     if blend is None:
-        return None, None, None, None
+        return None, None, None
     base, _, spans = blend.partition("@")
-    if base not in ("tent", "narrow", "narrow2", "mxu"):
+    if base not in ("tent", "narrow", "narrow2"):
         raise ValueError(f"unknown blend variant: {blend!r}")
     narrow = {"narrow": 1, "narrow2": 2}.get(base, 0)
     nspan = nxspan = None
@@ -208,7 +196,7 @@ def _blend_flags(blend):
         nspan = int(sy)
         if sx:
             nxspan = int(sx)
-    return narrow, nspan, nxspan, base == "mxu"
+    return narrow, nspan, nxspan
 
 
 def _use_hbm(
@@ -467,7 +455,7 @@ def _make_iter_kernel(
     win: int, Hp: int, Wp: int, H: int, W: int,
     max_iters: int, eps2: float, level_is_zero: bool, img_in_hbm: bool,
     narrow: int = 0, nspan: int = 12, nxspan: int = 6,
-    mxu: bool = False, with_iters: bool = False,
+    with_iters: bool = False,
 ):
     PR = _patch_rows(win)
     PC = _patch_cols(win)
@@ -677,41 +665,6 @@ def _make_iter_kernel(
 
                 return jwn_scr[:]
 
-        if mxu:
-            jw_scr, vtmpf, smemf, vsemf = extra[-4:]
-            # j - i row-weight index grid and c - k col-weight index grid
-            # (see sample(): rows[i] = sum_d tent(lyf-d) p[d+i], d = j-i).
-            # Mosaic's tpu.iota is integer-only: build i32, then cast.
-            dmat = (
-                jax.lax.broadcasted_iota(jnp.int32, (win, PR), 1)
-                - jax.lax.broadcasted_iota(jnp.int32, (win, PR), 0)
-            ).astype(jnp.float32)
-            cmat = (
-                jax.lax.broadcasted_iota(jnp.int32, (PC, win), 0)
-                - jax.lax.broadcasted_iota(jnp.int32, (PC, win), 1)
-            ).astype(jnp.float32)
-
-            def sample_mxu(lyf, lxf):
-                """Blend as two per-feature matmuls on the (GROUP, PR,
-                PC) staging layout (``tmp`` always mirrors the patch)."""
-                _to_smem([lyf, lxf], vtmpf, smemf, vsemf)
-
-                def per_feat(b, _):
-                    ly = smemf[0, b]
-                    lx = smemf[1, b]
-                    mrow = jnp.maximum(0.0, 1.0 - jnp.abs(ly - dmat))
-                    mcol = jnp.maximum(0.0, 1.0 - jnp.abs(lx - cmat))
-                    t1 = jnp.dot(
-                        mrow, tmp[b], preferred_element_type=jnp.float32
-                    )
-                    jw_scr[b] = jnp.dot(
-                        t1, mcol, preferred_element_type=jnp.float32
-                    )
-                    return 0
-
-                jax.lax.fori_loop(0, GROUP, per_feat, 0)
-                return jnp.transpose(jw_scr[:], (1, 2, 0))
-
         ipatch = ip_ref[:]
         dxi = dxi_ref[:]
         dyi = dyi_ref[:]
@@ -751,9 +704,7 @@ def _make_iter_kernel(
                 extract(px, py, esc)
 
             lyf, lxf = local_coords(px, py)
-            if mxu:
-                jw = sample_mxu(lyf, lxf)
-            elif narrow:
+            if narrow:
                 jw = sample_narrow(lyf, lxf, active)
             else:
                 jw = sample(lyf, lxf)
@@ -840,7 +791,7 @@ def lk_iterate_level_multi(
     imgs_pad, ipatch, dxi, dyi, a11, a12, a22, invd, ok, pts, *,
     win: int, H: int, W: int, max_iters: int, eps2: float,
     level_is_zero: bool, interpret: bool = False,
-    narrow: int | None = None, mxu: bool | None = None,
+    narrow: int | None = None,
     nspan: int | None = None, nxspan: int | None = None,
     with_iters: bool = False,
 ):
@@ -863,18 +814,12 @@ def lk_iterate_level_multi(
     img_in_hbm = _use_hbm(Hp, Wp, interpret, imgs_pad.dtype.itemsize)
     if narrow is None:
         narrow = _narrow_level()
-    if mxu is None:
-        mxu = _mxu_enabled()
-    if narrow and mxu:
-        raise ValueError(
-            "POLYCHASE_LK_NARROW and POLYCHASE_LK_MXU are exclusive"
-        )
     kernel, PR, PC = _make_iter_kernel(
         win, Hp, Wp, H, W, max_iters, eps2, level_is_zero, img_in_hbm,
         narrow=int(narrow),
         nspan=_narrow_span() if nspan is None else int(nspan),
         nxspan=_narrow_xspan() if nxspan is None else int(nxspan),
-        mxu=mxu, with_iters=with_iters,
+        with_iters=with_iters,
     )
     grid = (T, n // GROUP)
     vec = lambda: pl.BlockSpec(
@@ -933,16 +878,6 @@ def lk_iterate_level_multi(
             [pltpu.VMEM((win, win, GROUP), jnp.float32)]
             if narrow >= 2
             else []
-        )
-        + (
-            [
-                pltpu.VMEM((GROUP, win, win), jnp.float32),
-                pltpu.VMEM((2, GROUP), jnp.float32),
-                pltpu.SMEM((2, GROUP), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-            ]
-            if mxu
-            else []
         ),
         interpret=interpret,
     )(ipatch, dxi, dyi, a11r, a12r, a22r, invdr, okf, x0, y0, imgs_pad)
@@ -971,7 +906,7 @@ def lk_all_levels_pallas(
     min_eig_thr: float,
     interpret: bool = False,
     init_flow=None,             # optional (T, N, 2) full-res starting flow
-    blend: str | None = None,   # "tent"|"narrow"|"mxu"; None = env
+    blend: str | None = None,   # "tent"|"narrow"|"narrow2"; None = env
     coarse_cap: int | None = None,  # per-level iteration budget; None = env
 ):
     """Coarse-to-fine pyramidal LK for T targets sharing one source frame.
@@ -1020,7 +955,7 @@ def lk_iter_levels_pallas(
     blend: str | None = None, coarse_cap: int | None = None,
 ):
     """Coarse-to-fine iterate chain over precomputed per-level preps."""
-    narrow, nspan, nxspan, mxu = _blend_flags(blend)
+    narrow, nspan, nxspan = _blend_flags(blend)
     if coarse_cap is None:
         coarse_cap = coarse_iter_cap()
     levels = len(preps)
@@ -1048,7 +983,7 @@ def lk_iter_levels_pallas(
             invd, ok, cur,
             win=win, H=H, W=W, max_iters=lvl_iters, eps2=eps2,
             level_is_zero=(lvl == 0), interpret=interpret,
-            narrow=narrow, nspan=nspan, nxspan=nxspan, mxu=mxu,
+            narrow=narrow, nspan=nspan, nxspan=nxspan,
         )
         if lvl == 0:
             status, err = st, er

@@ -197,9 +197,14 @@ def track_segments(
             float(seed.intrinsics.cx), float(seed.intrinsics.cy),
         ]
 
+    # The multi-chip path is packed-index only: _pack_segment emits the
+    # packed format unconditionally, so the POLYCHASE_TRACK_IDX=0 legacy
+    # opt-out applies to the single-chip scan chain alone (formats are
+    # bit-identical either way — see engine.tracker.PACKED_IDX).
     run = _scan_track_fn(
         bool(optimize_focal_length), bool(optimize_principal_point),
         tuple(normalize_bundle_opts(bundle_opts)),
+        packed_idx=True,
     )
 
     xs = tuple(

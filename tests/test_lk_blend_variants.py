@@ -4,11 +4,9 @@
   math as the default tent-span blend — every skipped term carries zero
   weight — but XLA compiles the shorter sum with different fusion, so
   outputs agree to float reassociation (~1e-5 px), not bit-for-bit.
-- POLYCHASE_LK_MXU (counter-experiment 8, per-feature matmul blend):
-  same arithmetic in a different contraction order — tolerance parity.
-
-Both flags are perf experiments resolved per dispatch; the measured
-A/B lives in BENCHMARKS.md.
+The flag is a perf experiment resolved per dispatch; the measured
+A/B lives in BENCHMARKS.md.  (The MXU matmul blend, counter-experiment
+8, was deleted in round 5 after measuring 7.6x slower on TPU.)
 """
 
 import numpy as np
@@ -136,30 +134,6 @@ def test_narrow_blend_hbm_path(rng, monkeypatch):
     _assert_close(base, narrow)
 
 
-def test_mxu_blend_parity(rng, monkeypatch):
-    scene = _scene(rng)
-    base = _run(*scene)
-    mxu = _run_flagged(monkeypatch, scene, POLYCHASE_LK_MXU="1")
-    st_b = np.asarray(base[1][0])
-    st_m = np.asarray(mxu[1][0])
-    assert np.mean(st_b == st_m) > 0.97
-    both = st_b & st_m
-    assert both.sum() > 64
-    np.testing.assert_allclose(
-        np.asarray(mxu[0][0])[both],
-        np.asarray(base[0][0])[both],
-        atol=5e-2,
-    )
-
-
-def test_narrow_and_mxu_exclusive(rng, monkeypatch):
-    scene = _scene(rng)
-    monkeypatch.setenv("POLYCHASE_LK_NARROW", "1")
-    monkeypatch.setenv("POLYCHASE_LK_MXU", "1")
-    with pytest.raises(ValueError):
-        _run(*scene)
-
-
 def test_coarse_iter_cap_small_motion_unaffected(rng):
     """POLYCHASE_LK_COARSE_ITERS caps only levels > 0; level 0 keeps the
     full budget.  For motion the coarse solve converges on quickly
@@ -270,14 +244,14 @@ def test_tpu_lowering_all_variants():
     win, n = 10, 128
 
     def build(blend, H, W, with_iters=False):
-        narrow, nspan, nxspan, mxu = lkp._blend_flags(blend)
+        narrow, nspan, nxspan = lkp._blend_flags(blend)
         Hp, Wp = lkp.pad_level_dims(H, W)
 
         def f(img, ip, dxi, dyi, a11, a12, a22, invd, ok, pts):
             return lkp.lk_iterate_level_multi(
                 img, ip, dxi, dyi, a11, a12, a22, invd, ok, pts,
                 win=win, H=H, W=W, max_iters=30, eps2=1e-4,
-                level_is_zero=True, narrow=narrow, mxu=mxu,
+                level_is_zero=True, narrow=narrow,
                 with_iters=with_iters,
             )
 
@@ -295,7 +269,6 @@ def test_tpu_lowering_all_variants():
         ("tent", 120, 200, False),
         ("narrow", 120, 200, False),
         ("narrow2", 120, 200, False),
-        ("mxu", 120, 200, False),
         ("tent", 120, 200, True),          # with_iters output
         ("narrow", 1080, 1920, False),     # HBM per-feature-DMA path
         ("narrow2", 1080, 1920, False),

@@ -149,14 +149,9 @@ def test_prim_refresher_bvh_matches_device(tmp_path, rng, monkeypatch):
     dev = R._make_prim_refresher(data, mesh, model, model, tri, scale, CAUCHY)
     monkeypatch.setattr(R, "BVH_TRIANGLE_THRESHOLD", 1)
     bvh = R._make_prim_refresher(data, mesh, model, model, tri, scale, CAUCHY)
-    monkeypatch.setenv("POLYCHASE_GRID_RAYCAST", "1")
-    grid = R._make_prim_refresher(data, mesh, model, model, tri, scale, CAUCHY)
 
     prims_d, cost_d = dev(params)
-    prims_g, cost_g = grid(params)
     prims_b, cost_b = bvh(params)
-    np.testing.assert_array_equal(np.asarray(prims_d), np.asarray(prims_g))
-    assert abs(float(cost_d) - float(cost_g)) < 1e-4 * max(1.0, float(cost_d))
     agree = np.mean(np.asarray(prims_d) == np.asarray(prims_b))
     assert agree > 0.999, agree
     assert abs(float(cost_d) - float(cost_b)) < 1e-3 * max(1.0, float(cost_d))

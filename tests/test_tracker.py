@@ -215,6 +215,11 @@ def test_scan_chain_matches_per_frame(tmp_path, rng, monkeypatch):
         )
         return traj
 
+    from polychase_tpu.engine import tracker as T
+
+    # The quantized target upload is its own (tolerance) test below;
+    # this one pins the exact-chain equivalence.
+    monkeypatch.setattr(T, "QUANT_TGT", False)
     monkeypatch.setenv("POLYCHASE_SCAN_TRACK", "0")
     ref = run()
     monkeypatch.setenv("POLYCHASE_SCAN_TRACK", "1")
@@ -253,6 +258,7 @@ def test_packed_idx_upload_bit_exact(tmp_path, rng, monkeypatch):
         )
         return traj
 
+    monkeypatch.setattr(T, "QUANT_TGT", False)
     monkeypatch.setattr(T, "PACKED_IDX", False)
     ref = run()
     monkeypatch.setattr(T, "PACKED_IDX", True)
@@ -263,6 +269,43 @@ def test_packed_idx_upload_bit_exact(tmp_path, rng, monkeypatch):
         )
         np.testing.assert_array_equal(
             np.asarray(got.get(i).pose.t), np.asarray(ref.get(i).pose.t)
+        )
+
+
+def test_quant_tgt_upload_parity(tmp_path, rng, monkeypatch):
+    """The i16-delta target upload (POLYCHASE_TRACK_QTGT, default on)
+    reconstructs targets within 0.5*scale (~0.003 px for a 100 px flow);
+    the solved trajectory must match the exact-f32 upload to solver
+    tolerance."""
+    from polychase_tpu.engine import tracker as T
+
+    mesh = make_sphere_mesh()
+    intr = make_intrinsics()
+    poses = [orbit_pose(0.04 * t) for t in range(10)]
+    db_path = str(tmp_path / "flow.db")
+    build_flow_db(db_path, mesh, intr, poses, rng)
+
+    def run():
+        traj = CameraTrajectory(0, len(poses))
+        traj.set(0, C.CameraState(intr, poses[0]))
+        track_camera_trajectory(
+            Database(db_path), traj, 0, len(poses) - 1,
+            np.eye(4, dtype=np.float32), mesh,
+        )
+        return traj
+
+    monkeypatch.setattr(T, "QUANT_TGT", False)
+    ref = run()
+    monkeypatch.setattr(T, "QUANT_TGT", True)
+    got = run()
+    for i in range(1, len(poses)):
+        np.testing.assert_allclose(
+            np.asarray(got.get(i).pose.q), np.asarray(ref.get(i).pose.q),
+            atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.get(i).pose.t), np.asarray(ref.get(i).pose.t),
+            atol=2e-4,
         )
 
 
