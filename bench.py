@@ -16,6 +16,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import sys
 import tempfile
 import time
 
@@ -23,6 +24,80 @@ import numpy as np
 
 W, H = 640, 480
 N_FRAMES = 12
+
+
+def calibration_probe() -> float:
+    """Session-speed calibration: a FIXED committed kernel timed the same
+    way as the benchmarks (dispatch + device compute + one 1 MB result
+    fetch).  The tunneled chip's e2e timings swing ±20% between sessions
+    (BENCHMARKS.md); dividing two rounds' headline numbers by their
+    calib_ms ratio normalizes that swing post-hoc.  Do NOT change this
+    kernel — its value is only comparable against other rounds' runs of
+    the same program."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(x):
+        def body(i, a):
+            return jnp.tanh(
+                jnp.dot(a, x, preferred_element_type=jnp.float32)
+            )
+
+        return jax.lax.fori_loop(0, 32, body, x)
+
+    x = jnp.asarray(np.full((512, 512), 0.001, np.float32))
+    jax.device_get(f(x))  # compile + warm
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.device_get(f(x))
+        ts.append(time.perf_counter() - t0)
+    return round(sorted(ts)[len(ts) // 2] * 1000.0, 2)
+
+
+def bench_track():
+    """Config-3 forward tracking (the BASELINE.json north-star metric),
+    sharing run_all's scene/db builder so the number matches the
+    committed battery rows.  Returns (fps, baseline_fps | None)."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks")
+    )
+    import run_all as RA
+
+    from polychase_tpu.engine import camera as C
+    from polychase_tpu.engine.tracker import track_camera_trajectory
+    from polychase_tpu.engine.trajectory import CameraTrajectory
+    from polychase_tpu.io.database import Database
+
+    rng = np.random.default_rng(1)
+    n = 120
+    mesh, intr, poses = RA.make_scene(n)
+    with tempfile.TemporaryDirectory() as td:
+        db_path = os.path.join(td, "flow.db")
+        RA.build_synth_db(db_path, mesh, intr, poses, rng)
+
+        def run():
+            traj = CameraTrajectory(0, n)
+            traj.set(0, C.CameraState(intr, poses[0]))
+            db = Database(db_path)
+            t0 = time.perf_counter()
+            track_camera_trajectory(
+                db, traj, 0, n - 1, np.eye(4, dtype=np.float32), mesh
+            )
+            dt = time.perf_counter() - t0
+            db.close()
+            return dt
+
+        run()  # warm/compile
+        fps = (n - 1) / min(run() for _ in range(3))
+        base_fps = None
+        try:
+            base_fps = RA._baseline_track_fps(db_path, mesh, intr, poses, n)
+        except Exception:
+            pass
+        return fps, base_fps
 
 
 def make_clip():
@@ -149,11 +224,15 @@ def _require_device(
 
 
 def main():
+    track_only = "--track" in sys.argv[1:]
+    metric = (
+        "tracking_fps_120f_1080p" if track_only else "analyze_fps_640x480"
+    )
     if not _require_device():
         print(
             json.dumps(
                 {
-                    "metric": "analyze_fps_640x480",
+                    "metric": metric,
                     "value": None,
                     "unit": "frames/sec",
                     "vs_baseline": None,
@@ -165,6 +244,37 @@ def main():
             )
         )
         return
+    calib_ms = None
+    try:
+        calib_ms = calibration_probe()
+    except Exception:
+        pass
+
+    if track_only:
+        # Dedicated tracking line (`python bench.py --track`): the
+        # BASELINE.json north-star metric with the same retry/backoff
+        # and JSON shape as the headline.
+        fps, base_fps = bench_track()
+        print(
+            json.dumps(
+                {
+                    "metric": metric,
+                    "value": round(fps, 3),
+                    "unit": "frames/sec",
+                    "vs_baseline": (
+                        round(fps / base_fps, 3) if base_fps else None
+                    ),
+                    "baseline_value": (
+                        round(base_fps, 3) if base_fps else None
+                    ),
+                    "calib_ms": calib_ms,
+                    "host_nproc": os.cpu_count(),
+                    "host_loadavg_1m": round(os.getloadavg()[0], 2),
+                }
+            )
+        )
+        return
+
     frames = make_clip()
     ours_fps = bench_ours(frames)
     # The TPU number must survive a baseline failure: compute the ratio
@@ -178,6 +288,18 @@ def main():
     except Exception:
         vs_baseline = None
         baseline_value = None
+    # Config-3 tracking rides the same driver-captured line as extra
+    # fields (the driver records ONE line; extra keys are additive).
+    track_fps = track_vs = track_base = None
+    if os.environ.get("POLYCHASE_BENCH_NO_TRACK", "0") != "1":
+        try:
+            fps, base_fps = bench_track()
+            track_fps = round(fps, 3)
+            if base_fps:
+                track_vs = round(fps / base_fps, 3)
+                track_base = round(base_fps, 3)
+        except Exception:
+            pass
     print(
         json.dumps(
             {
@@ -186,6 +308,12 @@ def main():
                 "unit": "frames/sec",
                 "vs_baseline": vs_baseline,
                 "baseline_value": baseline_value,
+                # Session-speed normalizer (fixed kernel, see
+                # calibration_probe) and the second audited metric.
+                "calib_ms": calib_ms,
+                "track_fps": track_fps,
+                "track_vs_baseline": track_vs,
+                "track_baseline_value": track_base,
                 # Host context: the OpenCV baseline halves under
                 # concurrent load and is capped by this host's core
                 # count (the reference runs 4 analysis threads) — a

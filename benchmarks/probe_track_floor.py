@@ -137,7 +137,7 @@ def _host_pack_floor(db_path, mesh, intr, poses, reps=3):
 
         @jax.jit
         def run(mesh_, model, model_inv, q0, t0, in0, const5, kps, xs):
-            tgt_i = xs[4]
+            tgt_i = xs[-2]  # xs layout varies (quant adds a scale row)
             CH = tgt_i.shape[0]
             vecs = jnp.zeros((CH, 19), jnp.float32)
             vecs = vecs.at[:, 0].set(1.0)

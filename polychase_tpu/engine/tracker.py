@@ -494,9 +494,13 @@ def _track_chunked_scan(
         quant_tgt=PACKED_IDX and QUANT_TGT,
     )
 
-    # Pack every chunk up front (host DB reads are cheap), then pipeline
-    # the chunk dispatches: chunk c+1 is dispatched before chunk c's
+    # Gather the run's flow metadata in ONE query (per-pair point reads
+    # cost ~17 sqlite round-trips per frame), then pipeline the chunk
+    # dispatches: chunk c+1 is packed and dispatched before chunk c's
     # results are pulled, keeping the device busy across the link.
+    flows_by_tgt = database.read_flows_to_image_range(
+        first_abs, first_abs + F - 1
+    )
     chunk_frames = [
         frames[i : i + SCAN_CHUNK] for i in range(0, len(frames), SCAN_CHUNK)
     ]
@@ -504,7 +508,17 @@ def _track_chunked_scan(
     for chunk in chunk_frames:
         per_frame = []
         for frame_id in chunk:
-            groups = _frame_groups(database, frame_id, available)
+            groups = []
+            for flow in flows_by_tgt.get(frame_id, ()):
+                if flow.image_id_from == frame_id:
+                    raise TrackingError("self-flow in database")
+                if flow.image_id_from not in available:
+                    continue
+                if flow.src_kps_indices.size == 0:
+                    continue
+                groups.append(
+                    (flow.image_id_from, flow.src_kps_indices, flow.tgt_kps)
+                )
             # Warm-start preference order (cpp/tracker.cc:112-119).
             for cand in (frame_id, frame_id - 1, frame_id + 1):
                 if cand in available:
@@ -534,7 +548,13 @@ def _track_chunked_scan(
         {src_f for pf in all_per_frame for _, _, gs in pf
          for src_f, _, _ in gs}
     )
-    kps_by_frame = {f: database.read_keypoints(f) for f in src_frames}
+    kps_range = database.read_keypoints_range(
+        min(src_frames, default=0), max(src_frames, default=0)
+    )
+    kps_by_frame = {
+        f: kps_range.get(f, np.empty((0, 2), np.float32))
+        for f in src_frames
+    }
     Kmax = bucket_size(
         max([k.shape[0] for k in kps_by_frame.values()] + [1])
     )
@@ -551,8 +571,7 @@ def _track_chunked_scan(
         idx_dtype = np.int32
     quant = PACKED_IDX and QUANT_TGT
 
-    packed_chunks = []
-    for chunk, per_frame in zip(chunk_frames, all_per_frame):
+    def pack_chunk(chunk, per_frame):
         CH = len(chunk)
         src_idx = np.zeros((SCAN_CHUNK, Gp), np.int32)
         tgt_px = np.zeros((SCAN_CHUNK, Gp, K, 2), np.float32)
@@ -595,12 +614,12 @@ def _track_chunked_scan(
             tgt_i[r] = tgt_i[CH - 1]
             warm_i[r] = warm_i[CH - 1]
         if quant:
-            xs_np = (src_idx, kp_idx, cnt, tgt_q, qs, tgt_i, warm_i)
+            return (src_idx, kp_idx, cnt, tgt_q, qs, tgt_i, warm_i)
         elif PACKED_IDX:
-            xs_np = (src_idx, kp_idx, cnt, tgt_px, tgt_i, warm_i)
+            return (src_idx, kp_idx, cnt, tgt_px, tgt_i, warm_i)
         else:
-            xs_np = (src_idx, kp_px, tgt_px, val, tgt_i, warm_i)
-        packed_chunks.append((chunk, xs_np))
+            return (src_idx, kp_px, tgt_px, val, tgt_i, warm_i)
+
     if not PACKED_IDX:
         kps_all = np.zeros((1, 1, 2), np.float32)  # unused dummy
     kps_all_d = jnp.asarray(kps_all)
@@ -663,7 +682,10 @@ def _track_chunked_scan(
         return True
 
     with profile_region("tracker.scan_chain"):
-        for chunk, xs_np in packed_chunks:
+        # Chunks are packed lazily: chunk c+1's host packing runs while
+        # chunk c (dispatched below) is still computing on device.
+        for chunk, per_frame in zip(chunk_frames, all_per_frame):
+            xs_np = pack_chunk(chunk, per_frame)
             xs = tuple(jnp.asarray(a) for a in xs_np)
             carry, vecs, counts = run(
                 mesh, model, model_inv, *carry, const5_j, kps_all_d, xs

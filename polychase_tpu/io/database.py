@@ -260,6 +260,56 @@ class Database:
         return flow
 
     @_locked
+    def read_flows_to_image_range(self, lo: int, hi: int) -> dict:
+        """All flows whose target frame lies in [lo, hi], in ONE query.
+
+        Extension over the reference surface (cpp/database.h only offers
+        per-pair reads): the tracking scan chain reads every flow of the
+        run up front, and ~17 point queries per frame dominate its host
+        DB cost.  Returns ``{target_id: [ImagePairFlow, ...]}``; arrays
+        are READ-ONLY views over the sqlite blobs (no copies).
+        """
+        rows = self._conn.execute(
+            "SELECT image_id_from, image_id_to, rows,"
+            " src_keypoints_indices, tgt_keypoints, flow_errors"
+            " FROM optical_flow WHERE image_id_to BETWEEN ? AND ?"
+            " ORDER BY image_id_to, image_id_from",
+            (int(lo), int(hi)),
+        ).fetchall()
+        out: dict = {}
+        for f, t, n, idx_b, tgt_b, err_b in rows:
+            flow = ImagePairFlow(int(f), int(t))
+            flow.src_kps_indices = np.frombuffer(idx_b, np.uint32)
+            flow.tgt_kps = np.frombuffer(tgt_b, np.float32).reshape(n, 2)
+            flow.flow_errors = np.frombuffer(err_b, np.float32)
+            if flow.src_kps_indices.size != n or flow.flow_errors.size != n:
+                raise ValueError("flow blob size mismatch")
+            out.setdefault(int(t), []).append(flow)
+        return out
+
+    @_locked
+    def read_keypoints_range(self, lo: int, hi: int) -> dict:
+        """Keypoints for every image in [lo, hi], in ONE query.
+
+        Extension (see read_flows_to_image_range).  Returns
+        ``{image_id: (N, 2) float32}``; arrays are READ-ONLY views.
+        """
+        rows = self._conn.execute(
+            "SELECT image_id, rows, keypoints FROM keypoints"
+            " WHERE image_id BETWEEN ? AND ?",
+            (int(lo), int(hi)),
+        ).fetchall()
+        out = {}
+        for image_id, n, blob in rows:
+            kps = np.frombuffer(blob, np.float32)
+            if kps.size != 2 * n:
+                raise ValueError(
+                    f"keypoints blob size mismatch for image {image_id}"
+                )
+            out[int(image_id)] = kps.reshape(n, 2)
+        return out
+
+    @_locked
     def image_pair_flow_exists(
         self, image_id_from: int, image_id_to: int
     ) -> bool:

@@ -140,7 +140,7 @@ def _solve_segments_sharded(
             params, prims, jnp.zeros((Pn, Pn), jnp.float32),
             jnp.zeros((Pn,), jnp.float32), scal0,
             data, mesh, model, model_inv, tri_corners, loss_scale,
-            bounds, tol4, None,
+            bounds, tol4,
             loss_type=loss_type, opt_f=opt_f, opt_pp=opt_pp, ppc=ppc,
             n_iters=n_iters, band=band,
         )

@@ -143,3 +143,48 @@ def test_deferred_commits_batch_into_one_transaction(tmp_path, rng):
     assert visible_rows() == 3
     reader.close()
     db.close()
+
+
+def test_range_readers_match_point_reads(tmp_path):
+    """read_flows_to_image_range / read_keypoints_range (the tracking
+    scan chain's one-query batch reads) must agree exactly with the
+    reference-shaped per-pair point reads."""
+    import numpy as np
+
+    from polychase_tpu.io.database import Database
+
+    rng = np.random.default_rng(11)
+    db = Database(str(tmp_path / "range.db"))
+    kps = {}
+    for i in range(6):
+        kps[i] = rng.uniform(0, 640, (rng.integers(3, 9), 2)).astype(
+            np.float32
+        )
+        db.write_keypoints(i, kps[i])
+    pairs = [(0, 2), (1, 2), (3, 2), (1, 4), (5, 4), (0, 5)]
+    for f, t in pairs:
+        n = kps[f].shape[0]
+        db.write_image_pair_flow(
+            f, t, np.arange(n, dtype=np.uint32),
+            rng.uniform(0, 640, (n, 2)).astype(np.float32),
+            rng.uniform(0, 1, n).astype(np.float32),
+        )
+
+    flows = db.read_flows_to_image_range(2, 4)
+    assert sorted(flows.keys()) == [2, 4]
+    assert [fl.image_id_from for fl in flows[2]] == [0, 1, 3]
+    for t, lst in flows.items():
+        for fl in lst:
+            ref = db.read_image_pair_flow(fl.image_id_from, t)
+            np.testing.assert_array_equal(
+                fl.src_kps_indices, ref.src_kps_indices
+            )
+            np.testing.assert_array_equal(fl.tgt_kps, ref.tgt_kps)
+            np.testing.assert_array_equal(fl.flow_errors, ref.flow_errors)
+
+    got_kps = db.read_keypoints_range(1, 4)
+    assert sorted(got_kps.keys()) == [1, 2, 3, 4]
+    for i, arr in got_kps.items():
+        np.testing.assert_array_equal(arr, kps[i])
+    assert db.read_flows_to_image_range(6, 9) == {}
+    db.close()
