@@ -679,6 +679,28 @@ def _check_options(options: GFTTOptions) -> None:
         )
 
 
+def device_suppress_route(num_pixels: int, options: GFTTOptions) -> bool:
+    """Would gftt_dispatch run the min-distance suppression on device?
+
+    Big frames run it ON DEVICE (exact — see _suppress_device): at 4K a
+    noise frame has ~200k NMS candidates and the top-k transfer + host
+    greedy pass dominate the frame budget.  Small frames keep the proven
+    transfer-then-host path.  Exposed so the analyze loop can route
+    around the fused prep+GFTT program (which has no suppression leg).
+    """
+    return (
+        options.min_distance >= 1
+        # The suppression program unrolls the strict-distance disc
+        # (O(d²) offsets) twice per round — past d≈8 (~200 offsets) the
+        # compiled program balloons, so big radii stay on the host path.
+        and options.min_distance <= 8
+        and num_pixels
+        >= int(_os.environ.get("POLYCHASE_GFTT_DEV_SUPPRESS_MIN",
+                               str(2_000_000)))
+        and _os.environ.get("POLYCHASE_GFTT_DEV_SUPPRESS", "1") != "0"
+    )
+
+
 def gftt_dispatch(
     image, mask=None, options: GFTTOptions = GFTTOptions(), k: int = 0,
     *, _host_suppress: bool = False,
@@ -717,21 +739,8 @@ def gftt_dispatch(
     )
     import os as _os
 
-    # Big frames run the min-distance suppression ON DEVICE (exact — see
-    # _suppress_device): at 4K a noise frame has ~200k NMS candidates
-    # and the top-k transfer + host greedy pass dominate the frame
-    # budget.  Small frames keep the proven transfer-then-host path.
-    dev_suppress = (
-        not _host_suppress
-        and options.min_distance >= 1
-        # The suppression program unrolls the strict-distance disc
-        # (O(d²) offsets) twice per round — past d≈8 (~200 offsets) the
-        # compiled program balloons, so big radii stay on the host path.
-        and options.min_distance <= 8
-        and img.size
-        >= int(_os.environ.get("POLYCHASE_GFTT_DEV_SUPPRESS_MIN",
-                               str(2_000_000)))
-        and _os.environ.get("POLYCHASE_GFTT_DEV_SUPPRESS", "1") != "0"
+    dev_suppress = not _host_suppress and device_suppress_route(
+        img.size, options
     )
     converged = None
     if dev_suppress:

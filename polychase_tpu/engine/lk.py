@@ -480,6 +480,112 @@ def prepare_pyramid(image, opts: LKOptions = LKOptions()) -> PyramidCache:
     return PyramidCache(data, levels, opts)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "levels", "pallas", "win", "bf16",
+        "block_size", "ksize", "use_harris", "grid_rows", "grid_cols",
+        "is_8u", "k",
+    ),
+)
+def _prep_gftt_program(
+    img, quality_level, harris_k, *, levels: int, pallas: bool, win: int,
+    bf16: bool, block_size: int, ksize: int, use_harris: bool,
+    grid_rows: int, grid_cols: int, is_8u: bool, k: int,
+):
+    """Pyramid prep + GFTT candidates fused into ONE device program.
+
+    The separate GFTT response program measured ~3.4 ms device-serial at
+    640p — almost entirely per-dispatch fixed cost, not compute (a few
+    separable convs on a 0.3 MP frame).  Fused here it rides the prep
+    dispatch that the analyze loop already prefetches off the critical
+    path, so detection stops costing LK time (the reference overlaps
+    detection and flow freely across its TBB pool,
+    /root/reference/cpp/opticalflow.cc:269-309).  ``k > 0`` adds the
+    device top-k; ``k == 0`` ships the raw 2×2-reduced maps
+    (POLYCHASE_GFTT_TOPK=0 semantics)."""
+    from . import gftt as G
+
+    imgf = img.astype(jnp.float32)
+    pyr = build_pyramid(imgf, levels)
+    if pallas:
+        prep = _prepare_levels_pallas(pyr, levels=levels, bf16=bf16)
+    else:
+        prep = _prepare_levels(pyr, win=win, levels=levels, bf16=bf16)
+    kw = dict(
+        block_size=block_size, ksize=ksize, use_harris=use_harris,
+        grid_rows=grid_rows, grid_cols=grid_cols, is_8u=is_8u,
+    )
+    if k > 0:
+        vals, idx, count = G.gftt_candidates_topk(
+            imgf, None, quality_level, harris_k, k=k, **kw
+        )
+    else:
+        vals, idx, count = G._candidates_reduced(
+            imgf, None, quality_level, harris_k, **kw
+        )
+    return prep, (vals, idx, count)
+
+
+def prepare_pyramid_with_gftt(
+    image, opts: LKOptions, gftt_options, k: int = 0,
+):
+    """Fused per-frame dispatch: LK pyramid prep + GFTT detection.
+
+    Returns ``(PyramidCache, GFTTDispatch)`` — drop-in for a
+    ``prepare_pyramid`` + ``gftt_dispatch`` pair on frames that need
+    both (masked and device-suppressed GFTT routes stay separate; the
+    caller checks ``gftt.device_suppress_route`` first)."""
+    from . import gftt as G
+
+    if isinstance(image, jax.Array):
+        img = image
+    else:
+        img = jax.device_put(np.asarray(image))
+    if img.ndim != 2:
+        raise ValueError("image must be 2D grayscale")
+    G._check_options(gftt_options)
+    levels = num_pyramid_levels(img.shape[0], img.shape[1], opts)
+    use_pallas = pallas_enabled()
+    is_8u = img.dtype == jnp.uint8
+    if os.environ.get("POLYCHASE_GFTT_TOPK", "1") != "0":
+        if k <= 0:
+            k = max(32768, img.size // 16)  # gftt_dispatch's budget
+        k = min(k, img.size)
+    else:
+        k = 0
+    data, (vals, idx, count) = _prep_gftt_program(
+        img,
+        jnp.float32(gftt_options.quality_level),
+        jnp.float32(gftt_options.harris_k),
+        levels=levels, pallas=use_pallas, win=opts.window_size,
+        bf16=_lk_bf16_enabled(),
+        block_size=int(gftt_options.block_size),
+        ksize=int(gftt_options.gradient_size),
+        use_harris=bool(gftt_options.use_harris),
+        grid_rows=max(1, int(gftt_options.grid_rows)),
+        grid_cols=max(1, int(gftt_options.grid_cols)),
+        is_8u=is_8u, k=k,
+    )
+    for arr in (vals, idx, count):
+        try:
+            arr.copy_to_host_async()
+        except Exception:  # pragma: no cover - backend without support
+            break
+    disp = G.GFTTDispatch(
+        vals, idx, count, tuple(img.shape), gftt_options, (img, None),
+        suppressed=False, converged=None,
+    )
+    if use_pallas:
+        dims = []
+        h, w = img.shape
+        for _ in range(levels):
+            dims.append((h, w))
+            h, w = (h + 1) // 2, (w + 1) // 2
+        return PyramidCache(data, levels, opts, "pallas", tuple(dims)), disp
+    return PyramidCache(data, levels, opts), disp
+
+
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
@@ -504,13 +610,13 @@ def _bucket(n: int) -> int:
     jax.jit,
     static_argnames=(
         "dims", "win", "max_iters", "eps2", "min_eig_thr", "levels", "T",
-        "blend", "coarse_cap",
+        "blend", "coarse_cap", "coarse_eps",
     ),
 )
 def _lk_pallas_program(
     prev_levels, next_images, pts, *,
     dims, win, max_iters, eps2, min_eig_thr, levels, T, blend="tent",
-    coarse_cap=0,
+    coarse_cap=0, coarse_eps=0.0,
 ):
     from polychase_tpu.kernels import lk_pallas as lkp
 
@@ -518,6 +624,7 @@ def _lk_pallas_program(
         prev_levels, next_images, pts,
         dims=dims, win=win, max_iters=max_iters, eps2=eps2,
         min_eig_thr=min_eig_thr, blend=blend, coarse_cap=coarse_cap,
+        coarse_eps=coarse_eps,
     )
 
 
@@ -611,13 +718,13 @@ def _lk_chain_prep_program(prev_levels, pts, *, dims, win, min_eig_thr):
     jax.jit,
     static_argnames=(
         "dims", "win", "max_iters", "eps2", "min_eig_thr", "levels",
-        "pallas", "blend", "coarse_cap",
+        "pallas", "blend", "coarse_cap", "coarse_eps",
     ),
 )
 def _lk_chain_phase_program(
     prep_or_levels, next_images, pts, src_nxt, src_status, scales, *,
     dims, win, max_iters, eps2, min_eig_thr, levels, pallas,
-    blend="tent", coarse_cap=0,
+    blend="tent", coarse_cap=0, coarse_eps=0.0,
 ):
     """One chained phase: compute the status-gated seed from the source
     slots' results, then run the multi-target solve.  Phase 1 passes
@@ -637,6 +744,7 @@ def _lk_chain_phase_program(
             prep_or_levels, next_images, pts,
             dims=dims, win=win, max_iters=max_iters, eps2=eps2,
             init_flow=init, blend=blend, coarse_cap=coarse_cap,
+            coarse_eps=coarse_eps,
         )
     return _lk_all_levels_multi(
         prep_or_levels, next_images, pts,
@@ -667,7 +775,9 @@ def _chained_dispatch(prev_pyr, next_pyrs, skips, pts_p, opts, levels):
     pts_dev = jnp.asarray(pts_p)
     m = pts_p.shape[0]
     dims = tuple(prev_pyr.dims[:levels]) if pallas else None
-    from polychase_tpu.kernels.lk_pallas import blend_variant, coarse_iter_cap
+    from polychase_tpu.kernels.lk_pallas import (
+        blend_variant, coarse_iter_cap, coarse_level_eps,
+    )
 
     kw = dict(
         dims=dims,
@@ -676,6 +786,7 @@ def _chained_dispatch(prev_pyr, next_pyrs, skips, pts_p, opts, levels):
         min_eig_thr=float(opts.min_eigen_threshold),
         levels=levels, pallas=pallas, blend=blend_variant(),
         coarse_cap=coarse_iter_cap() if pallas else 0,
+        coarse_eps=coarse_level_eps() if pallas else 0.0,
     )
     zero_status = jnp.zeros((_CHAIN_T, m), bool)
 
@@ -771,7 +882,7 @@ def _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels):
             for lvl in range(levels)
         )
         from polychase_tpu.kernels.lk_pallas import (
-            blend_variant, coarse_iter_cap,
+            blend_variant, coarse_iter_cap, coarse_level_eps,
         )
 
         out = sharded_lk_multi_pallas_feat(
@@ -782,6 +893,7 @@ def _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels):
             eps2=float(eps * eps),
             min_eig_thr=float(opts.min_eigen_threshold),
             blend=blend_variant(), coarse_cap=coarse_iter_cap(),
+            coarse_eps=coarse_level_eps(),
         )
         return out, pts_dev, pts_p
     pts_dev = jnp.asarray(pts_p)
@@ -796,7 +908,7 @@ def _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels):
             for lvl in range(levels)
         )
         from polychase_tpu.kernels.lk_pallas import (
-            blend_variant, coarse_iter_cap,
+            blend_variant, coarse_iter_cap, coarse_level_eps,
         )
 
         nxt, status, err = sharded_lk_multi_pallas(
@@ -807,13 +919,16 @@ def _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels):
             eps2=float(eps * eps),
             min_eig_thr=float(opts.min_eigen_threshold),
             blend=blend_variant(), coarse_cap=coarse_iter_cap(),
+            coarse_eps=coarse_level_eps(),
         )
         return (nxt[:T], status[:T], err[:T]), pts_dev, pts_p
 
     next_images = tuple(
         tuple(p.levels[lvl][0] for p in next_pyrs) for lvl in range(levels)
     )
-    from polychase_tpu.kernels.lk_pallas import blend_variant, coarse_iter_cap
+    from polychase_tpu.kernels.lk_pallas import (
+        blend_variant, coarse_iter_cap, coarse_level_eps,
+    )
 
     out = _lk_pallas_program(
         tuple(prev_pyr.levels[:levels]),
@@ -828,6 +943,7 @@ def _run_pallas(prev_pyr, next_pyrs, pts_p, opts, levels):
         T=T,
         blend=blend_variant(),
         coarse_cap=coarse_iter_cap(),
+        coarse_eps=coarse_level_eps(),
     )
     return out, pts_dev, pts_p
 

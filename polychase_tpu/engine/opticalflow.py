@@ -29,7 +29,12 @@ import numpy as np
 
 from ..io.database import Database
 from ..obs import get_logger, profile_region
-from .gftt import GFTTOptions, gftt_dispatch, gftt_finish
+from .gftt import (
+    GFTTOptions,
+    device_suppress_route,
+    gftt_dispatch,
+    gftt_finish,
+)
 from .lk import (
     LKOptions,
     PyramidCache,
@@ -39,6 +44,7 @@ from .lk import (
     calc_optical_flow_multi_finish,
     chain_engages,
     prepare_pyramid,
+    prepare_pyramid_with_gftt,
 )
 
 # Skip pattern (cpp/opticalflow.cc:76-78)
@@ -203,6 +209,38 @@ def _run(
             cache.put(frame_id, pyr)
         return pyr
 
+    # Fused detection: GFTT's response + top-k ride the pyramid-prep
+    # dispatch (one program, shared upload) instead of a separate
+    # device-serial program (~3.4 ms/frame at 640p, mostly dispatch
+    # cost).  Masked and device-suppressed routes keep the dedicated
+    # program; POLYCHASE_GFTT_PREP_FUSED=0 restores split dispatches.
+    import os as _os_f
+
+    fuse_gftt = (
+        _os_f.environ.get("POLYCHASE_GFTT_PREP_FUSED", "1") != "0"
+        and not device_suppress_route(
+            video_info.width * video_info.height, detector_options
+        )
+    )
+
+    def ensure_gftt(fa: int) -> None:
+        """Queue detection for ``fa`` if its keypoints don't exist yet."""
+        if fa in gftt_pending or fa in gftt_skip:
+            return
+        if db.read_keypoints(fa).shape[0] > 0:
+            gftt_skip.add(fa)
+            return
+        if fuse_gftt and cache.get(fa) is None:
+            pyr, disp = prepare_pyramid_with_gftt(
+                dev_gray_of(fa), flow_options, detector_options
+            )
+            cache.put(fa, pyr)
+            gftt_pending[fa] = disp
+            return
+        gftt_pending[fa] = gftt_dispatch(
+            dev_gray_of(fa), None, detector_options
+        )
+
     # Software pipeline: GFTT for upcoming frames is dispatched ahead,
     # and LK result transfers are deferred one frame, so host work (greedy
     # suppression, SQLite writes) and the device<->host link overlap device
@@ -255,16 +293,10 @@ def _run(
                 cancelled = True
                 break
 
-        # Prefetch detection for the current + next few frames.
-        for fa in range(frame_id1, min(frame_id1 + LOOKAHEAD + 1, last)):
-            if fa in gftt_pending or fa in gftt_skip:
-                continue
-            if db.read_keypoints(fa).shape[0] > 0:
-                gftt_skip.add(fa)
-                continue
-            gftt_pending[fa] = gftt_dispatch(
-                dev_gray_of(fa), None, detector_options
-            )
+        # The current frame's detection must be in flight before its LK
+        # dispatch (steady state: queued by an earlier iteration's
+        # post-LK prefetch; clip start / cache miss: dispatched here).
+        ensure_gftt(frame_id1)
 
         # Read-or-generate keypoints (cpp/opticalflow.cc:154-178)
         features = db.read_keypoints(frame_id1)
@@ -331,6 +363,9 @@ def _run(
         for fs in range(frame_id1 + 1, min(frame_id1 + LOOKAHEAD + 1, last)):
             tg = missing_targets(fs)
             if tg:
+                # Detection first: on the fused route it also creates
+                # fs's pyramid in the same dispatch.
+                ensure_gftt(fs)
                 get_pyramid(fs)
                 for f2 in tg:
                     get_pyramid(f2)

@@ -164,8 +164,40 @@ def coarse_iter_cap() -> int:
     counts (1300+ lane groups each iterating until their worst lane).
     Level 0 always keeps the caller's budget, so convergence/status
     semantics at the output resolution are unchanged.
+
+    Measured quality trade (round 4): an under-converged seed (cap hit
+    while updates were still large) can snap level 0 to a different
+    lattice optimum on ambiguous texture — the cap stays opt-in.  The
+    convergence-VERIFIED relaxation below (coarse_level_eps) is the
+    quality-neutral default instead.
     """
     return int(os.environ.get("POLYCHASE_LK_COARSE_ITERS", "0"))
+
+
+def coarse_level_eps() -> float:
+    """Convergence-verified early stop for pyramid levels ABOVE level 0
+    (POLYCHASE_LK_COARSE_EPS, pixels at the coarse level's own scale;
+    0 disables → cv2-exact termination at every level).
+
+    Unlike the fixed iteration cap, this stops a coarse level only when
+    the group's updates have genuinely shrunk below the threshold, so a
+    straggler still iterating in large steps keeps its budget — the
+    failure mode the cap measured (63→46 of 128 features within 0.5 px
+    on ambiguous texture) cannot occur by construction: the seed handed
+    to the next level is within ~2·eps of the fully-converged seed,
+    deep inside the level-0 re-convergence basin (window 10).  cv2 uses
+    the same numeric eps (default 0.01) at every level, tighter than
+    seeding needs.
+
+    Default 0.02, set by measurement (tests/test_lk_blend_variants.py
+    quality probe, blurred noise + 10.8 px subpixel shift): at 0.02 the
+    within-0.5px recovery count is UNCHANGED vs cv2-exact termination
+    (94/94, p99 position deviation 0.026 px) while cap=3/5 lose 54/24
+    features on the same scene; at 0.05 ambiguous-texture features
+    start lattice-jumping (p99 deviation 19 px, count 94→92), so wider
+    relaxations are opt-in only.
+    """
+    return float(os.environ.get("POLYCHASE_LK_COARSE_EPS", "0.02"))
 
 
 def blend_variant() -> str:
@@ -908,6 +940,7 @@ def lk_all_levels_pallas(
     init_flow=None,             # optional (T, N, 2) full-res starting flow
     blend: str | None = None,   # "tent"|"narrow"|"narrow2"; None = env
     coarse_cap: int | None = None,  # per-level iteration budget; None = env
+    coarse_eps: float | None = None,  # coarse-level stop eps; None = env
 ):
     """Coarse-to-fine pyramidal LK for T targets sharing one source frame.
 
@@ -924,7 +957,7 @@ def lk_all_levels_pallas(
         preps, next_images, pts,
         dims=dims, win=win, max_iters=max_iters, eps2=eps2,
         interpret=interpret, init_flow=init_flow, blend=blend,
-        coarse_cap=coarse_cap,
+        coarse_cap=coarse_cap, coarse_eps=coarse_eps,
     )
 
 
@@ -953,11 +986,14 @@ def lk_iter_levels_pallas(
     preps, next_images, pts, *, dims, win: int, max_iters: int,
     eps2: float, interpret: bool = False, init_flow=None,
     blend: str | None = None, coarse_cap: int | None = None,
+    coarse_eps: float | None = None,
 ):
     """Coarse-to-fine iterate chain over precomputed per-level preps."""
     narrow, nspan, nxspan = _blend_flags(blend)
     if coarse_cap is None:
         coarse_cap = coarse_iter_cap()
+    if coarse_eps is None:
+        coarse_eps = coarse_level_eps()
     levels = len(preps)
     T = len(next_images[0])
     top = levels - 1
@@ -978,10 +1014,15 @@ def lk_iter_levels_pallas(
         lvl_iters = max_iters
         if lvl > 0 and coarse_cap:
             lvl_iters = min(max_iters, coarse_cap)
+        lvl_eps2 = eps2
+        if lvl > 0 and coarse_eps:
+            # Convergence-verified coarse stop (see coarse_level_eps):
+            # relax the per-group exit threshold, never the budget.
+            lvl_eps2 = max(float(eps2), float(coarse_eps) ** 2)
         cur, st, er = lk_iterate_level_multi(
             imgs, ip, dxi, dyi, a11, a12, a22,
             invd, ok, cur,
-            win=win, H=H, W=W, max_iters=lvl_iters, eps2=eps2,
+            win=win, H=H, W=W, max_iters=lvl_iters, eps2=lvl_eps2,
             level_is_zero=(lvl == 0), interpret=interpret,
             narrow=narrow, nspan=nspan, nxspan=nxspan,
         )

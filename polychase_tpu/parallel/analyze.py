@@ -143,6 +143,7 @@ def _sharded_lk_multi_pallas_feat(
     interpret: bool = False,
     blend: str = "tent",
     coarse_cap: int = 0,
+    coarse_eps: float = 0.0,
 ):
     """Feature-sharded Analyze over the Pallas kernel path.
 
@@ -158,7 +159,7 @@ def _sharded_lk_multi_pallas_feat(
             prev_levels, next_images_stacked, pts_local,
             dims=dims, win=win, max_iters=max_iters, eps2=eps2,
             min_eig_thr=min_eig_thr, interpret=interpret, blend=blend,
-            coarse_cap=coarse_cap,
+            coarse_cap=coarse_cap, coarse_eps=coarse_eps,
         )
 
     fn = shard_map(
@@ -209,6 +210,7 @@ def _sharded_lk_multi_pallas(
     interpret: bool = False,
     blend: str = "tent",
     coarse_cap: int = 0,
+    coarse_eps: float = 0.0,
 ):
     """Target-sharded Analyze over the Pallas kernel path.
 
@@ -225,7 +227,7 @@ def _sharded_lk_multi_pallas(
             prev_levels, next_images_local, pts,
             dims=dims, win=win, max_iters=max_iters, eps2=eps2,
             min_eig_thr=min_eig_thr, interpret=interpret, blend=blend,
-            coarse_cap=coarse_cap,
+            coarse_cap=coarse_cap, coarse_eps=coarse_eps,
         )
 
     fn = shard_map(
@@ -304,7 +306,7 @@ def _sharded_lk_chain_prep(
 def _sharded_lk_chain_phase(
     mesh: Mesh, first, next_images_stacked, pts, src_nxt, src_status,
     scales, *, pallas, dims, win, max_iters, eps2, min_eig_thr, levels,
-    interpret=False, blend="tent", coarse_cap=0,
+    interpret=False, blend="tent", coarse_cap=0, coarse_eps=0.0,
 ):
     """One chained phase (T slots), feature-sharded.
 
@@ -327,7 +329,7 @@ def _sharded_lk_chain_phase(
                 first_l, next_images_stacked, pts_local,
                 dims=dims, win=win, max_iters=max_iters, eps2=eps2,
                 interpret=interpret, init_flow=init, blend=blend,
-                coarse_cap=coarse_cap,
+                coarse_cap=coarse_cap, coarse_eps=coarse_eps,
             )
         return _lk._lk_all_levels_multi(
             first_l, next_images_stacked, pts_local,
@@ -370,7 +372,7 @@ _sharded_lk_chain_phase_jit = partial(
     jax.jit,
     static_argnames=("mesh", "pallas", "dims", "win", "max_iters", "eps2",
                      "min_eig_thr", "levels", "interpret", "blend",
-                     "coarse_cap"),
+                     "coarse_cap", "coarse_eps"),
 )(_sharded_lk_chain_phase)
 
 

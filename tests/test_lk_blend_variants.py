@@ -276,3 +276,79 @@ def test_tpu_lowering_all_variants():
     for blend, H, W, wi in legs:
         f, args = build(blend, H, W, with_iters=wi)
         export.export(jax.jit(f), platforms=("tpu",))(*args)
+
+
+def test_coarse_eps_quality_neutral_on_ambiguous_texture(rng):
+    """POLYCHASE_LK_COARSE_EPS (the convergence-verified coarse-level
+    stop, default 0.02) must NOT lose features on exactly the scene
+    class where the fixed iteration cap measured a quality cost:
+    ambiguous blurred-noise texture with a large subpixel (~10.8 px)
+    shift.  The contract is recovery parity with cv2-exact termination
+    (coarse_eps=0); the same scene must show the cap losing features,
+    proving the scene discriminates.  (Measured sweep, this scene:
+    exact 94/128 within 0.5 px; ce=0.02 → 94, p99 dev 0.026 px;
+    ce=0.05 → 92 with 19 px p99 lattice jumps; cap3 → 40, cap5 → 70.)
+    """
+    H, W = 200, 320
+    big = ndi.gaussian_filter(
+        rng.uniform(0, 255, (H + 60, W + 60)).astype(np.float32), 1.2
+    )
+    sy, sx = 7.4, 10.8
+    prev = np.ascontiguousarray(big[20 : 20 + H, 20 : 20 + W])
+    shifted = ndi.shift(big, (-sy, -sx), order=3, mode="nearest")
+    nxt = np.ascontiguousarray(shifted[20 : 20 + H, 20 : 20 + W])
+    levels = 3
+    pyr_prev = lk._prepare_levels_pallas(
+        lk.build_pyramid(jnp.asarray(prev), levels), levels=levels
+    )
+    pyr_next = lk._prepare_levels_pallas(
+        lk.build_pyramid(jnp.asarray(nxt), levels), levels=levels
+    )
+    pts = rng.uniform((40, 40), (W - 40, H - 40), (128, 2)).astype(
+        np.float32
+    )
+    dims = []
+    h, w = H, W
+    for _ in range(levels):
+        dims.append((h, w))
+        h, w = (h + 1) // 2, (w + 1) // 2
+    dims = tuple(dims)
+
+    def run(coarse_eps, coarse_cap=0):
+        out = lkp.lk_all_levels_pallas(
+            tuple(pyr_prev[:levels]),
+            tuple((pyr_next[lvl][0],) for lvl in range(levels)),
+            jnp.asarray(pts), dims=dims, win=10, max_iters=30,
+            eps2=1e-4, min_eig_thr=1e-4, interpret=True,
+            coarse_cap=coarse_cap, coarse_eps=coarse_eps,
+        )
+        return jax.device_get(out)
+
+    # The crop moves the CONTENT by -shift: a feature at p in prev sits
+    # at p - (sx, sy) in nxt.
+    truth = pts - np.array([sx, sy], np.float32)
+
+    def within_half_px(out):
+        st = np.asarray(out[1][0])
+        d = np.linalg.norm(np.asarray(out[0][0]) - truth, axis=1)
+        return int(np.sum(st & (d < 0.5)))
+
+    exact = run(0.0)
+    relaxed = run(lkp.coarse_level_eps())
+    capped = run(0.0, coarse_cap=5)
+    n_exact, n_relaxed, n_capped = (
+        within_half_px(exact), within_half_px(relaxed), within_half_px(capped)
+    )
+    assert n_exact > 80, n_exact  # the scene must be trackable at all
+    # The scene must discriminate: the blunt cap loses features here.
+    assert n_capped < n_exact, (n_capped, n_exact)
+    # The convergence-verified stop must not.
+    assert n_relaxed >= n_exact, (n_relaxed, n_exact)
+    # And recovered positions must agree closely with exact termination
+    # (no lattice jumps at the default eps; 0.05 measured p99 = 19 px).
+    st_b = np.asarray(exact[1][0]) & np.asarray(relaxed[1][0])
+    d = np.linalg.norm(
+        np.asarray(relaxed[0][0])[st_b] - np.asarray(exact[0][0])[st_b],
+        axis=1,
+    )
+    assert np.percentile(d, 99) < 0.1, np.percentile(d, 99)

@@ -203,3 +203,39 @@ def test_chained_cancel_and_resume(tmp_path, rng, monkeypatch):
         expected = {f + s for s in IMAGE_SKIPS if 0 <= f + s < 10}
         assert set(db.find_optical_flows_from_image(f)) == expected
     db.close()
+
+
+def test_fused_gftt_prep_parity(tmp_path, rng, monkeypatch):
+    """The fused prep+GFTT program (POLYCHASE_GFTT_PREP_FUSED, default
+    on) must produce a bit-identical database to the split dispatches:
+    the detection math is the same traced code on the same f32 input,
+    only the dispatch granularity changes."""
+    frames = make_clip(rng, n=6)
+    info = VideoInfo(frames[0].shape[1], frames[0].shape[0], 0, len(frames))
+
+    def run(flag):
+        monkeypatch.setenv("POLYCHASE_GFTT_PREP_FUSED", flag)
+        path = str(tmp_path / f"fused_{flag}.db")
+        generate_optical_flow_database(
+            info, lambda fid: frames[fid], None, path
+        )
+        db = Database(path)
+        kps = {i: db.read_keypoints(i) for i in range(len(frames))}
+        flows = {}
+        for i in range(len(frames)):
+            for j in db.find_optical_flows_from_image(i):
+                flows[(i, j)] = db.read_image_pair_flow(i, j)
+        db.close()
+        return kps, flows
+
+    kps_split, flows_split = run("0")
+    kps_fused, flows_fused = run("1")
+    assert set(kps_split) == set(kps_fused)
+    for i in kps_split:
+        np.testing.assert_array_equal(kps_fused[i], kps_split[i])
+    assert set(flows_split) == set(flows_fused)
+    for key in flows_split:
+        a, b = flows_fused[key], flows_split[key]
+        np.testing.assert_array_equal(a.src_kps_indices, b.src_kps_indices)
+        np.testing.assert_array_equal(a.tgt_kps, b.tgt_kps)
+        np.testing.assert_array_equal(a.flow_errors, b.flow_errors)
