@@ -857,7 +857,9 @@ def lm_chunk_device(
     """Run up to ``n_iters`` LM iterations on device.
 
     ``scal`` = [cost, lam, v, rebuild, done, invalid_steps, iters_done,
-    budget]; ``tol4`` = [gradient_tol, step_tol, min_lambda, max_lambda].
+    budget]; ``tol4`` = [gradient_tol, step_tol, min_lambda, max_lambda,
+    function_tol] (the name predates the fifth entry; function_tol=0
+    disables the stagnation exit = reference-exact termination).
     Mirrors LevMarqSparseSolver::Solve (cpp/pnp/lev_marq.h:492-588) with
     the refiner's accepted-step prim refresh (cpp/refiner.cc:320-349).
     """
@@ -944,8 +946,17 @@ def lm_chunk_device(
             )
             counted = improved | ((reject | invalid) & ~lam_break)
             iters_out = iters_done + jnp.where(counted, 1.0, 0.0)
+            # Cost-stagnation exit (same contract as lm_solve,
+            # levmarq.py: |attempted change| <= ftol·cost on an accepted
+            # step = at the noise floor, on a rejected step = the
+            # λ-doubling tail whose every later attempt is strictly
+            # smaller).  tol4[4] = 0 disables (reference-exact).
+            stagnated = (tol4[4] > 0.0) & (
+                jnp.abs(cost_new - cost) <= tol4[4] * cost
+            )
             done_out = jnp.where(
                 grad_break | step_break | lam_break
+                | ((improved | reject) & stagnated)
                 | (iters_out >= budget),
                 1.0, 0.0,
             )
@@ -1207,6 +1218,7 @@ def refine_trajectory(
                 float(bundle_opts.step_tol),
                 float(bundle_opts.min_lambda),
                 float(bundle_opts.max_lambda),
+                float(getattr(bundle_opts, "function_tol", 0.0)),
             ],
             jnp.float32,
         )
@@ -1308,6 +1320,13 @@ def refine_trajectory(
         if step_norm < bundle_opts.step_tol:
             break
 
+        # Cost-stagnation exit (mirrors lm_solve / lm_chunk_device):
+        # |attempted change| <= ftol·cost.  ftol=0 disables.
+        _ftol = float(getattr(bundle_opts, "function_tol", 0.0))
+        stagnated = _ftol > 0.0 and (
+            abs(cost_new - stats["cost"]) <= _ftol * stats["cost"]
+        )
+
         if cost_new < stats["cost"]:
             actual = cost_new - stats["cost"]
             rho = actual / expected if expected != 0 else -1.0
@@ -1337,6 +1356,8 @@ def refine_trajectory(
 
         stats["iterations"] += 1
         stats["lambda_"] = lam
+        if stagnated:
+            break
         if not emit():
             break
 

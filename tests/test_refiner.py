@@ -282,3 +282,61 @@ def test_device_lm_cancel_matches_host_driver(tmp_path, rng, monkeypatch):
                 np.asarray(ref.get(i).pose.t),
                 atol=1e-6, err_msg=f"cancel_after={cancel_after} frame={i}",
             )
+
+
+def test_refine_function_tol_parity_and_quality(tmp_path, rng, monkeypatch):
+    """BundleOptions.function_tol on the refiner: the stagnation exit
+    must behave identically on the device-chunk and host LM drivers
+    (same iteration count, same cost, same trajectory), terminate in no
+    more iterations than ftol=0, and leave the recovered trajectory
+    within the recovery contract of test_refine_recovers_noisy_trajectory.
+    ftol=0 stays the refine default (reference-exact termination)."""
+    mesh = make_sphere_mesh()
+    intr = make_intrinsics()
+    n = 10
+    poses = [orbit_pose(0.05 * t) for t in range(n)]
+    db_path = str(tmp_path / "flow.db")
+    build_flow_db(db_path, mesh, intr, poses, rng)
+
+    def run(ftol):
+        traj = perturbed_traj(poses, intr, np.random.default_rng(7))
+        updates = []
+        refine_trajectory(
+            db_path, traj, np.eye(4, dtype=np.float32), mesh,
+            bundle_opts=BundleOptions(
+                loss_type=CAUCHY, loss_scale=1.0, function_tol=ftol
+            ),
+            callback=lambda u: updates.append(u) or True,
+            device_mesh=False,
+        )
+        return traj, updates[-1].stats
+
+    monkeypatch.setenv("POLYCHASE_DEVICE_LM", "0")
+    host_traj, host_stats = run(1e-5)
+    exact_traj, exact_stats = run(0.0)
+    monkeypatch.setenv("POLYCHASE_DEVICE_LM", "1")
+    dev_traj, dev_stats = run(1e-5)
+
+    # Device/host parity at ftol>0
+    assert int(dev_stats.iterations) == int(host_stats.iterations)
+    np.testing.assert_allclose(
+        float(dev_stats.cost), float(host_stats.cost), rtol=1e-4
+    )
+    for i in range(n):
+        np.testing.assert_allclose(
+            np.asarray(dev_traj.get(i).pose.t),
+            np.asarray(host_traj.get(i).pose.t), atol=1e-5,
+        )
+
+    # The stagnation exit can only shorten the schedule.
+    assert int(host_stats.iterations) <= int(exact_stats.iterations)
+
+    # Quality contract: same recovery bounds as the ftol=0 contract.
+    for i in range(1, n - 1):
+        rot_err, t_err = pose_errors(host_traj.get(i).pose, poses[i])
+        assert rot_err < 1e-3, (i, rot_err)
+        assert t_err < 2.5e-3, (i, t_err)
+    # And the final cost is within ftol-noise of exact termination.
+    np.testing.assert_allclose(
+        float(host_stats.cost), float(exact_stats.cost), rtol=1e-3
+    )
