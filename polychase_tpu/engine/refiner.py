@@ -951,8 +951,12 @@ def lm_chunk_device(
             # step = at the noise floor, on a rejected step = the
             # λ-doubling tail whose every later attempt is strictly
             # smaller).  tol4[4] = 0 disables (reference-exact).
-            stagnated = (tol4[4] > 0.0) & (
-                jnp.abs(cost_new - cost) <= tol4[4] * cost
+            # (shape is static: legacy 4-entry tol vectors mean ftol=0,
+            # and a clamped tol4[4] gather would silently read
+            # max_lambda instead)
+            ftol = tol4[4] if tol4.shape[0] > 4 else jnp.float32(0.0)
+            stagnated = (ftol > 0.0) & (
+                jnp.abs(cost_new - cost) <= ftol * cost
             )
             done_out = jnp.where(
                 grad_break | step_break | lam_break

@@ -196,6 +196,12 @@ def coarse_level_eps() -> float:
     features on the same scene; at 0.05 ambiguous-texture features
     start lattice-jumping (p99 deviation 19 px, count 94→92), so wider
     relaxations are opt-in only.
+
+    Determinism note: the group-level early exit already made results
+    depend (sub-ulp, ~4e-4 px) on how features are grouped; a nonzero
+    coarse eps raises that grouping sensitivity to ~0.15 px worst-case
+    between different shardings of the same problem (multi-chip vs
+    single).  Set 0 for sharding-invariant output.
     """
     return float(os.environ.get("POLYCHASE_LK_COARSE_EPS", "0.02"))
 

@@ -180,7 +180,7 @@ _sharded_lk_multi_pallas_feat_jit = partial(
     jax.jit,
     static_argnames=(
         "mesh", "dims", "win", "max_iters", "eps2", "min_eig_thr",
-        "interpret", "blend", "coarse_cap",
+        "interpret", "blend", "coarse_cap", "coarse_eps",
     ),
 )(_sharded_lk_multi_pallas_feat)
 
@@ -244,7 +244,7 @@ _sharded_lk_multi_pallas_jit = partial(
     jax.jit,
     static_argnames=(
         "mesh", "dims", "win", "max_iters", "eps2", "min_eig_thr",
-        "interpret", "blend", "coarse_cap",
+        "interpret", "blend", "coarse_cap", "coarse_eps",
     ),
 )(_sharded_lk_multi_pallas)
 

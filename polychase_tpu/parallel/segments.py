@@ -248,7 +248,8 @@ def refine_segments(
     b = bundle_opts
     ppc = 9 if (optimize_focal_length or optimize_principal_point) else 6
     tol4 = jnp.asarray(
-        [b.gradient_tol, b.step_tol, b.min_lambda, b.max_lambda],
+        [b.gradient_tol, b.step_tol, b.min_lambda, b.max_lambda,
+         getattr(b, "function_tol", 0.0)],
         jnp.float32,
     )
     model = jnp.asarray(np.asarray(model_matrix, np.float32))

@@ -91,10 +91,17 @@ def test_sharded_pallas_lk_matches_single(rng):
     prev = pyrs[4]
     target_ids = [0, 1, 2, 3, 5, 6, 7, 8]
 
+    # coarse_eps pinned to 0 (exact termination): this test pins the
+    # sharding MECHANISM.  At the production default (0.02) group
+    # composition changes where coarse levels stop, so seeds — and the
+    # level-0 optima they select — drift up to ~0.15 px between
+    # shardings (well inside the 0.5 px quality contract; documented in
+    # kernels/lk_pallas.py coarse_level_eps).
     args = dict(
         dims=dims, win=opts.window_size, max_iters=10,
         eps2=float(opts.term_epsilon**2),
         min_eig_thr=float(opts.min_eigen_threshold), interpret=True,
+        coarse_eps=0.0,
     )
     ref = lkp.lk_all_levels_pallas(
         tuple(prev[:levels]),
@@ -193,10 +200,13 @@ def test_feature_sharded_pallas_matches_single(rng):
     )
     prev = pyrs[4]
     target_ids = [0, 2, 6, 8]
+    # coarse_eps=0: see test_sharded_pallas_lk_matches_single — the
+    # mechanism is pinned under exact termination.
     args = dict(
         dims=dims, win=opts.window_size, max_iters=10,
         eps2=float(opts.term_epsilon**2),
         min_eig_thr=float(opts.min_eigen_threshold), interpret=True,
+        coarse_eps=0.0,
     )
     stacked = tuple(
         jnp.stack([pyrs[t][lvl][0] for t in target_ids])
