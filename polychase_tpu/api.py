@@ -384,11 +384,13 @@ class BundleOptions:
         self.verbose = False
         # Extension over the reference surface: relative function
         # tolerance on accepted LM steps.  0 = reference-exact
-        # termination.  NOTE the default-behavior divergence: tracking
-        # auto-enables 1e-5 when this is left at 0 (measured +37%
+        # termination.  NOTE the default-behavior divergence: when this
+        # is left at 0, tracking auto-enables 1e-5 (measured +37%
         # throughput, pose/focal deltas <=0.05% of the solves' own
-        # error); refine keeps 0.  POLYCHASE_TRACK_FTOL=0 restores
-        # reference-exact tracking termination (engine/tracker.py).
+        # error) and refine auto-enables 1e-5 (measured -37% config-4
+        # wall, final cost identical to 1e-4 relative).
+        # POLYCHASE_TRACK_FTOL=0 / POLYCHASE_REFINE_FTOL=0 restore
+        # reference-exact termination (engine/tracker.py, refiner.py).
         self.function_tol = 0.0
 
     def _to_engine(self) -> _levmarq.BundleOptions:

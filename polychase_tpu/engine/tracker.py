@@ -681,6 +681,18 @@ def _track_chunked_scan(
             camera_traj.set(frame_id, camera)
         return True
 
+    # How many chunks may be in flight before blocking on results.  A
+    # flush is a device_get whose async copy typically started only a
+    # few ms earlier, so on a high-latency link (tunnel: ~26 ms each
+    # way) every flush exposes nearly a full round trip.  The carry
+    # rides on device — no chunk needs the previous chunk's RESULTS on
+    # the host — so without a callback every chunk is dispatched
+    # back-to-back and the drain pays the link latency ONCE (measured:
+    # host floor 1.05 -> ~0.3 ms/frame at 120 frames / 4 chunks).  With
+    # a callback, one chunk in flight keeps the reference's streaming
+    # progress/cancel semantics (cpp/tracker_thread.h:62-84).
+    max_inflight = len(chunk_frames) if callback is None else 1
+
     with profile_region("tracker.scan_chain"):
         # Chunks are packed lazily: chunk c+1's host packing runs while
         # chunk c (dispatched below) is still computing on device.
@@ -696,7 +708,7 @@ def _track_chunked_scan(
                 except Exception:  # pragma: no cover
                     pass
             pending.append((chunk, vecs, counts))
-            while len(pending) > 1:
+            while len(pending) > max_inflight:
                 if not flush_one():
                     return
         while pending:

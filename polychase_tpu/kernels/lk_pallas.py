@@ -189,21 +189,25 @@ def coarse_level_eps() -> float:
     the same numeric eps (default 0.01) at every level, tighter than
     seeding needs.
 
-    Default 0.02, set by measurement (tests/test_lk_blend_variants.py
-    quality probe, blurred noise + 10.8 px subpixel shift): at 0.02 the
+    Default 0 (exact termination).  Measured round 5 on hardware: the
+    convergence-verified stop is perf-NEUTRAL at both 640p (13.89 vs
+    13.79 fps) and 4K (0.842 vs 0.846 fps) — the 4K cap's round-4 +13%
+    came precisely from truncating iterations stragglers still needed,
+    which this formulation never does, so there is nothing for it to
+    win.  Kept as an opt-in because its quality is proven: at 0.02 the
     within-0.5px recovery count is UNCHANGED vs cv2-exact termination
-    (94/94, p99 position deviation 0.026 px) while cap=3/5 lose 54/24
-    features on the same scene; at 0.05 ambiguous-texture features
-    start lattice-jumping (p99 deviation 19 px, count 94→92), so wider
-    relaxations are opt-in only.
+    (94/94, p99 position deviation 0.026 px, quality probe in
+    tests/test_lk_blend_variants.py) while cap=3/5 lose 54/24 features
+    on the same scene; at 0.05 ambiguous-texture features start
+    lattice-jumping (p99 deviation 19 px, count 94→92).
 
     Determinism note: the group-level early exit already made results
     depend (sub-ulp, ~4e-4 px) on how features are grouped; a nonzero
     coarse eps raises that grouping sensitivity to ~0.15 px worst-case
     between different shardings of the same problem (multi-chip vs
-    single).  Set 0 for sharding-invariant output.
+    single) — a second reason the default stays 0.
     """
-    return float(os.environ.get("POLYCHASE_LK_COARSE_EPS", "0.02"))
+    return float(os.environ.get("POLYCHASE_LK_COARSE_EPS", "0"))
 
 
 def blend_variant() -> str:

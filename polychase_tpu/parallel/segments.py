@@ -22,6 +22,7 @@ whole multi-segment refine is ONE dispatch.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import List, Optional, Sequence
 
@@ -190,6 +191,12 @@ def refine_segments(
     """
     if not trajs:
         return []
+    # Same auto-injected termination default as refine_trajectory
+    # (POLYCHASE_REFINE_FTOL, 0 restores reference-exact).
+    if getattr(bundle_opts, "function_tol", 0.0) == 0.0:
+        _ftol = float(os.environ.get("POLYCHASE_REFINE_FTOL", "1e-5"))
+        if _ftol > 0.0:
+            bundle_opts = bundle_opts._replace(function_tol=_ftol)
     own_db = False
     if isinstance(database, str):
         database = Database(database)

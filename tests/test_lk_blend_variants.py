@@ -280,7 +280,8 @@ def test_tpu_lowering_all_variants():
 
 def test_coarse_eps_quality_neutral_on_ambiguous_texture(rng):
     """POLYCHASE_LK_COARSE_EPS (the convergence-verified coarse-level
-    stop, default 0.02) must NOT lose features on exactly the scene
+    stop; default 0, documented opt-in 0.02) must NOT lose features on
+    exactly the scene
     class where the fixed iteration cap measured a quality cost:
     ambiguous blurred-noise texture with a large subpixel (~10.8 px)
     shift.  The contract is recovery parity with cv2-exact termination
@@ -333,8 +334,10 @@ def test_coarse_eps_quality_neutral_on_ambiguous_texture(rng):
         d = np.linalg.norm(np.asarray(out[0][0]) - truth, axis=1)
         return int(np.sum(st & (d < 0.5)))
 
+    # 0.02 = the documented safe opt-in value (the default is 0 = exact
+    # termination; the relaxation measured perf-neutral on hardware).
     exact = run(0.0)
-    relaxed = run(lkp.coarse_level_eps())
+    relaxed = run(0.02)
     capped = run(0.0, coarse_cap=5)
     n_exact, n_relaxed, n_capped = (
         within_half_px(exact), within_half_px(relaxed), within_half_px(capped)

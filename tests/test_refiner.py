@@ -298,6 +298,10 @@ def test_refine_function_tol_parity_and_quality(tmp_path, rng, monkeypatch):
     db_path = str(tmp_path / "flow.db")
     build_flow_db(db_path, mesh, intr, poses, rng)
 
+    # Disable the auto-injected refine default so ftol=0 really means
+    # exact termination for the comparison arm.
+    monkeypatch.setenv("POLYCHASE_REFINE_FTOL", "0")
+
     def run(ftol):
         traj = perturbed_traj(poses, intr, np.random.default_rng(7))
         updates = []
