@@ -137,15 +137,15 @@ def _host_pack_floor(db_path, mesh, intr, poses, reps=3):
 
         @jax.jit
         def run(mesh_, model, model_inv, q0, t0, in0, const5, kps, xs):
-            tgt_i = xs[-2]  # xs layout varies (quant adds a scale row)
-            CH = tgt_i.shape[0]
+            CH = xs[0].shape[0]  # every format leads with SCAN_CHUNK
             vecs = jnp.zeros((CH, 19), jnp.float32)
             vecs = vecs.at[:, 0].set(1.0)
             counts = jnp.full((CH,), 999, jnp.int32)
-            # touch the inputs so uploads actually happen
-            counts = counts + (
-                jnp.sum(xs[3][0, 0]) * 0
-            ).astype(jnp.int32)
+            # touch EVERY input array so uploads actually happen
+            touch = sum(
+                jnp.sum(a[0].astype(jnp.float32)) for a in xs
+            )
+            counts = counts + (touch * 0).astype(jnp.int32)
             return (q0, t0, in0), vecs, counts
 
         fake_cache[key] = run

@@ -326,13 +326,21 @@ PACKED_IDX = os.environ.get("POLYCHASE_TRACK_IDX", "1") != "0"
 # POLYCHASE_TRACK_QTGT=0 restores the exact-f32 upload.
 QUANT_TGT = os.environ.get("POLYCHASE_TRACK_QTGT", "1") != "0"
 
+# Consolidated upload: the five small per-chunk arrays (src_idx, cnt,
+# tgt_i, warm_i, qs) ride ONE i32 meta array, so a chunk dispatch moves
+# 3 host buffers instead of 7 — the host floor of the tracking
+# decomposition is dominated by per-device_put fixed cost, not bytes
+# (BENCHMARKS.md round-5).  Internal toggle for interleaved A/Bs only.
+_FUSED_META = True
+
 
 def _scan_track_fn(opt_f: bool, opt_pp: bool, opts_key,
-                   packed_idx: bool = True, quant_tgt: bool = False):
+                   packed_idx: bool = True, quant_tgt: bool = False,
+                   fused_meta: bool = False):
     from .pnp import solve_arrays
     from functools import partial as _partial
 
-    key = (opt_f, opt_pp, opts_key, packed_idx, quant_tgt)
+    key = (opt_f, opt_pp, opts_key, packed_idx, quant_tgt, fused_meta)
     fn = _SCAN_TRACK_CACHE.get(key)
     if fn is not None:
         return fn
@@ -340,6 +348,8 @@ def _scan_track_fn(opt_f: bool, opt_pp: bool, opts_key,
     opts = BundleOptions(*opts_key)
     if quant_tgt and not packed_idx:
         raise ValueError("quant_tgt requires the packed-index format")
+    if fused_meta and not packed_idx:
+        raise ValueError("fused_meta requires the packed-index format")
 
     @_partial(jax.jit, static_argnames=())
     def run(mesh, model, model_inv, q0, t0, in0, const5, kps_all, xs):
@@ -351,11 +361,31 @@ def _scan_track_fn(opt_f: bool, opt_pp: bool, opts_key,
 
         def step(carry, x):
             q_all, t_all, in_all = carry
-            if packed_idx:
+            if fused_meta:
+                # meta row layout: [src_idx(Gp) | cnt(Gp) | tgt_i |
+                # warm_i | qs bitcast to i32]; values identical to the
+                # separate-array format (qs round-trips via bitcast).
+                if quant_tgt:
+                    meta, kp_idx, tgt_q = x
+                else:
+                    meta, kp_idx, tgt = x
+                Gp_ = kp_idx.shape[0]
+                src_idx = meta[:Gp_]
+                cnt = meta[Gp_ : 2 * Gp_]
+                tgt_i = meta[2 * Gp_]
+                warm_i = meta[2 * Gp_ + 1]
+                if quant_tgt:
+                    qs = jax.lax.bitcast_convert_type(
+                        meta[2 * Gp_ + 2], jnp.float32
+                    )
+            elif packed_idx:
                 if quant_tgt:
                     src_idx, kp_idx, cnt, tgt_q, qs, tgt_i, warm_i = x
                 else:
                     src_idx, kp_idx, cnt, tgt, tgt_i, warm_i = x
+            else:
+                src_idx, kp, tgt, val, tgt_i, warm_i = x
+            if packed_idx:
                 kp = kps_all[src_idx[:, None], kp_idx.astype(jnp.int32)]
                 val = (
                     jnp.arange(kp_idx.shape[1], dtype=jnp.int32)[None, :]
@@ -363,8 +393,6 @@ def _scan_track_fn(opt_f: bool, opt_pp: bool, opts_key,
                 )
                 if quant_tgt:
                     tgt = kp + tgt_q.astype(jnp.float32) * qs
-            else:
-                src_idx, kp, tgt, val, tgt_i, warm_i = x
 
             qs = q_all[src_idx]  # (Gp, 4)
             ts = t_all[src_idx]
@@ -492,6 +520,7 @@ def _track_chunked_scan(
         bool(optimize_focal_length), bool(optimize_principal_point),
         opts_key, packed_idx=PACKED_IDX,
         quant_tgt=PACKED_IDX and QUANT_TGT,
+        fused_meta=PACKED_IDX and _FUSED_META,
     )
 
     # Gather the run's flow metadata in ONE query (per-pair point reads
@@ -613,6 +642,17 @@ def _track_chunked_scan(
         for r in range(CH, SCAN_CHUNK):  # padding rows: masked no-ops
             tgt_i[r] = tgt_i[CH - 1]
             warm_i[r] = warm_i[CH - 1]
+        if PACKED_IDX and _FUSED_META:
+            meta = np.empty((SCAN_CHUNK, 2 * Gp + 3), np.int32)
+            meta[:, :Gp] = src_idx
+            meta[:, Gp : 2 * Gp] = cnt
+            meta[:, 2 * Gp] = tgt_i
+            meta[:, 2 * Gp + 1] = warm_i
+            if quant:
+                meta[:, 2 * Gp + 2] = qs.view(np.int32)
+                return (meta, kp_idx, tgt_q)
+            meta[:, 2 * Gp + 2] = 0
+            return (meta, kp_idx, tgt_px)
         if quant:
             return (src_idx, kp_idx, cnt, tgt_q, qs, tgt_i, warm_i)
         elif PACKED_IDX:
@@ -697,8 +737,10 @@ def _track_chunked_scan(
         # Chunks are packed lazily: chunk c+1's host packing runs while
         # chunk c (dispatched below) is still computing on device.
         for chunk, per_frame in zip(chunk_frames, all_per_frame):
-            xs_np = pack_chunk(chunk, per_frame)
-            xs = tuple(jnp.asarray(a) for a in xs_np)
+            # numpy args go straight into the jit dispatch: the runtime
+            # batches the host->device transfers in one C++ call, which
+            # measures faster than per-array device_puts from Python.
+            xs = pack_chunk(chunk, per_frame)
             carry, vecs, counts = run(
                 mesh, model, model_inv, *carry, const5_j, kps_all_d, xs
             )
@@ -711,6 +753,14 @@ def _track_chunked_scan(
             while len(pending) > max_inflight:
                 if not flush_one():
                     return
+        if callback is None and len(pending) > 1:
+            # Deferred drain: ONE batched device_get for every chunk
+            # still in flight instead of one blocking fetch per chunk.
+            got = jax.device_get([(v, c) for _, v, c in pending])
+            pending[:] = [
+                (chunk, v, c)
+                for (chunk, _, _), (v, c) in zip(pending, got)
+            ]
         while pending:
             if not flush_one():
                 return

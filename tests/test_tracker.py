@@ -272,6 +272,44 @@ def test_packed_idx_upload_bit_exact(tmp_path, rng, monkeypatch):
         )
 
 
+def test_fused_meta_upload_bit_exact(tmp_path, rng, monkeypatch):
+    """The consolidated i32 meta upload (src_idx|cnt|tgt_i|warm_i|qs in
+    one array, 3 host buffers per chunk instead of 7) must be
+    BIT-IDENTICAL to the separate-array packed format: integers are
+    copied verbatim and the f32 scale round-trips through an i32
+    bitcast."""
+    from polychase_tpu.engine import tracker as T
+
+    mesh = make_sphere_mesh()
+    intr = make_intrinsics()
+    poses = [orbit_pose(0.04 * t) for t in range(10)]
+    db_path = str(tmp_path / "flow.db")
+    build_flow_db(db_path, mesh, intr, poses, rng)
+
+    def run():
+        traj = CameraTrajectory(0, len(poses))
+        traj.set(0, C.CameraState(intr, poses[0]))
+        track_camera_trajectory(
+            Database(db_path), traj, 0, len(poses) - 1,
+            np.eye(4, dtype=np.float32), mesh,
+        )
+        return traj
+
+    for quant in (False, True):
+        monkeypatch.setattr(T, "QUANT_TGT", quant)
+        monkeypatch.setattr(T, "_FUSED_META", False)
+        ref = run()
+        monkeypatch.setattr(T, "_FUSED_META", True)
+        got = run()
+        for i in range(1, len(poses)):
+            np.testing.assert_array_equal(
+                np.asarray(got.get(i).pose.q), np.asarray(ref.get(i).pose.q)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got.get(i).pose.t), np.asarray(ref.get(i).pose.t)
+            )
+
+
 def test_quant_tgt_upload_parity(tmp_path, rng, monkeypatch):
     """The i16-delta target upload (POLYCHASE_TRACK_QTGT, default on)
     reconstructs targets within 0.5*scale (~0.003 px for a 100 px flow);
