@@ -333,14 +333,23 @@ QUANT_TGT = os.environ.get("POLYCHASE_TRACK_QTGT", "1") != "0"
 # (BENCHMARKS.md round-5).  Internal toggle for interleaved A/Bs only.
 _FUSED_META = True
 
+# Whole-solve Pallas LM kernel for the scan chain's per-frame PnP
+# (kernels/pnp_pallas.py).  The XLA while_loop formulation costs
+# ~200-250 us of op overhead per LM trip on a v5e chip; the fused kernel
+# runs the entire solve in VMEM.  Only the fixed-intrinsics case routes
+# (opt_f/opt_pp keep the XLA path).  POLYCHASE_PNP_PALLAS=0 restores the
+# XLA solver everywhere.
+PALLAS_PNP = os.environ.get("POLYCHASE_PNP_PALLAS", "1") != "0"
+
 
 def _scan_track_fn(opt_f: bool, opt_pp: bool, opts_key,
                    packed_idx: bool = True, quant_tgt: bool = False,
-                   fused_meta: bool = False):
+                   fused_meta: bool = False, pallas_pnp: bool = False):
     from .pnp import solve_arrays
     from functools import partial as _partial
 
-    key = (opt_f, opt_pp, opts_key, packed_idx, quant_tgt, fused_meta)
+    key = (opt_f, opt_pp, opts_key, packed_idx, quant_tgt, fused_meta,
+           pallas_pnp)
     fn = _SCAN_TRACK_CACHE.get(key)
     if fn is not None:
         return fn
@@ -350,6 +359,10 @@ def _scan_track_fn(opt_f: bool, opt_pp: bool, opts_key,
         raise ValueError("quant_tgt requires the packed-index format")
     if fused_meta and not packed_idx:
         raise ValueError("fused_meta requires the packed-index format")
+    if pallas_pnp:
+        from ..kernels.pnp_pallas import (
+            MAX_POINTS as _PNP_MAX, solve_arrays_pallas,
+        )
 
     @_partial(jax.jit, static_argnames=())
     def run(mesh, model, model_inv, q0, t0, in0, const5, kps_all, xs):
@@ -417,10 +430,17 @@ def _scan_track_fn(opt_f: bool, opt_pp: bool, opts_key,
             params = jnp.concatenate(
                 [q_all[warm_i], t_all[warm_i], in_all[warm_i], const5]
             )  # the 16-float solve_arrays layout
-            vec = solve_arrays(
-                X, tgt.reshape(-1, 2), weights, m, params,
-                opt_f=opt_f, opt_pp=opt_pp, opts=opts,
-            )
+            if pallas_pnp and not opt_f and not opt_pp and (
+                X.shape[0] <= _PNP_MAX
+            ):
+                vec = solve_arrays_pallas(
+                    X, tgt.reshape(-1, 2), weights, m, params, opts=opts
+                )
+            else:
+                vec = solve_arrays(
+                    X, tgt.reshape(-1, 2), weights, m, params,
+                    opt_f=opt_f, opt_pp=opt_pp, opts=opts,
+                )
             count = jnp.sum(m)
             ok = count >= 3
             q_new = jnp.where(ok, vec[0:4], q_all[tgt_i])
@@ -516,11 +536,14 @@ def _track_chunked_scan(
         ]
 
     opts_key = tuple(normalize_bundle_opts(bundle_opts))
+    from ..kernels.lk_pallas import pallas_supported as _pl_ok
+
     run = _scan_track_fn(
         bool(optimize_focal_length), bool(optimize_principal_point),
         opts_key, packed_idx=PACKED_IDX,
         quant_tgt=PACKED_IDX and QUANT_TGT,
         fused_meta=PACKED_IDX and _FUSED_META,
+        pallas_pnp=PALLAS_PNP and _pl_ok(),
     )
 
     # Gather the run's flow metadata in ONE query (per-pair point reads

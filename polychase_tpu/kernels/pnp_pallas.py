@@ -1,0 +1,449 @@
+"""Whole-solve Levenberg-Marquardt PnP as ONE Pallas TPU kernel.
+
+Why this exists: the tracking chain (engine/tracker.py) runs one PnP
+solve per frame inside a ``lax.scan``.  The XLA formulation
+(engine/pnp.solve_arrays -> engine/levmarq.lm_solve) is a
+``lax.while_loop`` whose body is ~a hundred small fused ops over a few
+thousand points — under 1 MFLOP of math per iteration, yet measured
+~200-250 us per LM trip on a v5e chip (BENCHMARKS.md round-5): the cost
+is op-dispatch and loop-sync overhead, not arithmetic.  This kernel
+runs the ENTIRE solve — residuals, Jacobians, IRLS-weighted normal
+equations, damped/equilibrated Cholesky, the Nielsen lambda schedule,
+and every termination rule — in one kernel invocation with all
+operands resident in VMEM, so an LM trip costs vector-unit microseconds
+instead of XLA-op overhead.
+
+Semantics are those of ``solve_arrays(..., opt_f=False, opt_pp=False)``
+(reference chain: cpp/tracker.cc:36-131 -> cpp/pnp/lev_marq.h:99-389):
+
+- residuals/Jacobians of cpp/pnp/pnp_problem.h:63-99 with the
+  behind-camera convention of engine/pnp._residuals (cost sees a huge
+  residual; the NE pass sees the raw one, mirroring the XLA split);
+- with intrinsics fixed, Jacobian columns 6:9 are identically zero, so
+  the damped 9x9 system is block-diagonal and its 6x6 pose block is
+  solved exactly (the zero block contributes zero step — bitwise the
+  same parameters as the XLA 9x9 path);
+- Nielsen schedule, Jacobi equilibration and all exits (gradient, step,
+  lambda saturation, optional ``function_tol`` stagnation) mirror
+  engine/levmarq.lm_solve line for line.
+
+Parity with the XLA path is float-tolerance (different reduction
+order), pinned by tests/test_pnp_pallas.py; Mosaic lowering is
+validated hardware-free via ``jax.export`` in the same test file.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..engine.levmarq import BundleOptions, TRIVIAL, HUBER, CAUCHY
+
+_BEHIND_RESIDUAL = 1e18
+# Largest point count routed to the kernel: beyond this the (8, N/8)
+# vector temporaries stop fitting comfortably in VMEM.
+MAX_POINTS = 32768
+
+
+def _loss_value(loss_type: int, scale: float, r2):
+    if loss_type == TRIVIAL:
+        return r2
+    if loss_type == HUBER:
+        thr2 = scale * scale
+        r = jnp.sqrt(jnp.maximum(r2, 0.0))
+        return jnp.where(r2 <= thr2, r2, scale * (2.0 * r - scale))
+    if loss_type == CAUCHY:
+        thr2 = scale * scale
+        return thr2 * jnp.log1p(r2 / thr2)
+    raise ValueError(f"unknown loss type {loss_type}")
+
+
+def _loss_weight(loss_type: int, scale: float, r2):
+    if loss_type == TRIVIAL:
+        return jnp.ones_like(r2)
+    if loss_type == HUBER:
+        thr2 = scale * scale
+        r = jnp.sqrt(jnp.maximum(r2, 1e-30))
+        return jnp.where(r2 <= thr2, 1.0, scale / r)
+    if loss_type == CAUCHY:
+        inv_thr2 = 1.0 / (scale * scale)
+        return jnp.maximum(1.18e-38, 1.0 / (1.0 + r2 * inv_thr2))
+    raise ValueError(f"unknown loss type {loss_type}")
+
+
+def _quat_to_mat_scalars(q0, q1, q2, q3):
+    """Rotation-matrix entries from a quaternion (engine/pose.quat_to_mat)."""
+    xx, yy, zz = q1 * q1, q2 * q2, q3 * q3
+    xy, xz, yz = q1 * q2, q1 * q3, q2 * q3
+    wx, wy, wz = q0 * q1, q0 * q2, q0 * q3
+    return (
+        1.0 - 2.0 * (yy + zz), 2.0 * (xy - wz), 2.0 * (xz + wy),
+        2.0 * (xy + wz), 1.0 - 2.0 * (xx + zz), 2.0 * (yz - wx),
+        2.0 * (xz - wy), 2.0 * (yz + wx), 1.0 - 2.0 * (xx + yy),
+    )
+
+
+def _quat_step_post_scalars(q, dw0, dw1, dw2):
+    """q * exp(dw): right-multiplicative SO(3) retraction
+    (engine/pose.quat_step_post / cpp/pnp/quaternion.h:11-20)."""
+    sq = dw0 * dw0 + dw1 * dw1 + dw2 * dw2
+    small = sq < 1e-12
+    angle = jnp.sqrt(jnp.where(small, 1.0, sq))
+    half = 0.5 * angle
+    cos_half = jnp.where(small, 1.0 - sq / 8.0, jnp.cos(half))
+    k = jnp.where(small, 0.5 - sq / 48.0, jnp.sin(half) / angle)
+    e0, e1, e2, e3 = cos_half, k * dw0, k * dw1, k * dw2
+    a0, a1, a2, a3 = q
+    return (
+        a0 * e0 - a1 * e1 - a2 * e2 - a3 * e3,
+        a0 * e1 + a1 * e0 + a2 * e3 - a3 * e2,
+        a0 * e2 - a1 * e3 + a2 * e0 + a3 * e1,
+        a0 * e3 + a1 * e2 - a2 * e1 + a3 * e0,
+    )
+
+
+def _chol6_solve(A, b, lam, opts: BundleOptions):
+    """Damped, Jacobi-equilibrated 6x6 Cholesky solve on scalars.
+
+    ``A`` is a dict {(i,j): scalar, i<=j}, ``b`` a list of 6 scalars.
+    Mirrors engine/levmarq.damped_cholesky_solve: diagonal clamped to
+    [1e-6, 1e32] and scaled by (1+lambda); symmetric equilibration makes
+    the scaled diagonal exactly 1.  Returns (step list, ok scalar)."""
+    one = jnp.float32(1.0)
+    dd = [jnp.clip(A[(i, i)], 1e-6, 1e32) * (one + lam) for i in range(6)]
+    d = [jax.lax.rsqrt(dd[i]) for i in range(6)]
+    # Scaled system: diag == 1, off-diag A[i,j]*d[i]*d[j].
+    As = {}
+    for i in range(6):
+        As[(i, i)] = one
+        for j in range(i + 1, 6):
+            As[(i, j)] = A[(i, j)] * d[i] * d[j]
+    bs = [b[i] * d[i] for i in range(6)]
+
+    # Cholesky (lower L), fully unrolled at trace time.
+    L = {}
+    for j in range(6):
+        s = As[(j, j)]
+        for k in range(j):
+            s = s - L[(j, k)] * L[(j, k)]
+        Ljj = jnp.sqrt(s)
+        L[(j, j)] = Ljj
+        inv = one / Ljj
+        for i in range(j + 1, 6):
+            s = As[(j, i)]
+            for k in range(j):
+                s = s - L[(i, k)] * L[(j, k)]
+            L[(i, j)] = s * inv
+
+    # Forward then backward substitution.
+    y = [None] * 6
+    for i in range(6):
+        s = bs[i]
+        for k in range(i):
+            s = s - L[(i, k)] * y[k]
+        y[i] = s / L[(i, i)]
+    xsol = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[(k, i)] * xsol[k]
+        xsol[i] = s / L[(i, i)]
+
+    step = [-(xsol[i] * d[i]) for i in range(6)]
+    ok = jnp.bool_(True)
+    for j in range(6):
+        ok = ok & jnp.isfinite(L[(j, j)])
+        for i in range(j + 1, 6):
+            ok = ok & jnp.isfinite(L[(i, j)])
+    for i in range(6):
+        ok = ok & jnp.isfinite(step[i])
+    step = [jnp.where(ok, step[i], 0.0) for i in range(6)]
+    return step, ok
+
+
+def _make_kernel(opts: BundleOptions):
+    loss_type = int(opts.loss_type)
+    loss_scale = float(opts.loss_scale)
+    f32 = jnp.float32
+
+    def kernel(params_ref, pk_ref, out_ref):
+        X0, X1, X2 = pk_ref[0], pk_ref[1], pk_ref[2]   # (8, C) f32
+        px, py = pk_ref[3], pk_ref[4]
+        w_in = pk_ref[5]
+        mf = pk_ref[6]                                  # 1.0 / 0.0 mask
+        m = mf > 0.0
+
+        p = [params_ref[i] for i in range(16)]
+        fx, fy, cx, cy = p[7], p[8], p[9], p[10]
+        sign = p[14]
+        mie = p[15]
+
+        def cam_rows(q, t):
+            """Camera-space coordinates of every point."""
+            r = _quat_to_mat_scalars(*q)
+            Z0 = r[0] * X0 + r[1] * X1 + r[2] * X2 + t[0]
+            Z1 = r[3] * X0 + r[4] * X1 + r[5] * X2 + t[1]
+            Z2 = r[6] * X0 + r[7] * X1 + r[8] * X2 + t[2]
+            return r, Z0, Z1, Z2
+
+        def total_cost(q, t):
+            """engine/pnp._residuals + levmarq._total_cost."""
+            _, Z0, Z1, Z2 = cam_rows(q, t)
+            behind = (sign * Z2) < 0.0
+            iz = 1.0 / Z2
+            r0 = jnp.where(behind, _BEHIND_RESIDUAL, fx * Z0 * iz + cx - px)
+            r1 = jnp.where(behind, _BEHIND_RESIDUAL, fy * Z1 * iz + cy - py)
+            r0 = jnp.where(m, r0, 0.0)
+            r1 = jnp.where(m, r1, 0.0)
+            r2 = r0 * r0 + r1 * r1
+            ci = w_in * _loss_value(loss_type, loss_scale, r2)
+            return jnp.sum(jnp.where(m, ci, 0.0))
+
+        def normal_eq(q, t):
+            """engine/pnp._residuals_jac + levmarq._normal_equations,
+            restricted to the 6 pose columns (intrinsic columns are
+            identically zero with opt_f=opt_pp=False)."""
+            r, Z0, Z1, Z2 = cam_rows(q, t)
+            iz = 1.0 / Z2
+            gx = fx * iz
+            gy = fy * iz
+            hx = -fx * Z0 * iz * iz     # dz0/dZ2
+            hy = -fy * Z1 * iz * iz     # dz1/dZ2
+            # A = dz_dZ @ R, rows of the chain rule (2x3 per point).
+            A00 = gx * r[0] + hx * r[6]
+            A01 = gx * r[1] + hx * r[7]
+            A02 = gx * r[2] + hx * r[8]
+            A10 = gy * r[3] + hy * r[6]
+            A11 = gy * r[4] + hy * r[7]
+            A12 = gy * r[5] + hy * r[8]
+            # J_rot = A @ (-skew(X))  (cpp/pose.h:69-87 jac_R with the
+            # object-space point), J_t = dz_dZ.
+            J0 = [
+                A01 * (-X2) + A02 * X1,
+                A00 * X2 + A02 * (-X0),
+                A00 * (-X1) + A01 * X0,
+                gx, jnp.zeros_like(gx), hx,
+            ]
+            J1 = [
+                A11 * (-X2) + A12 * X1,
+                A10 * X2 + A12 * (-X0),
+                A10 * (-X1) + A11 * X0,
+                jnp.zeros_like(gy), gy, hy,
+            ]
+            r0 = jnp.where(m, fx * Z0 * iz + cx - px, 0.0)
+            r1 = jnp.where(m, fy * Z1 * iz + cy - py, 0.0)
+            r2 = r0 * r0 + r1 * r1
+            w = w_in * _loss_weight(loss_type, loss_scale, r2)
+            w = jnp.where(m, w, 0.0)
+            J0 = [jnp.where(m, c, 0.0) for c in J0]
+            J1 = [jnp.where(m, c, 0.0) for c in J1]
+            JtJ = {}
+            for i in range(6):
+                for j in range(i, 6):
+                    JtJ[(i, j)] = jnp.sum(
+                        w * (J0[i] * J0[j] + J1[i] * J1[j])
+                    )
+            Jtr = [
+                jnp.sum(w * (J0[i] * r0 + J1[i] * r1)) for i in range(6)
+            ]
+            return JtJ, Jtr
+
+        def grad_norm_of(Jtr):
+            s = jnp.float32(0.0)
+            for i in range(6):
+                s = s + Jtr[i] * Jtr[i]
+            return jnp.sqrt(s)
+
+        q0 = (p[0], p[1], p[2], p[3])
+        t0 = (p[4], p[5], p[6])
+        init_cost = total_cost(q0, t0)
+        JtJ0, Jtr0 = normal_eq(q0, t0)
+        gn0 = grad_norm_of(Jtr0)
+
+        def pack_ne(JtJ, Jtr):
+            flat = [JtJ[(i, j)] for i in range(6) for j in range(i, 6)]
+            return tuple(flat) + tuple(Jtr)
+
+        def unpack_ne(ne):
+            JtJ = {}
+            k = 0
+            for i in range(6):
+                for j in range(i, 6):
+                    JtJ[(i, j)] = ne[k]
+                    k += 1
+            return JtJ, list(ne[k : k + 6])
+
+        # Carry: q(4) t(3) cost lam v grad step iters invalid done ne(27)
+        init = (
+            q0, t0, init_cost,
+            f32(opts.initial_lambda), f32(2.0),
+            gn0, f32(-1.0),
+            jnp.int32(0), jnp.int32(0),
+            gn0 < opts.gradient_tol,
+            pack_ne(JtJ0, Jtr0),
+        )
+
+        def cond(s):
+            return (~s[9]) & (s[7] < opts.max_iterations)
+
+        def body(s):
+            (q, t, cost, lam, v, _gn, _sn, iters, invalid, _done, ne) = s
+            JtJ, Jtr = unpack_ne(ne)
+            step, ok = _chol6_solve(JtJ, Jtr, lam, opts)
+            sn2 = jnp.float32(0.0)
+            for i in range(6):
+                sn2 = sn2 + step[i] * step[i]
+            step_norm = jnp.sqrt(sn2)
+
+            q_new = _quat_step_post_scalars(q, step[0], step[1], step[2])
+            t_new = (t[0] + step[3], t[1] + step[4], t[2] + step[5])
+            cost_new = total_cost(q_new, t_new)
+
+            improved = ok & (cost_new < cost)
+            tiny = ok & (step_norm < opts.step_tol)
+
+            actual = cost_new - cost
+            expected = jnp.float32(0.0)
+            for i in range(6):
+                Ai = jnp.float32(0.0)
+                for j in range(6):
+                    Ai = Ai + JtJ[(min(i, j), max(i, j))] * step[j]
+                expected = expected + step[i] * (2.0 * Jtr[i] + Ai)
+            rho = actual / expected
+            factor = jnp.maximum(
+                1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3
+            )
+            lam_accept = jnp.where(
+                rho > 0,
+                jnp.clip(lam * factor, opts.min_lambda, opts.max_lambda),
+                lam,
+            )
+            lam_saturated = lam >= opts.max_lambda
+            lam_reject = jnp.minimum(f32(opts.max_lambda), lam * v)
+
+            accept = improved & ~tiny
+            q_out = tuple(
+                jnp.where(accept, n, o) for n, o in zip(q_new, q)
+            )
+            t_out = tuple(
+                jnp.where(accept, n, o) for n, o in zip(t_new, t)
+            )
+            cost_out = jnp.where(accept, cost_new, cost)
+            lam_out = jnp.where(accept, lam_accept, lam_reject)
+            v_out = jnp.where(accept, 2.0, 2.0 * v)
+            invalid_out = invalid + jnp.where(
+                improved | tiny, 0, 1
+            ).astype(jnp.int32)
+
+            # Rebuild the normal equations from the (possibly unchanged)
+            # output parameters: on rejection the inputs are identical so
+            # the recomputed values equal the carried ones — same
+            # semantics as the XLA path's lax.cond skip, minus a branch.
+            JtJ_out, Jtr_out = normal_eq(q_out, t_out)
+            gn = grad_norm_of(Jtr_out)
+
+            done = (
+                tiny
+                | (accept & (gn < opts.gradient_tol))
+                | (~improved & ~tiny & lam_saturated)
+            )
+            if opts.function_tol > 0.0:
+                stagnated = jnp.abs(actual) <= opts.function_tol * cost
+                done = done | (
+                    (accept | (~improved & ~tiny)) & stagnated
+                )
+
+            return (
+                q_out, t_out, cost_out, lam_out, v_out, gn, step_norm,
+                iters + 1, invalid_out, done, pack_ne(JtJ_out, Jtr_out),
+            )
+
+        fin = jax.lax.while_loop(cond, body, init)
+        (qf, tf, cost_f, lam_f, _v, gn_f, sn_f, iters_f, invalid_f,
+         _d, _ne) = fin
+
+        # Inlier ratio (cpp/pnp/solvers.cc:30-47), same masking as
+        # engine/pnp.solve_arrays.
+        _, Z0, Z1, Z2 = cam_rows(qf, tf)
+        behind = (sign * Z2) < 0.0
+        iz = 1.0 / Z2
+        r0 = jnp.where(behind, _BEHIND_RESIDUAL, fx * Z0 * iz + cx - px)
+        r1 = jnp.where(behind, _BEHIND_RESIDUAL, fy * Z1 * iz + cy - py)
+        r0 = jnp.where(m, r0, 0.0)
+        r1 = jnp.where(m, r1, 0.0)
+        err2 = r0 * r0 + r1 * r1
+        err2 = jnp.where(m & ~behind, err2, jnp.inf)
+        num_points = jnp.maximum(jnp.sum(mf), 1.0)
+        inliers = jnp.sum(
+            jnp.where((err2 < mie * mie) & m, 1.0, 0.0)
+        )
+        ratio = jnp.where(mie > 0.0, inliers / num_points, 0.0)
+
+        out = [
+            qf[0], qf[1], qf[2], qf[3], tf[0], tf[1], tf[2],
+            fx, fy, cx, cy,
+            iters_f.astype(f32), init_cost, cost_f, lam_f,
+            invalid_f.astype(f32), sn_f, gn_f, ratio,
+        ]
+        # Mosaic forbids scalar stores to VMEM: build the result row with
+        # iota-selects and store it in one vector write.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        acc = jnp.zeros((1, 128), f32)
+        for i, val in enumerate(out):
+            acc = jnp.where(lane == i, val, acc)
+        out_ref[...] = acc
+
+    return kernel
+
+
+@partial(
+    jax.jit, static_argnames=("opts", "interpret")
+)
+def solve_arrays_pallas(
+    X, x, weights, mask, params,
+    *, opts: BundleOptions, interpret: bool = False,
+):
+    """Drop-in for ``solve_arrays(..., opt_f=False, opt_pp=False)``
+    running the whole LM solve in one Pallas kernel.  Returns the same
+    19-float result vector (float-tolerance parity; iteration counts and
+    accept/reject decisions match except at exact decision boundaries).
+    """
+    N = X.shape[0]
+    C = max(128, int(np.ceil(N / 8 / 128)) * 128)
+    Np = 8 * C
+
+    def chan(v):
+        return jnp.pad(
+            v.astype(jnp.float32), (0, Np - N)
+        ).reshape(8, C)
+
+    pk = jnp.stack(
+        [
+            chan(X[:, 0]), chan(X[:, 1]), chan(X[:, 2]),
+            chan(x[:, 0]), chan(x[:, 1]),
+            chan(weights),
+            chan(mask.astype(jnp.float32)),
+        ]
+    )
+
+    out = pl.pallas_call(
+        _make_kernel(opts),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (7, 8, C), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        interpret=interpret,
+    )(params.astype(jnp.float32), pk)
+    return out[0, :19]
