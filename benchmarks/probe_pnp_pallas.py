@@ -30,11 +30,26 @@ import run_all as RA
 
 N = int(os.environ.get("POLYCHASE_PROBE_FRAMES", "120"))
 REPS = int(os.environ.get("POLYCHASE_PROBE_REPS", "3"))
+# --varintr: config-5 shape (4K masked mesh, optimize f+pp, Cauchy)
+VARINTR = "--varintr" in sys.argv[1:]
 
 
 def _build():
+    import jax.numpy as jnp
+
     rng = np.random.default_rng(1)
-    mesh, intr, poses = RA.make_scene(N)
+    if VARINTR:
+        from polychase_tpu.engine.geometry import mask_array_size
+
+        mesh, intr, poses = RA.make_scene(
+            N, width=3840, height=2160, focal=3600.0
+        )
+        bits = np.zeros(mask_array_size(mesh.num_triangles), np.uint32)
+        for t in range(0, mesh.num_triangles // 10):
+            bits[t // 32] |= np.uint32(1 << (t % 32))
+        mesh = mesh._replace(masked_triangles=jnp.asarray(bits))
+    else:
+        mesh, intr, poses = RA.make_scene(N)
     td = tempfile.mkdtemp()
     db_path = os.path.join(td, "flow.db")
     RA.build_synth_db(db_path, mesh, intr, poses, rng)
@@ -49,7 +64,12 @@ def _run_once(db_path, mesh, intr, poses, pallas: bool, lam0=None):
     from polychase_tpu.engine.trajectory import CameraTrajectory
     from polychase_tpu.io.database import Database
 
-    opts = BundleOptions()
+    if VARINTR:
+        from polychase_tpu.engine.levmarq import CAUCHY
+
+        opts = BundleOptions(loss_type=CAUCHY, loss_scale=1.0)
+    else:
+        opts = BundleOptions()
     if lam0 is not None:
         opts = opts._replace(initial_lambda=lam0)
     old = T.PALLAS_PNP
@@ -61,6 +81,7 @@ def _run_once(db_path, mesh, intr, poses, pallas: bool, lam0=None):
         t0 = time.perf_counter()
         track_camera_trajectory(
             db, traj, 0, N - 1, np.eye(4, dtype=np.float32), mesh,
+            optimize_focal_length=VARINTR, optimize_principal_point=VARINTR,
             bundle_opts=opts,
         )
         dt = time.perf_counter() - t0

@@ -336,9 +336,9 @@ _FUSED_META = True
 # Whole-solve Pallas LM kernel for the scan chain's per-frame PnP
 # (kernels/pnp_pallas.py).  The XLA while_loop formulation costs
 # ~200-250 us of op overhead per LM trip on a v5e chip; the fused kernel
-# runs the entire solve in VMEM.  Only the fixed-intrinsics case routes
-# (opt_f/opt_pp keep the XLA path).  POLYCHASE_PNP_PALLAS=0 restores the
-# XLA solver everywhere.
+# runs the entire solve in VMEM (6-param pose or the full 9-param
+# pose+intrinsics system).  POLYCHASE_PNP_PALLAS=0 restores the XLA
+# solver everywhere.
 PALLAS_PNP = os.environ.get("POLYCHASE_PNP_PALLAS", "1") != "0"
 
 
@@ -430,11 +430,10 @@ def _scan_track_fn(opt_f: bool, opt_pp: bool, opts_key,
             params = jnp.concatenate(
                 [q_all[warm_i], t_all[warm_i], in_all[warm_i], const5]
             )  # the 16-float solve_arrays layout
-            if pallas_pnp and not opt_f and not opt_pp and (
-                X.shape[0] <= _PNP_MAX
-            ):
+            if pallas_pnp and X.shape[0] <= _PNP_MAX:
                 vec = solve_arrays_pallas(
-                    X, tgt.reshape(-1, 2), weights, m, params, opts=opts
+                    X, tgt.reshape(-1, 2), weights, m, params,
+                    opt_f=opt_f, opt_pp=opt_pp, opts=opts,
                 )
             else:
                 vec = solve_arrays(

@@ -13,8 +13,9 @@ and every termination rule — in one kernel invocation with all
 operands resident in VMEM, so an LM trip costs vector-unit microseconds
 instead of XLA-op overhead.
 
-Semantics are those of ``solve_arrays(..., opt_f=False, opt_pp=False)``
-(reference chain: cpp/tracker.cc:36-131 -> cpp/pnp/lev_marq.h:99-389):
+Semantics are those of ``solve_arrays`` for every (opt_f, opt_pp)
+combination (reference chain: cpp/tracker.cc:36-131 ->
+cpp/pnp/lev_marq.h:99-389):
 
 - residuals/Jacobians of cpp/pnp/pnp_problem.h:63-99 with the
   behind-camera convention of engine/pnp._residuals (cost sees a huge
@@ -22,7 +23,11 @@ Semantics are those of ``solve_arrays(..., opt_f=False, opt_pp=False)``
 - with intrinsics fixed, Jacobian columns 6:9 are identically zero, so
   the damped 9x9 system is block-diagonal and its 6x6 pose block is
   solved exactly (the zero block contributes zero step — bitwise the
-  same parameters as the XLA 9x9 path);
+  same parameters as the XLA 9x9 path); with ``opt_f``/``opt_pp`` the
+  full 9x9 system is solved, with the intrinsic columns gated exactly
+  like engine/pnp (``fx = aspect·fy`` folding, the >3-valid-points
+  intrinsics gate of cpp/pnp/pnp_problem.h:34-35, and the FOV-derived
+  clamps of camera.intrinsics_bounds / cpp/pnp/types.h:156-192);
 - Nielsen schedule, Jacobi equilibration and all exits (gradient, step,
   lambda saturation, optional ``function_tol`` stagnation) mirror
   engine/levmarq.lm_solve line for line.
@@ -107,69 +112,73 @@ def _quat_step_post_scalars(q, dw0, dw1, dw2):
     )
 
 
-def _chol6_solve(A, b, lam, opts: BundleOptions):
-    """Damped, Jacobi-equilibrated 6x6 Cholesky solve on scalars.
+def _chol_solve(A, b, lam, n: int):
+    """Damped, Jacobi-equilibrated n×n Cholesky solve on scalars.
 
-    ``A`` is a dict {(i,j): scalar, i<=j}, ``b`` a list of 6 scalars.
+    ``A`` is a dict {(i,j): scalar, i<=j}, ``b`` a list of n scalars.
     Mirrors engine/levmarq.damped_cholesky_solve: diagonal clamped to
     [1e-6, 1e32] and scaled by (1+lambda); symmetric equilibration makes
     the scaled diagonal exactly 1.  Returns (step list, ok scalar)."""
     one = jnp.float32(1.0)
-    dd = [jnp.clip(A[(i, i)], 1e-6, 1e32) * (one + lam) for i in range(6)]
-    d = [jax.lax.rsqrt(dd[i]) for i in range(6)]
+    dd = [jnp.clip(A[(i, i)], 1e-6, 1e32) * (one + lam) for i in range(n)]
+    d = [jax.lax.rsqrt(dd[i]) for i in range(n)]
     # Scaled system: diag == 1, off-diag A[i,j]*d[i]*d[j].
     As = {}
-    for i in range(6):
+    for i in range(n):
         As[(i, i)] = one
-        for j in range(i + 1, 6):
+        for j in range(i + 1, n):
             As[(i, j)] = A[(i, j)] * d[i] * d[j]
-    bs = [b[i] * d[i] for i in range(6)]
+    bs = [b[i] * d[i] for i in range(n)]
 
     # Cholesky (lower L), fully unrolled at trace time.
     L = {}
-    for j in range(6):
+    for j in range(n):
         s = As[(j, j)]
         for k in range(j):
             s = s - L[(j, k)] * L[(j, k)]
         Ljj = jnp.sqrt(s)
         L[(j, j)] = Ljj
         inv = one / Ljj
-        for i in range(j + 1, 6):
+        for i in range(j + 1, n):
             s = As[(j, i)]
             for k in range(j):
                 s = s - L[(i, k)] * L[(j, k)]
             L[(i, j)] = s * inv
 
     # Forward then backward substitution.
-    y = [None] * 6
-    for i in range(6):
+    y = [None] * n
+    for i in range(n):
         s = bs[i]
         for k in range(i):
             s = s - L[(i, k)] * y[k]
         y[i] = s / L[(i, i)]
-    xsol = [None] * 6
-    for i in reversed(range(6)):
+    xsol = [None] * n
+    for i in reversed(range(n)):
         s = y[i]
-        for k in range(i + 1, 6):
+        for k in range(i + 1, n):
             s = s - L[(k, i)] * xsol[k]
         xsol[i] = s / L[(i, i)]
 
-    step = [-(xsol[i] * d[i]) for i in range(6)]
+    step = [-(xsol[i] * d[i]) for i in range(n)]
     ok = jnp.bool_(True)
-    for j in range(6):
+    for j in range(n):
         ok = ok & jnp.isfinite(L[(j, j)])
-        for i in range(j + 1, 6):
+        for i in range(j + 1, n):
             ok = ok & jnp.isfinite(L[(i, j)])
-    for i in range(6):
+    for i in range(n):
         ok = ok & jnp.isfinite(step[i])
-    step = [jnp.where(ok, step[i], 0.0) for i in range(6)]
+    step = [jnp.where(ok, step[i], 0.0) for i in range(n)]
     return step, ok
 
 
-def _make_kernel(opts: BundleOptions):
+def _make_kernel(opts: BundleOptions, opt_f: bool, opt_pp: bool):
+    import math
+
     loss_type = int(opts.loss_type)
     loss_scale = float(opts.loss_scale)
     f32 = jnp.float32
+    OPT = opt_f or opt_pp
+    NP = 9 if OPT else 6
 
     def kernel(params_ref, pk_ref, out_ref):
         X0, X1, X2 = pk_ref[0], pk_ref[1], pk_ref[2]   # (8, C) f32
@@ -179,9 +188,25 @@ def _make_kernel(opts: BundleOptions):
         m = mf > 0.0
 
         p = [params_ref[i] for i in range(16)]
-        fx, fy, cx, cy = p[7], p[8], p[9], p[10]
+        intr0 = (p[7], p[8], p[9], p[10])               # fx fy cx cy
+        aspect = p[11]
         sign = p[14]
         mie = p[15]
+
+        if OPT:
+            # camera.intrinsics_bounds (cpp/pnp/types.h:156-192): FOV in
+            # [15, 160] deg; OpenGL focals are negative so the bounds
+            # flip sign.  >3-valid-points gate: cpp/pnp/pnp_problem.h:34.
+            min_tan = math.tan(math.radians(15.0) / 2.0)
+            max_tan = math.tan(math.radians(160.0) / 2.0)
+            half_w = p[12] * 0.5
+            f_low_cv = half_w * f32(1.0 / max_tan)
+            f_high_cv = half_w * f32(1.0 / min_tan)
+            is_gl = sign < 0.0
+            f_low = jnp.where(is_gl, -f_high_cv, f_low_cv)
+            f_high = jnp.where(is_gl, -f_low_cv, f_high_cv)
+            cx_high, cy_high = p[12], p[13]
+            gate = jnp.where(jnp.sum(mf) > 3.0, f32(1.0), f32(0.0))
 
         def cam_rows(q, t):
             """Camera-space coordinates of every point."""
@@ -191,8 +216,9 @@ def _make_kernel(opts: BundleOptions):
             Z2 = r[6] * X0 + r[7] * X1 + r[8] * X2 + t[2]
             return r, Z0, Z1, Z2
 
-        def total_cost(q, t):
+        def total_cost(q, t, intr):
             """engine/pnp._residuals + levmarq._total_cost."""
+            fx, fy, cx, cy = intr
             _, Z0, Z1, Z2 = cam_rows(q, t)
             behind = (sign * Z2) < 0.0
             iz = 1.0 / Z2
@@ -204,10 +230,12 @@ def _make_kernel(opts: BundleOptions):
             ci = w_in * _loss_value(loss_type, loss_scale, r2)
             return jnp.sum(jnp.where(m, ci, 0.0))
 
-        def normal_eq(q, t):
-            """engine/pnp._residuals_jac + levmarq._normal_equations,
-            restricted to the 6 pose columns (intrinsic columns are
-            identically zero with opt_f=opt_pp=False)."""
+        def normal_eq(q, t, intr):
+            """engine/pnp._residuals_jac + levmarq._normal_equations.
+            Intrinsic columns only materialize when opt_f/opt_pp (with
+            opt off the 9x9 system is block-diagonal and the 6x6 pose
+            block solves identically — see the module docstring)."""
+            fx, fy, cx, cy = intr
             r, Z0, Z1, Z2 = cam_rows(q, t)
             iz = 1.0 / Z2
             gx = fx * iz
@@ -221,20 +249,33 @@ def _make_kernel(opts: BundleOptions):
             A10 = gy * r[3] + hy * r[6]
             A11 = gy * r[4] + hy * r[7]
             A12 = gy * r[5] + hy * r[8]
+            zero = jnp.zeros_like(gx)
             # J_rot = A @ (-skew(X))  (cpp/pose.h:69-87 jac_R with the
             # object-space point), J_t = dz_dZ.
             J0 = [
                 A01 * (-X2) + A02 * X1,
                 A00 * X2 + A02 * (-X0),
                 A00 * (-X1) + A01 * X0,
-                gx, jnp.zeros_like(gx), hx,
+                gx, zero, hx,
             ]
             J1 = [
                 A11 * (-X2) + A12 * X1,
                 A10 * X2 + A12 * (-X0),
                 A10 * (-X1) + A11 * X0,
-                jnp.zeros_like(gy), gy, hy,
+                zero, gy, hy,
             ]
+            if OPT:
+                # d(z)/d(fy, cx, cy) with fx = aspect·fy folded
+                # (camera.project_with_jac / cpp/pnp/types.h:69-93),
+                # gated by the >3-points rule like engine/pnp
+                # (J.at[:, :, 6:].multiply(int_gate)).
+                one = jnp.ones_like(gx)
+                J0.append((aspect * Z0 * iz) * gate if opt_f else zero)
+                J1.append((Z1 * iz) * gate if opt_f else zero)
+                J0.append(one * gate if opt_pp else zero)
+                J1.append(zero)
+                J0.append(zero)
+                J1.append(one * gate if opt_pp else zero)
             r0 = jnp.where(m, fx * Z0 * iz + cx - px, 0.0)
             r1 = jnp.where(m, fy * Z1 * iz + cy - py, 0.0)
             r2 = r0 * r0 + r1 * r1
@@ -243,44 +284,70 @@ def _make_kernel(opts: BundleOptions):
             J0 = [jnp.where(m, c, 0.0) for c in J0]
             J1 = [jnp.where(m, c, 0.0) for c in J1]
             JtJ = {}
-            for i in range(6):
-                for j in range(i, 6):
+            for i in range(NP):
+                for j in range(i, NP):
                     JtJ[(i, j)] = jnp.sum(
                         w * (J0[i] * J0[j] + J1[i] * J1[j])
                     )
             Jtr = [
-                jnp.sum(w * (J0[i] * r0 + J1[i] * r1)) for i in range(6)
+                jnp.sum(w * (J0[i] * r0 + J1[i] * r1)) for i in range(NP)
             ]
             return JtJ, Jtr
 
+        def apply_step(q, t, intr, step):
+            """engine/pnp._step: SO(3) retraction + clamped intrinsics,
+            the whole intrinsics update annulled when gate == 0."""
+            q_new = _quat_step_post_scalars(q, step[0], step[1], step[2])
+            t_new = (t[0] + step[3], t[1] + step[4], t[2] + step[5])
+            if not OPT:
+                return q_new, t_new, intr
+            fx, fy, cx, cy = intr
+            if opt_f:
+                fy_n = jnp.clip(fy + step[6], f_low, f_high)
+                fx_n = jnp.clip(fy_n * aspect, f_low, f_high)
+            else:
+                fx_n, fy_n = fx, fy
+            if opt_pp:
+                cx_n = jnp.clip(cx + step[7], 0.0, cx_high)
+                cy_n = jnp.clip(cy + step[8], 0.0, cy_high)
+            else:
+                cx_n, cy_n = cx, cy
+            on = gate > 0.0
+            intr_new = (
+                jnp.where(on, fx_n, fx), jnp.where(on, fy_n, fy),
+                jnp.where(on, cx_n, cx), jnp.where(on, cy_n, cy),
+            )
+            return q_new, t_new, intr_new
+
         def grad_norm_of(Jtr):
             s = jnp.float32(0.0)
-            for i in range(6):
+            for i in range(NP):
                 s = s + Jtr[i] * Jtr[i]
             return jnp.sqrt(s)
 
         q0 = (p[0], p[1], p[2], p[3])
         t0 = (p[4], p[5], p[6])
-        init_cost = total_cost(q0, t0)
-        JtJ0, Jtr0 = normal_eq(q0, t0)
+        init_cost = total_cost(q0, t0, intr0)
+        JtJ0, Jtr0 = normal_eq(q0, t0, intr0)
         gn0 = grad_norm_of(Jtr0)
 
         def pack_ne(JtJ, Jtr):
-            flat = [JtJ[(i, j)] for i in range(6) for j in range(i, 6)]
+            flat = [JtJ[(i, j)] for i in range(NP) for j in range(i, NP)]
             return tuple(flat) + tuple(Jtr)
 
         def unpack_ne(ne):
             JtJ = {}
             k = 0
-            for i in range(6):
-                for j in range(i, 6):
+            for i in range(NP):
+                for j in range(i, NP):
                     JtJ[(i, j)] = ne[k]
                     k += 1
-            return JtJ, list(ne[k : k + 6])
+            return JtJ, list(ne[k : k + NP])
 
-        # Carry: q(4) t(3) cost lam v grad step iters invalid done ne(27)
+        # Carry: q(4) t(3) intr(4) cost lam v grad step iters invalid
+        # done ne(NP*(NP+1)/2 + NP)
         init = (
-            q0, t0, init_cost,
+            q0, t0, intr0, init_cost,
             f32(opts.initial_lambda), f32(2.0),
             gn0, f32(-1.0),
             jnp.int32(0), jnp.int32(0),
@@ -289,29 +356,29 @@ def _make_kernel(opts: BundleOptions):
         )
 
         def cond(s):
-            return (~s[9]) & (s[7] < opts.max_iterations)
+            return (~s[10]) & (s[8] < opts.max_iterations)
 
         def body(s):
-            (q, t, cost, lam, v, _gn, _sn, iters, invalid, _done, ne) = s
+            (q, t, intr, cost, lam, v, _gn, _sn, iters, invalid, _done,
+             ne) = s
             JtJ, Jtr = unpack_ne(ne)
-            step, ok = _chol6_solve(JtJ, Jtr, lam, opts)
+            step, ok = _chol_solve(JtJ, Jtr, lam, NP)
             sn2 = jnp.float32(0.0)
-            for i in range(6):
+            for i in range(NP):
                 sn2 = sn2 + step[i] * step[i]
             step_norm = jnp.sqrt(sn2)
 
-            q_new = _quat_step_post_scalars(q, step[0], step[1], step[2])
-            t_new = (t[0] + step[3], t[1] + step[4], t[2] + step[5])
-            cost_new = total_cost(q_new, t_new)
+            q_new, t_new, intr_new = apply_step(q, t, intr, step)
+            cost_new = total_cost(q_new, t_new, intr_new)
 
             improved = ok & (cost_new < cost)
             tiny = ok & (step_norm < opts.step_tol)
 
             actual = cost_new - cost
             expected = jnp.float32(0.0)
-            for i in range(6):
+            for i in range(NP):
                 Ai = jnp.float32(0.0)
-                for j in range(6):
+                for j in range(NP):
                     Ai = Ai + JtJ[(min(i, j), max(i, j))] * step[j]
                 expected = expected + step[i] * (2.0 * Jtr[i] + Ai)
             rho = actual / expected
@@ -333,6 +400,9 @@ def _make_kernel(opts: BundleOptions):
             t_out = tuple(
                 jnp.where(accept, n, o) for n, o in zip(t_new, t)
             )
+            intr_out = tuple(
+                jnp.where(accept, n, o) for n, o in zip(intr_new, intr)
+            )
             cost_out = jnp.where(accept, cost_new, cost)
             lam_out = jnp.where(accept, lam_accept, lam_reject)
             v_out = jnp.where(accept, 2.0, 2.0 * v)
@@ -344,7 +414,7 @@ def _make_kernel(opts: BundleOptions):
             # output parameters: on rejection the inputs are identical so
             # the recomputed values equal the carried ones — same
             # semantics as the XLA path's lax.cond skip, minus a branch.
-            JtJ_out, Jtr_out = normal_eq(q_out, t_out)
+            JtJ_out, Jtr_out = normal_eq(q_out, t_out, intr_out)
             gn = grad_norm_of(Jtr_out)
 
             done = (
@@ -359,13 +429,15 @@ def _make_kernel(opts: BundleOptions):
                 )
 
             return (
-                q_out, t_out, cost_out, lam_out, v_out, gn, step_norm,
-                iters + 1, invalid_out, done, pack_ne(JtJ_out, Jtr_out),
+                q_out, t_out, intr_out, cost_out, lam_out, v_out, gn,
+                step_norm, iters + 1, invalid_out, done,
+                pack_ne(JtJ_out, Jtr_out),
             )
 
         fin = jax.lax.while_loop(cond, body, init)
-        (qf, tf, cost_f, lam_f, _v, gn_f, sn_f, iters_f, invalid_f,
-         _d, _ne) = fin
+        (qf, tf, intr_f, cost_f, lam_f, _v, gn_f, sn_f, iters_f,
+         invalid_f, _d, _ne) = fin
+        fx, fy, cx, cy = intr_f
 
         # Inlier ratio (cpp/pnp/solvers.cc:30-47), same masking as
         # engine/pnp.solve_arrays.
@@ -402,16 +474,17 @@ def _make_kernel(opts: BundleOptions):
 
 
 @partial(
-    jax.jit, static_argnames=("opts", "interpret")
+    jax.jit, static_argnames=("opt_f", "opt_pp", "opts", "interpret")
 )
 def solve_arrays_pallas(
     X, x, weights, mask, params,
-    *, opts: BundleOptions, interpret: bool = False,
+    *, opt_f: bool = False, opt_pp: bool = False,
+    opts: BundleOptions, interpret: bool = False,
 ):
-    """Drop-in for ``solve_arrays(..., opt_f=False, opt_pp=False)``
-    running the whole LM solve in one Pallas kernel.  Returns the same
-    19-float result vector (float-tolerance parity; iteration counts and
-    accept/reject decisions match except at exact decision boundaries).
+    """Drop-in for ``solve_arrays`` running the whole LM solve in one
+    Pallas kernel.  Returns the same 19-float result vector
+    (float-tolerance parity; iteration counts and accept/reject
+    decisions match except at exact decision boundaries).
     """
     N = X.shape[0]
     C = max(128, int(np.ceil(N / 8 / 128)) * 128)
@@ -432,7 +505,7 @@ def solve_arrays_pallas(
     )
 
     out = pl.pallas_call(
-        _make_kernel(opts),
+        _make_kernel(opts, bool(opt_f), bool(opt_pp)),
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
