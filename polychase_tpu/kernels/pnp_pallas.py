@@ -35,6 +35,15 @@ cpp/pnp/lev_marq.h:99-389):
 Parity with the XLA path is float-tolerance (different reduction
 order), pinned by tests/test_pnp_pallas.py; Mosaic lowering is
 validated hardware-free via ``jax.export`` in the same test file.
+
+Batching: the kernel is dispatched over a 1-D grid of independent
+solves, with the per-solve 16-float parameter rows riding the scalar
+prefetch channel (SMEM block specs cannot carry a batch axis, so the
+full (S, 16) table is prefetched and indexed by ``program_id``).
+``solve_arrays_pallas`` registers a ``custom_vmap`` rule that maps a
+single ``jax.vmap`` level onto that grid axis — this is what lets the
+segment-parallel tracking path (parallel/tracking.py) run the kernel
+per segment under ``shard_map``.
 """
 
 from __future__ import annotations
@@ -187,7 +196,10 @@ def _make_kernel(opts: BundleOptions, opt_f: bool, opt_pp: bool):
         mf = pk_ref[6]                                  # 1.0 / 0.0 mask
         m = mf > 0.0
 
-        p = [params_ref[i] for i in range(16)]
+        # params_ref is the FULL (S, 16) scalar-prefetch table; this
+        # program's row is selected by the batch grid index.
+        s_id = pl.program_id(0)
+        p = [params_ref[s_id, i] for i in range(16)]
         intr0 = (p[7], p[8], p[9], p[10])               # fx fy cx cy
         aspect = p[11]
         sign = p[14]
@@ -473,6 +485,69 @@ def _make_kernel(opts: BundleOptions, opt_f: bool, opt_pp: bool):
     return kernel
 
 
+def _call_batched(params, pk, *, opt_f, opt_pp, opts, interpret):
+    """Grid-batched kernel dispatch: one grid program per solve.
+
+    ``params`` is (S, 16), ``pk`` is (S, 7, 8, C); returns (S, 19).
+    The parameter table rides the scalar-prefetch channel because SMEM
+    block specs cannot be sliced along a batch axis (Mosaic's
+    last-two-dims rule); each program indexes its row by program_id.
+    """
+    S, _, _, C = pk.shape
+    out = pl.pallas_call(
+        _make_kernel(opts, bool(opt_f), bool(opt_pp)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(S,),
+            in_specs=[
+                pl.BlockSpec((None, 7, 8, C), lambda s, pref: (s, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (None, 1, 128), lambda s, pref: (s, 0, 0)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((S, 1, 128), jnp.float32),
+        interpret=interpret,
+    )(params.astype(jnp.float32), pk)
+    return out[:, 0, :19]
+
+
+_SOLVER_CACHE: dict = {}
+
+
+def _solver(opt_f: bool, opt_pp: bool, opts, interpret: bool):
+    """custom_vmap-wrapped single solve for one static configuration.
+
+    ``jax.vmap`` of the public entry maps onto the kernel's batch grid
+    (ONE vmap level — a second level would re-enter pallas_call's
+    default batching, which the SMEM operand cannot lower under)."""
+    key = (opt_f, opt_pp, opts, interpret)
+    fn = _SOLVER_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    batched = partial(
+        _call_batched, opt_f=opt_f, opt_pp=opt_pp, opts=opts,
+        interpret=interpret,
+    )
+
+    @jax.custom_batching.custom_vmap
+    def call(params, pk):
+        return batched(params[None], pk[None])[0]
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, params, pk):
+        pb, kb = in_batched
+        if not pb:
+            params = jnp.broadcast_to(params, (axis_size,) + params.shape)
+        if not kb:
+            pk = jnp.broadcast_to(pk, (axis_size,) + pk.shape)
+        return batched(params, pk), True
+
+    _SOLVER_CACHE[key] = call
+    return call
+
+
 @partial(
     jax.jit, static_argnames=("opt_f", "opt_pp", "opts", "interpret")
 )
@@ -484,7 +559,9 @@ def solve_arrays_pallas(
     """Drop-in for ``solve_arrays`` running the whole LM solve in one
     Pallas kernel.  Returns the same 19-float result vector
     (float-tolerance parity; iteration counts and accept/reject
-    decisions match except at exact decision boundaries).
+    decisions match except at exact decision boundaries).  Supports one
+    level of ``jax.vmap`` (batched over independent solves) via the
+    kernel's batch grid.
     """
     N = X.shape[0]
     C = max(128, int(np.ceil(N / 8 / 128)) * 128)
@@ -503,20 +580,5 @@ def solve_arrays_pallas(
             chan(mask.astype(jnp.float32)),
         ]
     )
-
-    out = pl.pallas_call(
-        _make_kernel(opts, bool(opt_f), bool(opt_pp)),
-        grid=(1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (7, 8, C), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
-        interpret=interpret,
-    )(params.astype(jnp.float32), pk)
-    return out[0, :19]
+    call = _solver(bool(opt_f), bool(opt_pp), opts, bool(interpret))
+    return call(params.astype(jnp.float32), pk)

@@ -201,10 +201,17 @@ def track_segments(
     # packed format unconditionally, so the POLYCHASE_TRACK_IDX=0 legacy
     # opt-out applies to the single-chip scan chain alone (formats are
     # bit-identical either way — see engine.tracker.PACKED_IDX).
+    # The Pallas LM PnP kernel gates like the single-chip chain (TPU
+    # backend only); its custom_vmap rule maps the per-segment vmap
+    # below onto the kernel's batch grid.
+    from ..engine.tracker import PALLAS_PNP
+    from ..kernels.lk_pallas import pallas_supported
+
     run = _scan_track_fn(
         bool(optimize_focal_length), bool(optimize_principal_point),
         tuple(normalize_bundle_opts(bundle_opts)),
         packed_idx=True,
+        pallas_pnp=PALLAS_PNP and pallas_supported(),
     )
 
     xs = tuple(

@@ -229,5 +229,52 @@ def test_tpu_lowering():
     jax.export.export(fn, platforms=("tpu",))(*args)
 
 
+def test_tpu_lowering_vmap():
+    """The segment-parallel tracking path (parallel/tracking.py) vmaps
+    the scan chain over segments; pin that a vmapped kernel solve still
+    lowers for TPU before routing it there."""
+    from functools import partial
+
+    S, N = 4, 1024
+    args = (
+        jnp.zeros((S, N, 3), jnp.float32),
+        jnp.zeros((S, N, 2), jnp.float32),
+        jnp.zeros((S, N), jnp.float32), jnp.zeros((S, N), bool),
+        jnp.zeros((S, 16), jnp.float32),
+    )
+    opts = BundleOptions(max_iterations=30, loss_type=1,
+                         function_tol=1e-5)
+    fn = jax.jit(
+        jax.vmap(partial(solve_arrays_pallas, opts=opts,
+                         interpret=False))
+    )
+    jax.export.export(fn, platforms=("tpu",))(*args)
+
+
+def test_vmap_batched_parity_interpret():
+    """The custom_vmap rule maps vmap onto the kernel's batch grid; the
+    batched result must equal per-item single solves (the grid programs
+    each index their own scalar-prefetch row)."""
+    from functools import partial
+
+    scenes = [_scene(seed=s, n=256, n_masked=17 * s) for s in range(3)]
+    X = jnp.stack([jnp.asarray(s[0]) for s in scenes])
+    x = jnp.stack([jnp.asarray(s[1]) for s in scenes])
+    w = jnp.stack([jnp.asarray(s[2]) for s in scenes])
+    mask = jnp.stack([jnp.asarray(s[3]) for s in scenes])
+    params = jnp.stack([jnp.asarray(s[4]) for s in scenes])
+    opts = BundleOptions(max_iterations=30, loss_type=1,
+                         function_tol=1e-5)
+    solve = partial(solve_arrays_pallas, opts=opts, interpret=True)
+    got = np.asarray(jax.device_get(jax.vmap(solve)(X, x, w, mask, params)))
+    for s in range(3):
+        ref = np.asarray(
+            jax.device_get(
+                solve(X[s], x[s], w[s], mask[s], params[s])
+            )
+        )
+        np.testing.assert_array_equal(got[s], ref)
+
+
 def test_max_points_routing_guard():
     assert MAX_POINTS >= 16384

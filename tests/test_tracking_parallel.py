@@ -113,6 +113,50 @@ def test_parallel_tracking_matches_sequential(scene, use_mesh):
         np.testing.assert_allclose(t_par, t_seq, atol=2e-4)
 
 
+def test_multichip_scan_chain_tpu_lowering(scene):
+    """The per-device program of track_segments with the Pallas PnP
+    kernel routed (vmap over segments -> custom_vmap batch grid ->
+    lax.scan chain) must pass full Mosaic verification.  This is the
+    program real multi-chip hardware runs; interpret-mode tests do not
+    catch Mosaic layout errors (CLAUDE.md)."""
+    from polychase_tpu.engine.pnp import normalize_bundle_opts
+    from polychase_tpu.engine.tracker import _scan_track_fn
+
+    opts = BundleOptions(loss_type=CAUCHY, loss_scale=1.0)
+    run = _scan_track_fn(
+        False, False, tuple(normalize_bundle_opts(opts)),
+        packed_idx=True, pallas_pnp=True,
+    )
+    S, F, n, Gp, K, Kmax = 2, 5, 4, 8, 128, 128
+    xs = (
+        jnp.zeros((S, n, Gp), jnp.int32),
+        jnp.zeros((S, n, Gp, K), jnp.uint16),
+        jnp.zeros((S, n, Gp), jnp.int32),
+        jnp.zeros((S, n, Gp, K, 2), jnp.float32),
+        jnp.zeros((S, n), jnp.int32),
+        jnp.zeros((S, n), jnp.int32),
+    )
+
+    def solve(q0, t0, in0, kps, xs, mesh_, model_, model_inv_, const5_):
+        return run(
+            mesh_, model_, model_inv_, q0, t0, in0, const5_, kps, xs
+        )
+
+    batched = jax.vmap(
+        solve, in_axes=(0, 0, 0, 0, 0, None, None, None, None)
+    )
+    eye = jnp.eye(4, dtype=jnp.float32)
+    args = (
+        jnp.zeros((S, F, 4), jnp.float32),
+        jnp.zeros((S, F, 3), jnp.float32),
+        jnp.zeros((S, F, 4), jnp.float32),
+        jnp.zeros((S, F, Kmax, 2), jnp.float32),
+        xs, scene["mesh"], eye, eye,
+        jnp.zeros((5,), jnp.float32),
+    )
+    jax.export.export(jax.jit(batched), platforms=("tpu",))(*args)
+
+
 def test_mixed_clip_segments_rejected(scene):
     """Segments with mismatched seed conventions/sizes must raise (the
     packed solve shares one clip's [aspect, w, h, sign])."""
