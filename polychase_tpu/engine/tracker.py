@@ -479,6 +479,88 @@ def _frame_groups(database: Database, frame_id: int, available):
     return groups
 
 
+def _build_native_packer(
+    all_per_frame, first_abs, Gp, K, Kmax, idx_dtype, quant, kps_all
+):
+    """Fused C chunk packer (native/bvh.cc ``pack_track_chunk``).
+
+    The per-chunk numpy pack is the tracking chain's host floor (~0.87
+    ms/frame measured, BENCHMARKS.md round-5 decomposition): ~256
+    fancy-index gathers + slice writes + a per-frame quantization pass
+    per 32-frame chunk.  This flattens every group's (idx, tgt) arrays
+    into two contiguous buffers once per run, then packs each chunk
+    with ONE C call producing bit-identical outputs to ``pack_chunk``
+    (pinned by tests/test_native_pack.py).  Returns a ``pack(c)``
+    closure, or None when the native library is unavailable.
+    """
+    import ctypes
+
+    from ..native import native_fn
+
+    i32 = ctypes.c_int32
+    fn = native_fn(
+        "pack_track_chunk", None, [i32] * 6 + [ctypes.c_void_p] * 11
+    )
+    if fn is None:
+        return None
+
+    CH = SCAN_CHUNK
+    n_chunks = len(all_per_frame)
+    idx_parts, tpx_parts = [], []
+    g_src = np.zeros((n_chunks, CH, Gp), np.int32)
+    g_n = np.zeros((n_chunks, CH, Gp), np.int32)
+    g_off = np.zeros((n_chunks, CH, Gp), np.int64)
+    tgt_i = np.zeros((n_chunks, CH), np.int32)
+    warm_i = np.zeros((n_chunks, CH), np.int32)
+    off = 0
+    for c, per_frame in enumerate(all_per_frame):
+        for r, (frame_id, warm, groups) in enumerate(per_frame):
+            tgt_i[c, r] = frame_id - first_abs
+            warm_i[c, r] = warm - first_abs
+            for g, (src_f, idx, tpx) in enumerate(groups):
+                g_src[c, r, g] = src_f - first_abs
+                g_n[c, r, g] = idx.shape[0]
+                g_off[c, r, g] = off
+                idx_parts.append(np.ascontiguousarray(idx, np.uint32))
+                tpx_parts.append(
+                    np.ascontiguousarray(tpx, np.float32).reshape(-1, 2)
+                )
+                off += idx.shape[0]
+        nf = len(per_frame)
+        if nf:  # padding rows mirror pack_chunk's masked no-ops
+            tgt_i[c, nf:] = tgt_i[c, nf - 1]
+            warm_i[c, nf:] = warm_i[c, nf - 1]
+    flat_idx = (
+        np.concatenate(idx_parts)
+        if idx_parts else np.empty((0,), np.uint32)
+    )
+    flat_tpx = (
+        np.concatenate(tpx_parts)
+        if tpx_parts else np.empty((0, 2), np.float32)
+    )
+    kps_all = np.ascontiguousarray(kps_all, np.float32)
+    dt_code = {np.uint8: 0, np.uint16: 1, np.int32: 2}[idx_dtype]
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    def pack(c):
+        meta = np.empty((CH, 2 * Gp + 3), np.int32)
+        kp_idx = np.empty((CH, Gp, K), idx_dtype)
+        tgt = np.empty(
+            (CH, Gp, K, 2), np.int16 if quant else np.float32
+        )
+        fn(
+            CH, Gp, K, Kmax, dt_code, 1 if quant else 0,
+            ptr(tgt_i[c]), ptr(warm_i[c]), ptr(g_src[c]), ptr(g_n[c]),
+            ptr(g_off[c]), ptr(flat_idx), ptr(flat_tpx), ptr(kps_all),
+            ptr(meta), ptr(kp_idx), ptr(tgt),
+        )
+        return (meta, kp_idx, tgt)
+
+    return pack
+
+
 def _track_chunked_scan(
     database: Database,
     camera_traj: CameraTrajectory,
@@ -622,6 +704,19 @@ def _track_chunked_scan(
         idx_dtype = np.int32
     quant = PACKED_IDX and QUANT_TGT
 
+    # Fused C packer for the default (packed + fused-meta) format;
+    # POLYCHASE_NATIVE_PACK=0 or an unavailable toolchain falls back to
+    # the numpy pack below (bit-identical outputs).
+    pack_native = None
+    if (
+        PACKED_IDX and _FUSED_META
+        and os.environ.get("POLYCHASE_NATIVE_PACK", "1") != "0"
+    ):
+        pack_native = _build_native_packer(
+            all_per_frame, first_abs, Gp, K, Kmax, idx_dtype, quant,
+            kps_all,
+        )
+
     def pack_chunk(chunk, per_frame):
         CH = len(chunk)
         src_idx = np.zeros((SCAN_CHUNK, Gp), np.int32)
@@ -758,11 +853,17 @@ def _track_chunked_scan(
     with profile_region("tracker.scan_chain"):
         # Chunks are packed lazily: chunk c+1's host packing runs while
         # chunk c (dispatched below) is still computing on device.
-        for chunk, per_frame in zip(chunk_frames, all_per_frame):
+        for ci_chunk, (chunk, per_frame) in enumerate(
+            zip(chunk_frames, all_per_frame)
+        ):
             # numpy args go straight into the jit dispatch: the runtime
             # batches the host->device transfers in one C++ call, which
             # measures faster than per-array device_puts from Python.
-            xs = pack_chunk(chunk, per_frame)
+            xs = (
+                pack_native(ci_chunk)
+                if pack_native is not None
+                else pack_chunk(chunk, per_frame)
+            )
             carry, vecs, counts = run(
                 mesh, model, model_inv, *carry, const5_j, kps_all_d, xs
             )

@@ -555,3 +555,117 @@ extern "C" void gftt_quality_order(
     quality_sort(vals, lin, n, keyed);
     for (uint32_t i = 0; i < n; i++) order_out[i] = keyed[i].idx;
 }
+
+// ---------------------------------------------------------------------------
+// Tracking-chain chunk packer (engine/tracker._track_chunked_scan).
+//
+// The scan chain's host floor is per-chunk numpy packing: ~256 fancy-index
+// gathers + slice writes + a per-frame quantization pass per 32-frame chunk
+// (measured 0.87 ms/frame on the 1-core bench host — BENCHMARKS.md round-5
+// decomposition).  This fuses the whole pack — keypoint-index copy, delta
+// gather against the clip keypoint table, max-|delta| scan and i16
+// quantization — into one C pass per chunk.  Bit-exact with the numpy path
+// (tests/test_tracker.py pins both formats): deltas in f32, scale m/32700.0
+// in f64 then cast, rintf round-half-to-even like np.rint, i16 cast exact
+// on integral values.
+// ---------------------------------------------------------------------------
+
+extern "C" void pack_track_chunk(
+    int32_t ch, int32_t gp, int32_t k, int32_t kmax, int32_t idx_dtype,
+    int32_t quant,
+    const int32_t* tgt_i,    // (ch,) incl. padding rows
+    const int32_t* warm_i,   // (ch,)
+    const int32_t* g_src,    // (ch, gp) source frame rel index
+    const int32_t* g_n,      // (ch, gp) points per group (0 = unused)
+    const int64_t* g_off,    // (ch, gp) offset into flat_idx / flat_tpx
+    const uint32_t* flat_idx,
+    const float* flat_tpx,   // (total, 2)
+    const float* kps_all,    // (F, kmax, 2)
+    int32_t* meta,           // (ch, 2*gp + 3)
+    void* kp_idx_out,        // (ch, gp, k) of u8 / u16 / i32
+    void* tgt_out) {         // (ch, gp, k, 2): i16 if quant else f32
+    const size_t row_pts = static_cast<size_t>(gp) * k;
+    const size_t idx_sz = idx_dtype == 0 ? 1 : (idx_dtype == 1 ? 2 : 4);
+    std::memset(kp_idx_out, 0, static_cast<size_t>(ch) * row_pts * idx_sz);
+    std::memset(tgt_out, 0,
+                static_cast<size_t>(ch) * row_pts * 2 *
+                    (quant ? sizeof(int16_t) : sizeof(float)));
+
+    std::vector<float> scratch;
+    if (quant) scratch.assign(row_pts * 2, 0.0f);
+
+    const int32_t mw = 2 * gp + 3;
+    for (int32_t r = 0; r < ch; r++) {
+        int32_t* mrow = meta + static_cast<size_t>(r) * mw;
+        std::memcpy(mrow, g_src + static_cast<size_t>(r) * gp,
+                    sizeof(int32_t) * gp);
+        std::memcpy(mrow + gp, g_n + static_cast<size_t>(r) * gp,
+                    sizeof(int32_t) * gp);
+        mrow[2 * gp] = tgt_i[r];
+        mrow[2 * gp + 1] = warm_i[r];
+        mrow[2 * gp + 2] = 0;
+
+        if (quant) std::memset(scratch.data(), 0, row_pts * 2 * sizeof(float));
+        float maxabs = 0.0f;
+        for (int32_t g = 0; g < gp; g++) {
+            const int32_t n = g_n[static_cast<size_t>(r) * gp + g];
+            if (n <= 0) continue;
+            const int64_t off = g_off[static_cast<size_t>(r) * gp + g];
+            const uint32_t* idx = flat_idx + off;
+            const float* tpx = flat_tpx + 2 * off;
+            const size_t base = (static_cast<size_t>(r) * gp + g) * k;
+            // Keypoint indices, cast to the output dtype.
+            if (idx_dtype == 0) {
+                uint8_t* o = static_cast<uint8_t*>(kp_idx_out) + base;
+                for (int32_t i = 0; i < n; i++)
+                    o[i] = static_cast<uint8_t>(idx[i]);
+            } else if (idx_dtype == 1) {
+                uint16_t* o = static_cast<uint16_t*>(kp_idx_out) + base;
+                for (int32_t i = 0; i < n; i++)
+                    o[i] = static_cast<uint16_t>(idx[i]);
+            } else {
+                int32_t* o = static_cast<int32_t*>(kp_idx_out) + base;
+                for (int32_t i = 0; i < n; i++)
+                    o[i] = static_cast<int32_t>(idx[i]);
+            }
+            if (quant) {
+                // Delta vs the clip keypoint table; track max |delta|.
+                const float* kp_row =
+                    kps_all +
+                    static_cast<size_t>(g_src[static_cast<size_t>(r) * gp +
+                                              g]) *
+                        kmax * 2;
+                float* d = scratch.data() + (static_cast<size_t>(g) * k) * 2;
+                for (int32_t i = 0; i < n; i++) {
+                    const float dx = tpx[2 * i] - kp_row[2 * idx[i]];
+                    const float dy = tpx[2 * i + 1] - kp_row[2 * idx[i] + 1];
+                    d[2 * i] = dx;
+                    d[2 * i + 1] = dy;
+                    const float ax = std::fabs(dx);
+                    const float ay = std::fabs(dy);
+                    if (ax > maxabs) maxabs = ax;
+                    if (ay > maxabs) maxabs = ay;
+                }
+            } else {
+                float* o = static_cast<float*>(tgt_out) + base * 2;
+                std::memcpy(o, tpx, sizeof(float) * 2 * n);
+            }
+        }
+        if (quant) {
+            // scale = m / 32700.0 in f64 (python float), stored as f32
+            // bits in the meta row; multiply by f32(1/scale) and
+            // round-half-even exactly like np.rint on a f32 array.
+            const double scale_d =
+                maxabs > 0.0f ? static_cast<double>(maxabs) / 32700.0 : 1.0;
+            const float scale_f = static_cast<float>(scale_d);
+            const float inv_f = static_cast<float>(1.0 / scale_d);
+            std::memcpy(&mrow[2 * gp + 2], &scale_f, sizeof(float));
+            int16_t* o =
+                static_cast<int16_t*>(tgt_out) + static_cast<size_t>(r) *
+                                                     row_pts * 2;
+            const float* d = scratch.data();
+            for (size_t i = 0; i < row_pts * 2; i++)
+                o[i] = static_cast<int16_t>(std::rint(d[i] * inv_f));
+        }
+    }
+}
