@@ -25,3 +25,24 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# The full suite compiles several hundred XLA programs in one process;
+# letting them all stay live eventually segfaults the CPU backend's
+# compiler (deterministically, in whatever large program compiles last
+# — observed in jaxlib 0.9.0 at ~320 tests; each half of the suite
+# passes alone).  Dropping executables at module boundaries bounds the
+# accumulation; cross-module cache reuse only costs recompiles of the
+# small shared helpers.
+_last_module = [None]
+
+
+@pytest.fixture(autouse=True)
+def _bound_live_executables(request):
+    mod = getattr(request, "module", None)
+    name = getattr(mod, "__name__", None)
+    if name is not None and _last_module[0] not in (None, name):
+        jax.clear_caches()
+    if name is not None:
+        _last_module[0] = name
+    yield
